@@ -1,0 +1,228 @@
+"""Scalar-per-series feature kernels F1-F3, F8-F13, F15 (SURVEY.md §2.1).
+
+Each function reproduces the same-named feasts feature exactly and returns
+a dict of feature-name -> float (NaN plays R's NA). Reference citations are
+to /root/reference/R/features.R and guerrero.R.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from feasts_spark.kernels.rmath import (
+    brent_fmin,
+    bw_nrd0,
+    lm_r_squared,
+    norm_pdf,
+    r_cut_codes,
+    r_sd,
+    r_var,
+    rle,
+)
+
+NAN = float("nan")
+
+
+def _default_size(size: int | None, period: int) -> int:
+    """features.R:396-398 — window defaults to 10 when period==1 else period."""
+    if size is not None:
+        return size
+    return 10 if period == 1 else period
+
+
+def n_crossing_points(x: np.ndarray) -> dict:
+    """features.R:4-13 — median midline crossings."""
+    x = np.asarray(x, dtype=np.float64)
+    mid = np.nanmedian(x)
+    ab = x <= mid  # NaN <= mid is False, matching R NA handled by na.rm sum
+    nan_mask = np.isnan(x)
+    p1, p2 = ab[:-1], ab[1:]
+    cross = (p1 & ~p2) | (p2 & ~p1)
+    # R: sum(cross, na.rm=TRUE); comparisons with NA give NA in R
+    valid = ~(nan_mask[:-1] | nan_mask[1:])
+    return {"n_crossing_points": float(np.sum(cross & valid))}
+
+
+def longest_flat_spot(x: np.ndarray) -> dict:
+    """features.R:349-353 — max run length within 10 equal-width bins."""
+    x = np.asarray(x, dtype=np.float64)
+    codes = r_cut_codes(x, breaks=10)
+    lengths, _ = rle(codes)
+    return {"longest_flat_spot": float(lengths.max())}
+
+
+def stat_arch_lm(x: np.ndarray, lags: int = 12, demean: bool = True) -> dict:
+    """features.R:18-30 — R^2 of x^2 on its first `lags` lags (ARCH LM)."""
+    x = np.asarray(x, dtype=np.float64)
+    if x.size <= lags + 1:
+        return {"stat_arch_lm": NAN}
+    if demean:
+        x = x - np.nanmean(x)
+    x2 = x * x
+    n = x2.size
+    # embed(x^2, lags+1): row t = (x2[t+lags], x2[t+lags-1], ..., x2[t])
+    ncol = lags + 1
+    nrow = n - lags
+    mat = np.empty((nrow, ncol))
+    for j in range(ncol):
+        mat[:, j] = x2[lags - j : lags - j + nrow]
+    r2 = lm_r_squared(mat[:, 0], mat[:, 1:])
+    if math.isnan(r2):
+        r2 = 1.0
+    return {"stat_arch_lm": r2}
+
+
+def _roll_mean_partial(x: np.ndarray, size: int) -> np.ndarray:
+    """slider::slide_dbl(x, mean, .before=size-1, na.rm=TRUE)."""
+    return (
+        pd.Series(x).rolling(size, min_periods=1).mean().to_numpy()
+    )
+
+
+def _roll_var_partial(x: np.ndarray, size: int) -> np.ndarray:
+    """slider::slide_dbl(x, var, .before=size-1, na.rm=TRUE) (ddof=1)."""
+    return pd.Series(x).rolling(size, min_periods=1).var(ddof=1).to_numpy()
+
+
+def _shift_max(stat: np.ndarray, size: int) -> tuple[float, float]:
+    """abs(diff(stat, lag=size)) -> (max, which.max+1); features.R:402-415."""
+    diffs = np.abs(stat[size:] - stat[:-size])
+    if diffs.size == 0:
+        return 0.0, NAN
+    if np.isnan(diffs).all():
+        return NAN, NAN
+    idx = int(np.nanargmax(diffs))
+    return float(diffs[idx]), float(idx + 2)  # R which.max is 1-based, +1
+
+
+def shift_level_max(x, size: int | None = None, period: int = 1) -> dict:
+    """features.R:395-417 — largest rolling-mean shift."""
+    x = np.asarray(x, dtype=np.float64)
+    size = _default_size(size, period)
+    m, i = _shift_max(_roll_mean_partial(x, size), size)
+    return {"shift_level_max": m, "shift_level_index": i}
+
+
+def shift_var_max(x, size: int | None = None, period: int = 1) -> dict:
+    """features.R:421-444 — largest rolling-variance shift."""
+    x = np.asarray(x, dtype=np.float64)
+    size = _default_size(size, period)
+    m, i = _shift_max(_roll_var_partial(x, size), size)
+    return {"shift_var_max": m, "shift_var_index": i}
+
+
+def shift_kl_max(x, size: int | None = None, period: int = 1) -> dict:
+    """features.R:448-487 — largest shift in rolling KL divergence.
+
+    100-point grid Gaussian densities (bw.nrd0 bandwidth, floored at
+    dnorm(38)), trailing rolling mean per grid point, KL between windows
+    `size` apart, then diff + max.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    size = _default_size(size, period)
+    gw = 100
+    lo, hi = np.nanmin(x), np.nanmax(x)
+    xgrid = np.linspace(lo, hi, gw)
+    grid = xgrid[1] - xgrid[0]
+    bw = bw_nrd0(x[~np.isnan(x)])
+    n = x.size
+    if n <= 2 * size:
+        raise ValueError("length of `x` is too short for `.size`.")
+    dens_floor = float(norm_pdf(38.0))
+    # densities: (n, gw) — dnorm(g, mean=x_t, sd=bw) per grid point g
+    dens = norm_pdf(xgrid[None, :], mean=x[:, None], sd=bw)
+    dens = np.maximum(dens, dens_floor)
+    rmean = (
+        pd.DataFrame(dens).rolling(size, min_periods=1).mean().to_numpy()
+    )
+    p = rmean[: n - size]
+    q = rmean[size:]
+    kl = np.nansum(p * (np.log(p) - np.log(q)) * grid, axis=1)
+    diffkl = np.diff(kl)
+    if diffkl.size == 0:
+        return {"shift_kl_max": 0.0, "shift_kl_index": NAN}
+    idx = int(np.nanargmax(diffkl))
+    return {"shift_kl_max": float(np.nanmax(diffkl)), "shift_kl_index": float(idx + 2)}
+
+
+def _zscore(x: np.ndarray) -> np.ndarray:
+    """base::scale(x) — center by mean, scale by sd (ddof=1)."""
+    mu = np.nanmean(x)
+    sd = r_sd(x)
+    return (x - mu) / sd
+
+
+def var_tiled_var(x, size: int | None = None, period: int = 1) -> dict:
+    """features.R:562-576 (lumpiness) — var of tile variances, full tiles."""
+    x = np.asarray(x, dtype=np.float64)
+    size = _default_size(size, period)
+    z = _zscore(x)
+    n = z.size
+    n_tiles = n // size
+    if n < 2 * size:
+        return {"var_tiled_var": 0.0}
+    tiles = z[: n_tiles * size].reshape(n_tiles, size)
+    tile_vars = np.array([r_var(t) for t in tiles])
+    return {"var_tiled_var": r_var(tile_vars)}
+
+
+def var_tiled_mean(x, size: int | None = None, period: int = 1) -> dict:
+    """features.R:580-595 (stability) — var of tile means, ragged last tile."""
+    x = np.asarray(x, dtype=np.float64)
+    size = _default_size(size, period)
+    z = _zscore(x)
+    n = z.size
+    if n < 2 * size:
+        return {"var_tiled_mean": 0.0}
+    means = [float(np.nanmean(z[s : s + size])) for s in range(0, n, size)]
+    return {"var_tiled_mean": r_var(np.array(means))}
+
+
+def feat_intermittent(x: np.ndarray) -> dict:
+    """features.R:716-726 — intermittency measures via run-length encoding."""
+    x = np.asarray(x, dtype=np.float64)
+    lengths, values = rle(x)
+    nonzero = x[x != 0]
+    n = x.size
+    zero_runs = lengths[values == 0]
+    zero_run_mean = (
+        0.0 if nonzero.size == n else float(zero_runs.mean()) if zero_runs.size else NAN
+    )
+    sd_nz = r_sd(nonzero)
+    mean_nz = float(np.nanmean(nonzero)) if nonzero.size else NAN
+    return {
+        "zero_run_mean": zero_run_mean,
+        "nonzero_squared_cv": (sd_nz / mean_nz) ** 2 if mean_nz else NAN,
+        "zero_start_prop": float(lengths[0]) / n if values[0] == 0 else 0.0,
+        "zero_end_prop": float(lengths[-1]) / n if values[-1] == 0 else 0.0,
+    }
+
+
+def guerrero(x, lower: float = -0.9, upper: float = 2.0, period: int = 2) -> dict:
+    """guerrero.R:30-60 — Box-Cox lambda minimizing subseries CV.
+
+    Takes the LAST n_sub*period observations, reshapes column-major into a
+    (period x n_sub) matrix, and Brent-minimizes the coefficient of
+    variation of sd_h / mean_h^(1-lambda) over subseries h.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    if np.all(x == x[0]):
+        return {"lambda_guerrero": 1.0}
+    period = max(2, int(period))
+    n = x.size
+    n_sub = n // period
+    tail = x[n - n_sub * period :]
+    mat = tail.reshape(n_sub, period).T  # column-major (period, n_sub)
+    mu_h = np.nanmean(mat, axis=0)
+    sig_h = np.array([r_sd(mat[:, j]) for j in range(mat.shape[1])])
+
+    def coef_var(lam: float) -> float:
+        rat = sig_h / mu_h ** (1.0 - lam)
+        m = np.nanmean(rat)
+        s = r_sd(rat)
+        return s / m
+
+    return {"lambda_guerrero": brent_fmin(coef_var, lower, upper)}
