@@ -1,0 +1,100 @@
+"""ACF / PACF / CCF table operators (reference acf.R:61-250).
+
+The reference pattern is nest-by-key -> per-key stats::acf -> unnest
+(build_cf, acf.R:224-250). The Spark-native equivalent is exactly
+`groupBy(key).applyInPandas` — one shuffle on the series key, Arrow-batched
+columnar exchange, numpy kernel per group (SURVEY.md §3 EP3).
+
+Output is the long table (key, lag, value) like the reference tbl_cf; the
+`num_obs` sidecar of build_cf (acf.R:236-240) is a groupBy().count().
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from feasts_spark.kernels.acf import acf_r, ccf_r, default_lag_max, pacf_r
+
+
+def _ordered_values(pdf: pd.DataFrame, order_col: str, value_col: str) -> np.ndarray:
+    pdf = pdf.sort_values(order_col, kind="mergesort")
+    return pdf[value_col].to_numpy(dtype=np.float64)
+
+
+def acf_table(
+    df: DataFrame,
+    key_col: str = "series_key",
+    order_col: str = "bucket_ts",
+    value_col: str = "val_avg",
+    lag_max: int | None = None,
+    type: str = "correlation",
+    demean: bool = True,
+) -> DataFrame:
+    """ACF() — per-key autocorrelations, lag 0 dropped (acf.R:75-77)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[key_col].iloc[0]
+        x = _ordered_values(pdf, order_col, value_col)
+        acf = acf_r(x, lag_max=lag_max, demean=demean,
+                    na_action="contiguous", type=type)
+        vals = acf[1:]
+        return pd.DataFrame(
+            {key_col: key, "lag": np.arange(1, vals.size + 1, dtype=np.int32),
+             "acf": vals}
+        )
+
+    schema = f"{key_col} {df.schema[key_col].dataType.simpleString()}, lag int, acf double"
+    return df.groupBy(key_col).applyInPandas(fn, schema=schema)
+
+
+def pacf_table(
+    df: DataFrame,
+    key_col: str = "series_key",
+    order_col: str = "bucket_ts",
+    value_col: str = "val_avg",
+    lag_max: int | None = None,
+) -> DataFrame:
+    """PACF() — per-key partial autocorrelations (Durbin-Levinson)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[key_col].iloc[0]
+        x = _ordered_values(pdf, order_col, value_col)
+        vals = pacf_r(x, lag_max=lag_max, na_action="contiguous")
+        return pd.DataFrame(
+            {key_col: key, "lag": np.arange(1, vals.size + 1, dtype=np.int32),
+             "pacf": vals}
+        )
+
+    schema = f"{key_col} {df.schema[key_col].dataType.simpleString()}, lag int, pacf double"
+    return df.groupBy(key_col).applyInPandas(fn, schema=schema)
+
+
+def ccf_table(
+    df: DataFrame,
+    key_col: str = "series_key",
+    order_col: str = "bucket_ts",
+    y_col: str = "y",
+    x_col: str = "x",
+    lag_max: int | None = None,
+) -> DataFrame:
+    """CCF() — per-key cross-correlation, lags -L..L (acf.R:184-221)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[key_col].iloc[0]
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        y = pdf[y_col].to_numpy(dtype=np.float64)
+        x = pdf[x_col].to_numpy(dtype=np.float64)
+        lags, vals = ccf_r(y, x, lag_max=lag_max)
+        return pd.DataFrame({key_col: key, "lag": lags.astype(np.int32), "ccf": vals})
+
+    schema = f"{key_col} {df.schema[key_col].dataType.simpleString()}, lag int, ccf double"
+    return df.groupBy(key_col).applyInPandas(fn, schema=schema)
+
+
+def num_obs(df: DataFrame, key_col: str = "series_key") -> DataFrame:
+    """build_cf's per-key length sidecar (acf.R:236-240)."""
+    return df.groupBy(key_col).count().withColumnRenamed("count", "num_obs")

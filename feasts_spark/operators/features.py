@@ -1,0 +1,159 @@
+"""features() — wide per-key feature extraction (SURVEY.md §3 EP1).
+
+One Arrow-batched pandas UDF computes the ENTIRE feature pack per series
+in a single pass over the group (one shuffle on the key, shared
+intermediates: the STL remainder feeds stl_e_acf*, the ACF kernel is reused
+across feat_acf / portmanteau). The output schema is static: columns that
+the reference emits only for seasonal data (season_acf1, seasonal_strength_*
+etc., SURVEY.md §1.3) are always present and NULL when period == 1.
+
+Feature registry mirrors zzz.R:3-24 (name -> kernel -> tags).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from feasts_spark.kernels import (
+    box_pierce,
+    feat_acf,
+    feat_intermittent,
+    feat_pacf,
+    feat_spectral,
+    feat_stl,
+    guerrero,
+    ljung_box,
+    longest_flat_spot,
+    n_crossing_points,
+    shift_kl_max,
+    shift_level_max,
+    shift_var_max,
+    stat_arch_lm,
+    var_tiled_mean,
+    var_tiled_var,
+)
+from feasts_spark.kernels.stat_tests import unitroot_kpss, unitroot_ndiffs, unitroot_nsdiffs
+
+# Registry: feature name -> (kernel, tags) — mirrors fabletools
+# register_feature calls in reference zzz.R:3-24.
+FEATURE_REGISTRY: dict[str, tuple] = {
+    "feat_stl": (feat_stl, ("stl", "trend", "seasonal", "decomposition")),
+    "feat_acf": (feat_acf, ("acf", "autocorrelation")),
+    "feat_pacf": (feat_pacf, ("pacf", "autocorrelation")),
+    "feat_intermittent": (feat_intermittent, ("intermittent",)),
+    "guerrero": (guerrero, ("optimisation", "boxcox")),
+    "unitroot_kpss": (unitroot_kpss, ("test", "unitroot")),
+    "unitroot_ndiffs": (unitroot_ndiffs, ("test", "unitroot")),
+    "unitroot_nsdiffs": (unitroot_nsdiffs, ("test", "seasonal", "unitroot")),
+    "box_pierce": (box_pierce, ("test", "portmanteau")),
+    "ljung_box": (ljung_box, ("test", "portmanteau")),
+    "var_tiled_var": (var_tiled_var, ("lumpiness", "tile")),
+    "var_tiled_mean": (var_tiled_mean, ("stability", "tile")),
+    "shift_level_max": (shift_level_max, ("roll", "slide")),
+    "shift_var_max": (shift_var_max, ("roll", "slide")),
+    "shift_kl_max": (shift_kl_max, ("roll", "slide")),
+    "feat_spectral": (feat_spectral, ("spectral",)),
+    "n_crossing_points": (n_crossing_points, ("count",)),
+    "longest_flat_spot": (longest_flat_spot, ("count", "rle")),
+    "stat_arch_lm": (stat_arch_lm, ("test",)),
+}
+
+# Static output column order for the full pack.
+FEATURE_COLUMNS = [
+    # feat_stl
+    "trend_strength", "seasonal_strength", "seasonal_peak", "seasonal_trough",
+    "spikiness", "linearity", "curvature", "stl_e_acf1", "stl_e_acf10",
+    # feat_acf / feat_pacf
+    "acf1", "acf10", "diff1_acf1", "diff1_acf10", "diff2_acf1", "diff2_acf10",
+    "season_acf1", "pacf5", "diff1_pacf5", "diff2_pacf5", "season_pacf",
+    # spectral / basic
+    "spectral_entropy", "n_crossing_points", "longest_flat_spot",
+    "var_tiled_var", "var_tiled_mean",
+    # shifts
+    "shift_level_max", "shift_level_index", "shift_var_max", "shift_var_index",
+    "shift_kl_max", "shift_kl_index",
+    # model-ish
+    "stat_arch_lm", "lambda_guerrero",
+    "lb_stat", "lb_pvalue", "bp_stat", "bp_pvalue",
+    # intermittency
+    "zero_run_mean", "nonzero_squared_cv", "zero_start_prop", "zero_end_prop",
+    # unit roots
+    "kpss_stat", "kpss_pvalue", "ndiffs", "nsdiffs",
+]
+
+NAN = float("nan")
+
+
+def compute_feature_pack(x: np.ndarray, period: int = 1) -> dict:
+    """All features for one series; returns {col: float} over FEATURE_COLUMNS."""
+    out = dict.fromkeys(FEATURE_COLUMNS, NAN)
+    n = x.size
+
+    def safe(fn, *a, **kw):
+        try:
+            return fn(*a, **kw)
+        except Exception:
+            return {}
+
+    stl = safe(feat_stl, x, period=period)
+    # normalize the <name>-suffixed seasonal columns to the static names
+    for k, v in stl.items():
+        if k.startswith("seasonal_strength_"):
+            out["seasonal_strength"] = v
+        elif k.startswith("seasonal_peak_"):
+            out["seasonal_peak"] = v
+        elif k.startswith("seasonal_trough_"):
+            out["seasonal_trough"] = v
+        elif k in out:
+            out[k] = v
+    for fn, kwargs in (
+        (feat_acf, {"period": period}),
+        (feat_pacf, {"period": period}),
+        (feat_spectral, {"period": period}),
+        (n_crossing_points, {}),
+        (longest_flat_spot, {}),
+        (var_tiled_var, {"period": period}),
+        (var_tiled_mean, {"period": period}),
+        (shift_level_max, {"period": period}),
+        (shift_var_max, {"period": period}),
+        (shift_kl_max, {"period": period}),
+        (stat_arch_lm, {}),
+        (guerrero, {"period": period}),
+        (ljung_box, {}),
+        (box_pierce, {}),
+        (feat_intermittent, {}),
+        (unitroot_kpss, {}),
+        (unitroot_ndiffs, {}),
+        (unitroot_nsdiffs, {"period": period}),
+    ):
+        for k, v in safe(fn, x, **kwargs).items():
+            if k in out:
+                out[k] = v
+    return out
+
+
+def features(
+    df: DataFrame,
+    key_col: str = "series_key",
+    order_col: str = "bucket_ts",
+    value_col: str = "val_avg",
+    period: int = 1,
+) -> DataFrame:
+    """Wide feature row per key — features(tsibble, value, feature_set())."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[key_col].iloc[0]
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        row = compute_feature_pack(x, period=period)
+        return pd.DataFrame([{key_col: key, **row}])
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    schema = ", ".join(
+        [f"{key_col} {key_type}"] + [f"{c} double" for c in FEATURE_COLUMNS]
+    )
+    return df.groupBy(key_col).applyInPandas(fn, schema=schema)

@@ -1,0 +1,96 @@
+"""Tiered continuous aggregates (rollups) — SURVEY.md §2.5.
+
+The reference has no rollup machinery (feasts works on pre-bucketed
+tsibbles; its only time bucketing is floor_tsibble_date, utils.R:122-174).
+The north rule requires 1m/1h/1d retention tiers with re-aggregable
+summaries. Design notes for cluster scale:
+
+  - `date_trunc` (not `window()`) keeps the bucket a plain column Catalyst
+    can partition-prune on, and matches the DuckDB oracle exactly.
+  - Every aggregate is decomposable (sum/count/min/max + arg-min/arg-max
+    pairs), so higher tiers re-aggregate from lower tiers WITHOUT touching
+    raw data: 1h composes from 1m, 1d from 1h. At 10^12 rows this is the
+    difference between scanning 100 TB once vs three times.
+  - The groupBy is a hash partial/final aggregate (map-side combine) — one
+    shuffle keyed on (key, bucket). Skewed keys are handled upstream by
+    feasts_spark.operators.skew.salted_rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TIERS = {"1m": "minute", "1h": "hour", "1d": "day"}
+TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
+# which lower tier each tier composes from
+TIER_PARENT = {"1h": "1m", "1d": "1h"}
+
+
+def rollup_raw(
+    df: DataFrame,
+    tier: str,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Roll raw points into one row per (key, bucket).
+
+    Output schema: key, bucket_ts, n_points, val_sum, val_min, val_max,
+    val_first, val_last, val_avg (+ first/last timestamps used for tie-free
+    re-aggregation).
+    """
+    trunc = TIERS[tier]
+    bucket = F.date_trunc(trunc, F.col(ts_col)).alias("bucket_ts")
+    v = F.col(value_col)
+    return (
+        df.groupBy(F.col(key_col).alias("series_key"), bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(v).alias("val_sum"),
+            F.min(v).alias("val_min"),
+            F.max(v).alias("val_max"),
+            F.min_by(v, F.col(ts_col)).alias("val_first"),
+            F.max_by(v, F.col(ts_col)).alias("val_last"),
+            F.min(F.col(ts_col)).alias("first_ts"),
+            F.max(F.col(ts_col)).alias("last_ts"),
+        )
+        .withColumn("val_avg", F.col("val_sum") / F.col("n_points"))
+    )
+
+
+def rollup_cascade(lower: DataFrame, tier: str) -> DataFrame:
+    """Compose a higher tier from the next-lower tier's rollup rows.
+
+    All aggregates re-aggregate exactly: counts/sums add, min/max nest, and
+    first/last carry their timestamps so arg-min/arg-max stay correct. The
+    invariant `cascade(1m -> 1h) == rollup_raw(1h)` is tested bitwise.
+    """
+    trunc = TIERS[tier]
+    bucket = F.date_trunc(trunc, F.col("bucket_ts")).alias("bucket_ts")
+    return (
+        lower.groupBy("series_key", bucket)
+        .agg(
+            F.sum("n_points").alias("n_points"),
+            F.sum("val_sum").alias("val_sum"),
+            F.min("val_min").alias("val_min"),
+            F.max("val_max").alias("val_max"),
+            F.min_by(F.col("val_first"), F.col("first_ts")).alias("val_first"),
+            F.max_by(F.col("val_last"), F.col("last_ts")).alias("val_last"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+        )
+        .withColumn("val_avg", F.col("val_sum") / F.col("n_points"))
+    )
+
+
+def rollup_tiers(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> dict[str, DataFrame]:
+    """Full tier pipeline: raw -> 1m -> 1h -> 1d (each from the previous)."""
+    out = {"1m": rollup_raw(df, "1m", key_col, ts_col, value_col)}
+    out["1h"] = rollup_cascade(out["1m"], "1h")
+    out["1d"] = rollup_cascade(out["1h"], "1d")
+    return out

@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults match the sandbox (local[N] threads, single JVM); the
+same settings scale to a real cluster because everything below is also the
+right default there: AQE on (runtime coalescing + skew-join handling),
+Arrow-batched pandas UDF exchange, UTC session timezone (required for
+DuckDB-oracle comparison — Spark timestamps are session-TZ, DuckDB's are
+UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    cores: int | str | None = None,
+    app_name: str = "feasts_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    cores: int for local[N], "*" for all, None -> $SPARK_GRAFT_CPUS or "*".
+    shuffle_partitions defaults to the core count — at 100 TB scale this is
+    instead sized to ~target partition bytes, but AQE coalescing makes the
+    initial number forgiving in both regimes.
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        n = os.cpu_count() if cores in ("*",) else int(cores)
+        shuffle_partitions = max(int(n), 8)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.spill.compress", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

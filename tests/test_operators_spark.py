@@ -1,0 +1,213 @@
+"""Spark operator tests: rollup cascade, gap-fill, cf/features parity,
+classical decomposition SQL-vs-kernel, Gorilla round-trip, skew, resume."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from feasts_spark.operators.rollup import rollup_cascade, rollup_raw, rollup_tiers
+from feasts_spark.operators.gapfill import gapfill_linear, gapfill_locf
+from feasts_spark.operators.cf import acf_table, pacf_table
+from feasts_spark.operators.decompose import (
+    classical_decompose_kernel,
+    classical_decomposition,
+    stl_components,
+)
+from feasts_spark.operators.compression import (
+    compress_chunks,
+    decompress_chunks,
+    gorilla_decode,
+    gorilla_encode,
+)
+from feasts_spark.operators.skew import salted_rollup
+from feasts_spark.kernels.acf import acf_r
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+class TestRollup:
+    @staticmethod
+    def _assert_tier_equal(a, b):
+        """Cascade vs direct: counts/min/max/first/last are BITWISE equal;
+        sums/averages only differ in summation order (fp associativity), so
+        those compare at 1e-12 relative."""
+        exact = ["series_key", "bucket_ts", "n_points", "val_min", "val_max",
+                 "val_first", "val_last", "first_ts", "last_ts"]
+        pd.testing.assert_frame_equal(a[exact], b[exact], check_exact=True)
+        np.testing.assert_allclose(a["val_sum"], b["val_sum"], rtol=1e-12)
+        np.testing.assert_allclose(a["val_avg"], b["val_avg"], rtol=1e-12)
+
+    def test_cascade_equals_direct(self, spark, events):
+        """1h from 1m must equal 1h from raw — tier composability."""
+        tiers = rollup_tiers(events, key_col="user_id", ts_col="ts", value_col="value")
+        direct_1h = rollup_raw(events, "1h", "user_id", "ts", "value")
+        a = tiers["1h"].orderBy("series_key", "bucket_ts").toPandas()
+        b = direct_1h.orderBy("series_key", "bucket_ts").toPandas()
+        self._assert_tier_equal(a, b)
+        direct_1d = rollup_raw(events, "1d", "user_id", "ts", "value")
+        a = tiers["1d"].orderBy("series_key", "bucket_ts").toPandas()
+        b = direct_1d.orderBy("series_key", "bucket_ts").toPandas()
+        self._assert_tier_equal(a, b)
+
+    def test_rollup_values(self, spark, events):
+        r = rollup_raw(events, "1d", "user_id", "ts", "value")
+        pdf = r.toPandas()
+        raw = events.toPandas()
+        raw["bucket_ts"] = raw["ts"].dt.floor("D")
+        exp = (
+            raw.groupby(["user_id", "bucket_ts"])["value"]
+            .agg(["count", "sum", "min", "max", "mean"])
+            .reset_index()
+            .rename(columns={"user_id": "series_key"})
+        )
+        merged = exp.merge(pdf, on=["series_key", "bucket_ts"], how="outer")
+        assert len(merged) == len(exp) == len(pdf)
+        assert (merged["count"] == merged["n_points"]).all()
+        np.testing.assert_allclose(merged["sum"], merged["val_sum"])
+        np.testing.assert_allclose(merged["mean"], merged["val_avg"])
+        np.testing.assert_array_equal(merged["min"], merged["val_min"])
+        np.testing.assert_array_equal(merged["max"], merged["val_max"])
+
+
+class TestGapfill:
+    def test_locf(self, spark, events):
+        r = rollup_raw(events, "1d", "user_id", "ts", "value")
+        g = gapfill_locf(r, "1d", value_cols=("val_avg",))
+        pdf = g.orderBy("series_key", "bucket_ts").toPandas()
+        # grid is dense per key
+        for key, grp in pdf.groupby("series_key"):
+            diffs = grp["bucket_ts"].diff().dropna()
+            assert (diffs == pd.Timedelta(days=1)).all()
+            # locf equals pandas ffill
+            expected = grp["val_avg"].ffill()
+            pd.testing.assert_series_equal(
+                grp["val_avg_filled"], expected, check_names=False
+            )
+
+    def test_linear(self, spark, events):
+        r = rollup_raw(events, "1d", "user_id", "ts", "value")
+        g = gapfill_linear(r, "1d", value_col="val_avg")
+        pdf = g.orderBy("series_key", "bucket_ts").toPandas()
+        for key, grp in pdf.groupby("series_key"):
+            s = grp.set_index("bucket_ts")["val_avg"]
+            expected = s.interpolate(method="time", limit_direction="both")
+            np.testing.assert_allclose(
+                grp["val_avg_interp"].to_numpy(), expected.to_numpy(), rtol=1e-9
+            )
+
+
+class TestCfOperators:
+    def test_acf_table_matches_kernel(self, spark, events):
+        r = rollup_raw(events, "1d", "user_id", "ts", "value")
+        out = acf_table(r).toPandas()
+        local = r.orderBy("series_key", "bucket_ts").toPandas()
+        for key, grp in local.groupby("series_key"):
+            x = grp["val_avg"].to_numpy()
+            expected = acf_r(x, na_action="contiguous")[1:]
+            got = out[out["series_key"] == key].sort_values("lag")["acf"].to_numpy()
+            np.testing.assert_allclose(got, expected, rtol=1e-12)
+
+
+class TestClassical:
+    def test_sql_matches_kernel(self, spark, events):
+        r = rollup_raw(events, "1d", "user_id", "ts", "value")
+        for typ in ("additive", "multiplicative"):
+            out = (
+                classical_decomposition(r, period=7, type=typ)
+                .orderBy("series_key", "bucket_ts")
+                .toPandas()
+            )
+            for key, grp in out.groupby("series_key"):
+                y = grp["val_avg"].to_numpy()
+                if len(y) < 14:
+                    continue
+                exp = classical_decompose_kernel(y, 7, type=typ)
+                np.testing.assert_allclose(
+                    grp["trend"].to_numpy(), exp["trend"], rtol=1e-9, equal_nan=True
+                )
+                np.testing.assert_allclose(
+                    grp["seasonal"].to_numpy(), exp["seasonal"], rtol=1e-9
+                )
+                np.testing.assert_allclose(
+                    grp["random"].to_numpy(), exp["random"], rtol=1e-9, equal_nan=True
+                )
+
+
+class TestStlComponents:
+    def test_alias_invariants(self, spark, events):
+        r = rollup_raw(events, "1d", "user_id", "ts", "value")
+        # keep only keys with enough points for period 7 (> 2 periods)
+        counts = r.groupBy("series_key").count().filter(F.col("count") > 14)
+        r = r.join(counts.select("series_key"), "series_key")
+        comp = stl_components(r, periods=(7,), value_col="val_avg").toPandas()
+        recon = comp["trend"] + comp["season_7"] + comp["remainder"]
+        np.testing.assert_allclose(recon, comp["val_avg"], rtol=1e-9)
+        np.testing.assert_allclose(
+            comp["season_adjust"], comp["trend"] + comp["remainder"], rtol=1e-9
+        )
+
+
+class TestGorilla:
+    def test_roundtrip_exact(self):
+        rng = np.random.RandomState(7)
+        ts = np.cumsum(rng.randint(1, 1_000_000, 500)).astype(np.int64)
+        vals = rng.standard_normal(500) * 1e6
+        vals[::7] = 0.0  # repeated values exercise the xor==0 path
+        payload = gorilla_encode(ts, vals)
+        ts2, vals2 = gorilla_decode(payload)
+        np.testing.assert_array_equal(ts, ts2)
+        assert np.array_equal(
+            vals.view(np.uint64), vals2.view(np.uint64)
+        ), "bitwise value mismatch"
+
+    def test_roundtrip_regular_grid(self):
+        ts = (np.arange(1000, dtype=np.int64) * 60_000_000) + 1_700_000_000_000_000
+        vals = np.round(np.sin(np.arange(1000) / 10.0) * 100, 2)
+        payload = gorilla_encode(ts, vals)
+        # regular grid: dod == 0 after the first delta; decimal-rounded
+        # doubles XOR poorly, so ~8 B/pt vs 16 raw
+        assert len(payload) < 1000 * 16 * 0.6
+        ts2, vals2 = gorilla_decode(payload)
+        np.testing.assert_array_equal(ts, ts2)
+        assert np.array_equal(vals.view(np.uint64), vals2.view(np.uint64))
+        # slowly-changing integral values compress hard (<2.5 B/pt)
+        vals3 = np.floor(np.arange(1000) / 50.0) * 4.0
+        p3 = gorilla_encode(ts, vals3)
+        assert len(p3) < 1000 * 2.5
+        t3, v3 = gorilla_decode(p3)
+        np.testing.assert_array_equal(ts, t3)
+        assert np.array_equal(vals3.view(np.uint64), v3.view(np.uint64))
+
+    def test_spark_chunks(self, spark, events):
+        r = rollup_raw(events, "1h", "user_id", "ts", "value").withColumn(
+            "series_key", F.col("series_key").cast("string")
+        )
+        chunks = compress_chunks(r, "1h")
+        back = decompress_chunks(chunks).toPandas()
+        orig = r.select("series_key", "bucket_ts", "val_avg").toPandas()
+        back = back.sort_values(["series_key", "bucket_ts"]).reset_index(drop=True)
+        orig = orig.sort_values(["series_key", "bucket_ts"]).reset_index(drop=True)
+        assert len(back) == len(orig)
+        np.testing.assert_array_equal(
+            back["value"].to_numpy().view(np.uint64),
+            orig["val_avg"].to_numpy().view(np.uint64),
+        )
+        pd.testing.assert_series_equal(
+            back["bucket_ts"], orig["bucket_ts"], check_names=False
+        )
+
+
+class TestSkew:
+    def test_salted_equals_plain(self, spark, events):
+        plain = rollup_raw(events, "1h", "user_id", "ts", "value")
+        salted = salted_rollup(
+            events, "1h", key_col="user_id", ts_col="ts", value_col="value",
+            heavy_threshold=10,  # force most keys through the salted path
+        )
+        a = plain.orderBy("series_key", "bucket_ts").toPandas()
+        b = salted.orderBy("series_key", "bucket_ts").toPandas()
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
