@@ -1,38 +1,611 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship pipeline on sf0.001: events -> tier rollups ->
+                gap-fill -> per-series feature pack.
+queries()     — one entry per implemented operator (SURVEY.md §2);
+                each callable (spark, sf_dir) -> DataFrame.
+oracle_sql()  — DuckDB-equivalent ANSI SQL for every SQL-expressible query.
+
+Convention: every float aggregate is rounded to 4dp IN BOTH the Spark
+query and the oracle so the driver's value-hash comparison is robust to
+summation-order ULP differences between engines. Column names are aliased
+identically on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _round_cols(df: DataFrame, cols: list[str], nd: int = 4) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), nd))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Rollups (SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+def q_rollup_1m(spark, sf_dir):
+    from feasts_spark.operators.rollup import rollup_raw
+
+    _utc(spark)
+    r = rollup_raw(_events(spark, sf_dir), "1m", "user_id", "ts", "value")
+    return _round_cols(
+        r.select("series_key", "bucket_ts", "n_points", "val_sum", "val_min",
+                 "val_max", "val_avg"),
+        ["val_sum", "val_avg"],
+    )
+
+
+def _rollup_oracle(trunc: str) -> str:
+    return f"""
+    SELECT user_id AS series_key, date_trunc('{trunc}', ts) AS bucket_ts,
+           count(*) AS n_points, round(sum(value), 4) AS val_sum,
+           min(value) AS val_min, max(value) AS val_max,
+           round(avg(value), 4) AS val_avg
+    FROM events GROUP BY 1, 2
+    """
+
+
+def q_rollup_1h_cascade(spark, sf_dir):
+    from feasts_spark.operators.rollup import rollup_cascade, rollup_raw
+
+    _utc(spark)
+    r1m = rollup_raw(_events(spark, sf_dir), "1m", "user_id", "ts", "value")
+    r1h = rollup_cascade(r1m, "1h")
+    return _round_cols(
+        r1h.select("series_key", "bucket_ts", "n_points", "val_sum", "val_min",
+                   "val_max", "val_avg", "val_first", "val_last"),
+        ["val_sum", "val_avg"],
+    )
+
+
+def q_rollup_1d_cascade(spark, sf_dir):
+    from feasts_spark.operators.rollup import rollup_cascade, rollup_raw
+
+    _utc(spark)
+    r1m = rollup_raw(_events(spark, sf_dir), "1m", "user_id", "ts", "value")
+    r1d = rollup_cascade(rollup_cascade(r1m, "1h"), "1d")
+    return _round_cols(
+        r1d.select("series_key", "bucket_ts", "n_points", "val_sum", "val_min",
+                   "val_max", "val_avg", "val_first", "val_last"),
+        ["val_sum", "val_avg"],
+    )
+
+
+def _cascade_oracle(trunc: str) -> str:
+    # oracle computes the tier DIRECTLY from raw rows — the cascade must
+    # re-aggregate to the same values (arg-min/arg-max by ts for first/last)
+    return f"""
+    SELECT user_id AS series_key, date_trunc('{trunc}', ts) AS bucket_ts,
+           count(*) AS n_points, round(sum(value), 4) AS val_sum,
+           min(value) AS val_min, max(value) AS val_max,
+           round(avg(value), 4) AS val_avg,
+           arg_min(value, ts) AS val_first, arg_max(value, ts) AS val_last
+    FROM events GROUP BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill (locf + linear)
+# ---------------------------------------------------------------------------
+
+def q_gapfill_locf_1d(spark, sf_dir):
+    from feasts_spark.operators.gapfill import gapfill_locf
+    from feasts_spark.operators.rollup import rollup_raw
+
+    _utc(spark)
+    r = rollup_raw(_events(spark, sf_dir), "1d", "user_id", "ts", "value")
+    g = gapfill_locf(r, "1d", value_cols=("val_avg",))
+    return g.select(
+        "series_key", "bucket_ts", "is_gap",
+        F.round("val_avg_filled", 4).alias("val_filled"),
+    )
+
+
+ORACLE_LOCF_1D = """
+WITH r AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket_ts, avg(value) AS val_avg
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, min(bucket_ts) AS b0, max(bucket_ts) AS b1 FROM r GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 DAY)) AS bucket_ts
+  FROM spans
+)
+SELECT g.user_id AS series_key, g.bucket_ts,
+       r.val_avg IS NULL AS is_gap,
+       round(last_value(r.val_avg IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS val_filled
+FROM grid g LEFT JOIN r ON r.user_id = g.user_id AND r.bucket_ts = g.bucket_ts
+"""
+
+
+def q_gapfill_linear_1d(spark, sf_dir):
+    from feasts_spark.operators.gapfill import gapfill_linear
+    from feasts_spark.operators.rollup import rollup_raw
+
+    _utc(spark)
+    r = rollup_raw(_events(spark, sf_dir), "1d", "user_id", "ts", "value")
+    g = gapfill_linear(r, "1d", value_col="val_avg")
+    return g.select(
+        "series_key", "bucket_ts", "is_gap",
+        F.round("val_avg_interp", 4).alias("val_interp"),
+    )
+
+
+ORACLE_LINEAR_1D = """
+WITH r AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket_ts, avg(value) AS val_avg
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, min(bucket_ts) AS b0, max(bucket_ts) AS b1 FROM r GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 DAY)) AS bucket_ts
+  FROM spans
+), j AS (
+  SELECT g.user_id AS series_key, g.bucket_ts, r.val_avg AS v,
+    last_value(r.val_avg IGNORE NULLS) OVER wb AS pv,
+    first_value(r.val_avg IGNORE NULLS) OVER wf AS nv,
+    last_value(CASE WHEN r.val_avg IS NOT NULL THEN g.bucket_ts END IGNORE NULLS)
+      OVER wb AS pt,
+    first_value(CASE WHEN r.val_avg IS NOT NULL THEN g.bucket_ts END IGNORE NULLS)
+      OVER wf AS nt
+  FROM grid g LEFT JOIN r ON r.user_id = g.user_id AND r.bucket_ts = g.bucket_ts
+  WINDOW wb AS (PARTITION BY g.user_id ORDER BY g.bucket_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY g.user_id ORDER BY g.bucket_ts
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT series_key, bucket_ts, v IS NULL AS is_gap,
+  round(CASE WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (epoch(bucket_ts) - epoch(pt))
+                                   / (epoch(nt) - epoch(pt)) END, 4) AS val_interp
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# Correlation tables (reference ACF/PACF, acf.R:61-170)
+# ---------------------------------------------------------------------------
+
+def q_acf_table_1h(spark, sf_dir):
+    from feasts_spark.operators.cf import acf_table
+    from feasts_spark.operators.rollup import rollup_raw
+
+    _utc(spark)
+    r = rollup_raw(_events(spark, sf_dir), "1h", "user_id", "ts", "value")
+    counts = r.groupBy("series_key").count().filter(F.col("count") > 11)
+    r = r.join(counts.select("series_key"), "series_key")
+    out = acf_table(r, lag_max=10)
+    return out.select("series_key", "lag", F.round("acf", 4).alias("acf"))
+
+
+ORACLE_ACF_1H = """
+WITH r AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts, avg(value) AS v
+  FROM events GROUP BY 1, 2
+), keyed AS (
+  SELECT user_id FROM r GROUP BY 1 HAVING count(*) > 11
+), s AS (
+  SELECT r.user_id, v,
+         row_number() OVER (PARTITION BY r.user_id ORDER BY bucket_ts) AS rn,
+         avg(v) OVER (PARTITION BY r.user_id) AS m,
+         count(*) OVER (PARTITION BY r.user_id) AS n
+  FROM r JOIN keyed USING (user_id)
+), c0 AS (
+  SELECT user_id, sum((v - m) * (v - m)) / any_value(n) AS acvf0
+  FROM s GROUP BY user_id
+), lags AS (SELECT unnest(generate_series(1, 10)) AS lag)
+SELECT a.user_id AS series_key, lags.lag AS lag,
+       round((sum((a.v - a.m) * (b.v - b.m)) / any_value(a.n))
+             / any_value(c0.acvf0), 4) AS acf
+FROM s a
+CROSS JOIN lags
+JOIN s b ON b.user_id = a.user_id AND b.rn = a.rn + lags.lag
+JOIN c0 ON c0.user_id = a.user_id
+GROUP BY a.user_id, lags.lag
+"""
+
+
+def q_pacf_table_1h(spark, sf_dir):
+    # Durbin-Levinson is not SQL-expressible — rows-only driver check;
+    # exactness is covered by the golden kernel tests.
+    from feasts_spark.operators.cf import pacf_table
+    from feasts_spark.operators.rollup import rollup_raw
+
+    _utc(spark)
+    r = rollup_raw(_events(spark, sf_dir), "1h", "user_id", "ts", "value")
+    counts = r.groupBy("series_key").count().filter(F.col("count") > 11)
+    r = r.join(counts.select("series_key"), "series_key")
+    return pacf_table(r, lag_max=10).select(
+        "series_key", "lag", F.round("pacf", 4).alias("pacf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-native features (F1, F8, F11, F12 — SURVEY.md §2.1 "SQL alt")
+# ---------------------------------------------------------------------------
+
+def q_crossing_points(spark, sf_dir):
+    from feasts_spark.functions import crossing_points_df
+
+    _utc(spark)
+    return crossing_points_df(
+        _events(spark, sf_dir), "user_id", ["ts", "event_id"], "value"
+    )
+
+
+ORACLE_CROSSING = """
+WITH m AS (
+  SELECT user_id, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+), s AS (
+  SELECT e.user_id, (e.value <= m.med) AS ab,
+         lead(e.value <= m.med) OVER (PARTITION BY e.user_id
+                                      ORDER BY e.ts, e.event_id) AS ab_next
+  FROM events e JOIN m USING (user_id)
+)
+SELECT user_id AS series_key,
+       sum(CASE WHEN ab <> ab_next THEN 1 ELSE 0 END) AS n_crossing_points
+FROM s WHERE ab_next IS NOT NULL GROUP BY 1
+"""
+
+
+def q_shift_level_max(spark, sf_dir):
+    from feasts_spark.functions import shift_level_df
+
+    _utc(spark)
+    out = shift_level_df(
+        _events(spark, sf_dir), "user_id", ["ts", "event_id"], "value", size=10
+    )
+    return out.select(
+        "series_key",
+        F.round("shift_level_max", 4).alias("shift_level_max"),
+        "shift_level_index",
+    )
+
+
+ORACLE_SHIFT_LEVEL = """
+WITH s AS (
+  SELECT user_id, value,
+         row_number() OVER w AS rn,
+         avg(value) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS a10
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), d AS (
+  SELECT user_id, rn, a10,
+         abs(a10 - lag(a10, 10) OVER (PARTITION BY user_id ORDER BY rn)) AS diff
+  FROM s
+), ranked AS (
+  SELECT user_id, rn, diff,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY round(diff, 6) DESC, rn ASC) AS rk
+  FROM d WHERE diff IS NOT NULL
+)
+SELECT user_id AS series_key, round(diff, 4) AS shift_level_max,
+       rn - 9 AS shift_level_index
+FROM ranked WHERE rk = 1
+"""
+
+
+def q_var_tiled(spark, sf_dir):
+    """var_tiled_mean (stability) + var_tiled_var (lumpiness), size=10."""
+    from feasts_spark.functions import var_tiled_df
+
+    _utc(spark)
+    out = var_tiled_df(
+        _events(spark, sf_dir), "user_id", ["ts", "event_id"], "value", size=10
+    )
+    return out.select(
+        "series_key",
+        F.round("var_tiled_mean", 4).alias("var_tiled_mean"),
+        F.round("var_tiled_var", 4).alias("var_tiled_var"),
+    )
+
+
+ORACLE_VAR_TILED = """
+WITH s AS (
+  SELECT user_id, value,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         avg(value) OVER (PARTITION BY user_id) AS m,
+         stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), z AS (
+  SELECT user_id, (value - m) / sd AS z, ((rn - 1) // 10) AS tile, n FROM s
+), tiles AS (
+  SELECT user_id, tile, avg(z) AS tmean, var_samp(z) AS tvar,
+         count(*) AS tn, max(n) AS n
+  FROM z GROUP BY 1, 2
+)
+SELECT user_id AS series_key,
+       round(CASE WHEN max(n) < 20 THEN 0.0 ELSE var_samp(tmean) END, 4)
+         AS var_tiled_mean,
+       round(CASE WHEN max(n) < 20 THEN 0.0
+                  ELSE var_samp(CASE WHEN tn = 10 THEN tvar END) END, 4)
+         AS var_tiled_var
+FROM tiles GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Decompositions
+# ---------------------------------------------------------------------------
+
+def q_classical_additive_1d(spark, sf_dir):
+    from feasts_spark.operators.decompose import classical_decomposition
+    from feasts_spark.operators.rollup import rollup_raw
+
+    _utc(spark)
+    r = rollup_raw(_events(spark, sf_dir), "1d", "user_id", "ts", "value")
+    out = classical_decomposition(r, period=7, type="additive", value_col="val_avg")
+    return out.select(
+        "series_key", "bucket_ts",
+        F.round("trend", 4).alias("trend"),
+        F.round("seasonal", 4).alias("seasonal"),
+        F.round("random", 4).alias("random"),
+        F.round("season_adjust", 4).alias("season_adjust"),
+    )
+
+
+ORACLE_CLASSICAL_1D = """
+WITH r AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket_ts, avg(value) AS v
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT user_id, bucket_ts, v,
+         row_number() OVER w AS rn,
+         CASE WHEN count(v) OVER (w ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) = 7
+              THEN avg(v) OVER (w ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) END
+           AS trend
+  FROM r WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts)
+), d AS (
+  SELECT *, v - trend AS detr, (rn - 1) % 7 AS pos FROM s
+), fig0 AS (
+  SELECT user_id, pos, avg(detr) AS fr FROM d GROUP BY 1, 2
+), fig AS (
+  SELECT user_id, pos, fr - avg(fr) OVER (PARTITION BY user_id) AS figure
+  FROM fig0
+)
+SELECT d.user_id AS series_key, d.bucket_ts,
+       round(d.trend, 4) AS trend,
+       round(fig.figure, 4) AS seasonal,
+       round(d.v - d.trend - fig.figure, 4) AS random,
+       round(d.v - fig.figure, 4) AS season_adjust
+FROM d JOIN fig ON fig.user_id = d.user_id AND fig.pos = d.pos
+"""
+
+
+def q_stl_components_1d(spark, sf_dir):
+    # iterated loess is not SQL-expressible — rows-only check; exactness is
+    # covered by the golden kernel tests (test-stl.R transcriptions).
+    from feasts_spark.operators.decompose import stl_components
+    from feasts_spark.operators.rollup import rollup_raw
+
+    _utc(spark)
+    r = rollup_raw(_events(spark, sf_dir), "1d", "user_id", "ts", "value")
+    counts = r.groupBy("series_key").count().filter(F.col("count") > 14)
+    r = r.join(counts.select("series_key"), "series_key")
+    out = stl_components(r, periods=(7,), value_col="val_avg")
+    return out.select(
+        "series_key", "bucket_ts",
+        F.round("trend", 4).alias("trend"),
+        F.round("season_7", 4).alias("season_7"),
+        F.round("remainder", 4).alias("remainder"),
+        F.round("season_adjust", 4).alias("season_adjust"),
+    )
+
+
+def q_feature_pack(spark, sf_dir):
+    # full per-series feature extraction — rows-only check (golden-tested).
+    from feasts_spark.operators.features import features
+    from feasts_spark.operators.rollup import rollup_raw
+
+    _utc(spark)
+    r = rollup_raw(_events(spark, sf_dir), "1h", "user_id", "ts", "value")
+    counts = r.groupBy("series_key").count().filter(F.col("count") >= 20)
+    r = r.join(counts.select("series_key"), "series_key")
+    out = features(r, period=24)
+    ncols = [c for c in out.columns if c != "series_key"]
+    sel = [F.col("series_key")] + [F.round(c, 4).alias(c) for c in ncols]
+    return out.select(*sel)
+
+
+# ---------------------------------------------------------------------------
+# Training-data-pipeline operators: dedup / text stats / similarity
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    _utc(spark)
+    d = _docs(spark, sf_dir)
+    return d.groupBy(F.md5(F.col("text")).alias("text_hash")).agg(
+        F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_text_stats(spark, sf_dir):
+    _utc(spark)
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.round(
+            F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z ]", ""))
+            / F.length("text"),
+            4,
+        ).alias("non_alpha_ratio"),
+    )
+
+
+ORACLE_TEXT_STATS = r"""
+SELECT doc_id, length(text) AS n_chars_calc,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+         AS n_uniq_tokens,
+       round(length(regexp_replace(text, '[a-zA-Z ]', '', 'g'))
+             / length(text), 4) AS non_alpha_ratio
+FROM documents
+"""
+
+
+def q_cosine_pairs(spark, sf_dir):
+    """All embedding pairs with cosine >= 0.2 among the first 20 vectors —
+    brute-force double-precision cosine, the dedup/similarity baseline."""
+    _utc(spark)
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") < 20)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    dot = "aggregate(zip_with(cast(ea as array<double>), cast(eb as array<double>), (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    na = "aggregate(cast(ea as array<double>), 0D, (acc, x) -> acc + x * x)"
+    nb = "aggregate(cast(eb as array<double>), 0D, (acc, x) -> acc + x * x)"
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.expr(f"{dot} / sqrt(({na}) * ({nb}))"))
+        .withColumn("cos", F.round("cos", 4))
+        .filter(F.col("cos") >= 0.2)
+        .select("id_a", "id_b", "cos")
+    )
+    return pairs
+
+
+ORACLE_COSINE_PAIRS = """
+WITH dims AS (
+  SELECT unnest(generate_series(1, (SELECT max(len(embedding)) FROM embeddings)))
+    AS k
+), flat AS (
+  SELECT vec_id, k, embedding[k]::DOUBLE AS v
+  FROM embeddings CROSS JOIN dims
+  WHERE vec_id < 20 AND k <= len(embedding)
+), dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         sum(a.v * b.v) AS dot,
+         sum(a.v * a.v) AS na, sum(b.v * b.v) AS nb
+  FROM flat a JOIN flat b ON a.k = b.k AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(dot / sqrt(na * nb), 4) AS cos
+FROM dots WHERE round(dot / sqrt(na * nb), 4) >= 0.2
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for the first 10 query vectors —
+    rows-only check (ranking ties make a cross-engine hash fragile)."""
+    _utc(spark)
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ec"))
+    dot = "aggregate(zip_with(cast(eq as array<double>), cast(ec as array<double>), (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    nq = "aggregate(cast(eq as array<double>), 0D, (acc, x) -> acc + x * x)"
+    nc = "aggregate(cast(ec as array<double>), 0D, (acc, x) -> acc + x * x)"
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cos", F.expr(f"{dot} / sqrt(({nq}) * ({nc}))"))
+    )
+    wrank = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "cand_id", "rank", F.round("cos", 4).alias("cos"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship pipeline on sf0.001: rollup tiers -> gap-fill -> features."""
+    _utc(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    from feasts_spark.operators.features import features
+    from feasts_spark.operators.gapfill import gapfill_locf
+    from feasts_spark.operators.rollup import rollup_cascade, rollup_raw
+
+    events = _events(spark, sf_dir)
+    r1m = rollup_raw(events, "1m", "user_id", "ts", "value")
+    r1h = rollup_cascade(r1m, "1h")
+    filled = gapfill_locf(r1h, "1h", value_cols=("val_avg",))
+    counts = filled.groupBy("series_key").count().filter(F.col("count") >= 20)
+    series = filled.join(counts.select("series_key"), "series_key")
+    return features(series, value_col="val_avg_filled", period=24)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rollup_1m": q_rollup_1m,
+        "rollup_1h_cascade": q_rollup_1h_cascade,
+        "rollup_1d_cascade": q_rollup_1d_cascade,
+        "gapfill_locf_1d": q_gapfill_locf_1d,
+        "gapfill_linear_1d": q_gapfill_linear_1d,
+        "acf_table_1h": q_acf_table_1h,
+        "pacf_table_1h": q_pacf_table_1h,
+        "crossing_points": q_crossing_points,
+        "shift_level_max": q_shift_level_max,
+        "var_tiled": q_var_tiled,
+        "classical_additive_1d": q_classical_additive_1d,
+        "stl_components_1d": q_stl_components_1d,
+        "feature_pack": q_feature_pack,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "cosine_pairs": q_cosine_pairs,
+        "ann_topk": q_ann_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rollup_1m": _rollup_oracle("minute"),
+        "rollup_1h_cascade": _cascade_oracle("hour"),
+        "rollup_1d_cascade": _cascade_oracle("day"),
+        "gapfill_locf_1d": ORACLE_LOCF_1D,
+        "gapfill_linear_1d": ORACLE_LINEAR_1D,
+        "acf_table_1h": ORACLE_ACF_1H,
+        "crossing_points": ORACLE_CROSSING,
+        "shift_level_max": ORACLE_SHIFT_LEVEL,
+        "var_tiled": ORACLE_VAR_TILED,
+        "classical_additive_1d": ORACLE_CLASSICAL_1D,
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "text_stats": ORACLE_TEXT_STATS,
+        "cosine_pairs": ORACLE_COSINE_PAIRS,
+        # pacf_table_1h, stl_components_1d, feature_pack, ann_topk:
+        # non-SQL-expressible (D-L recursion, iterated loess, optimizers,
+        # rank ties) — rows-only checks; exactness via golden pytest suite.
+    }

@@ -1,0 +1,195 @@
+"""Benchmark harness — headline engine queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "throughput": {...}, "cores": N}
+
+Workloads:
+  - synthetic transcripts (deterministic, cached in /tmp outside timing):
+    tier rollup cascade + per-conversation feature pack — the north-rule
+    pipeline at its real shape (skewed keys, ~2M turns at bench scale).
+  - events table at the chosen SF: rollup tiers, gap-fill, ACF table,
+    classical decomposition.
+
+`python bench.py --scaling` additionally runs the transcript pipeline at
+local[8] and local[32] in subprocesses and reports scaling efficiency
+(the sandbox proxy for N vs 4N executors).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+N_CONVS = int(os.environ.get("BENCH_CONVS", "3000"))
+MAX_TURNS = int(os.environ.get("BENCH_MAX_TURNS", "20000"))
+FORCED_LONG = int(os.environ.get("BENCH_FORCED_LONG_TURNS", "60000"))
+TRANSCRIPT_CACHE = f"/tmp/feasts_bench_transcripts_{N_CONVS}_{MAX_TURNS}_{FORCED_LONG}"
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def ensure_transcripts(spark) -> str:
+    if not os.path.exists(os.path.join(TRANSCRIPT_CACHE, "_SUCCESS")):
+        from feasts_spark.sources.transcripts import synthesize_transcripts
+
+        t = synthesize_transcripts(
+            spark, n_convs=N_CONVS, max_turns=MAX_TURNS,
+            forced_long_turns=FORCED_LONG,
+        )
+        t.write.mode("overwrite").parquet(TRANSCRIPT_CACHE)
+    return TRANSCRIPT_CACHE
+
+
+def run_bench(cores: str, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from feasts_spark.operators.cf import acf_table
+    from feasts_spark.operators.decompose import classical_decomposition
+    from feasts_spark.operators.features import features
+    from feasts_spark.operators.gapfill import gapfill_locf
+    from feasts_spark.operators.rollup import rollup_cascade, rollup_raw
+    from feasts_spark.operators.skew import salted_rollup
+    from feasts_spark.session import get_spark
+    from feasts_spark.sources.transcripts import turn_series
+
+    spark = get_spark(cores=cores, app_name=f"bench_{cores}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tr_path = ensure_transcripts(spark)
+    transcripts = spark.read.parquet(tr_path)
+    n_turns = transcripts.count()
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = events.count()
+
+    queries: dict[str, float] = {}
+    thr: dict[str, float] = {}
+
+    def timed(name, fn, points=None):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        if points:
+            thr[f"{name}_points_per_sec"] = round(points / dt)
+
+    series = turn_series(transcripts)
+
+    def tr_rollup():
+        r1m = salted_rollup(
+            series, "1m", key_col="conv_id", ts_col="ts", value_col="value",
+            heavy_threshold=50_000,
+        )
+        r1h = rollup_cascade(r1m, "1h")
+        r1d = rollup_cascade(r1h, "1d")
+        materialize(r1d)
+        materialize(r1h)
+        materialize(r1m)
+
+    timed("transcripts_rollup_tiers", tr_rollup, points=n_turns)
+
+    def tr_features():
+        r1h = rollup_raw(series, "1h", "conv_id", "ts", "value")
+        counts = r1h.groupBy("series_key").count().filter(F.col("count") >= 20)
+        keyed = r1h.join(counts.select("series_key"), "series_key")
+        materialize(features(keyed, period=24))
+
+    timed("transcripts_feature_pack", tr_features, points=n_turns)
+
+    def ev_rollup():
+        r1m = rollup_raw(events, "1m", "user_id", "ts", "value")
+        r1h = rollup_cascade(r1m, "1h")
+        r1d = rollup_cascade(r1h, "1d")
+        materialize(r1d)
+
+    timed("events_rollup_tiers", ev_rollup, points=n_events)
+
+    timed(
+        "events_gapfill_locf_1h",
+        lambda: materialize(
+            gapfill_locf(
+                rollup_raw(events, "1h", "user_id", "ts", "value"),
+                "1h", value_cols=("val_avg",),
+            )
+        ),
+        points=n_events,
+    )
+    timed(
+        "events_acf_1h",
+        lambda: materialize(
+            acf_table(rollup_raw(events, "1h", "user_id", "ts", "value"), lag_max=10)
+        ),
+        points=n_events,
+    )
+    timed(
+        "events_classical_1d",
+        lambda: materialize(
+            classical_decomposition(
+                rollup_raw(events, "1d", "user_id", "ts", "value"),
+                period=7, value_col="val_avg",
+            )
+        ),
+        points=n_events,
+    )
+
+    total = round(sum(queries.values()), 3)
+    spark.stop()
+    return {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "cores": cores,
+        "n_transcript_turns": n_turns,
+        "n_events": n_events,
+        "throughput": thr,
+    }
+
+
+def run_scaling() -> dict:
+    """Same transcript pipeline at local[8] vs local[32] (N vs 4N proxy)."""
+    results = {}
+    for cores in ("8", "32"):
+        out = subprocess.run(
+            [sys.executable, __file__, "--single", cores],
+            capture_output=True, text=True, check=True,
+            env={**os.environ, "SPARK_GRAFT_CPUS": cores},
+        )
+        results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+    t8 = results["8"]["queries"]["transcripts_rollup_tiers"] + results["8"][
+        "queries"
+    ]["transcripts_feature_pack"]
+    t32 = results["32"]["queries"]["transcripts_rollup_tiers"] + results["32"][
+        "queries"
+    ]["transcripts_feature_pack"]
+    thr8 = results["8"]["n_transcript_turns"] / t8
+    thr32 = results["32"]["n_transcript_turns"] / t32
+    eff = thr32 / (4 * thr8)
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "throughput_local8_pts_per_sec": round(thr8),
+        "throughput_local32_pts_per_sec": round(thr32),
+        "detail": results,
+    }
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        print(json.dumps(run_scaling()))
+    elif len(sys.argv) > 2 and sys.argv[1] == "--single":
+        print(json.dumps(run_bench(sys.argv[2], SF_DIR)))
+    else:
+        print(json.dumps(run_bench(CPUS, SF_DIR)))

@@ -72,6 +72,10 @@ def _gen_conversation(i: int, base_seed: int, max_turns: int, start_epoch: int,
         cut = rng.randint(5, n - 5)
         gaps[cut] += 6 * 3600  # 6h dropout
     ts = start + np.cumsum(gaps)
+    # microsecond-exact stamps (Arrow timestamp[us]); float-second input
+    # would carry ns noise that the safe Arrow conversion rejects
+    ts_us = np.round(ts * 1e6).astype(np.int64)
+    ts_us = np.maximum.accumulate(ts_us + np.arange(n))  # strictly increasing
     return pd.DataFrame(
         {
             "conv_id": conv_id,
@@ -79,7 +83,7 @@ def _gen_conversation(i: int, base_seed: int, max_turns: int, start_epoch: int,
             "role": roles,
             "text": texts,
             "tool": tools,
-            "ts": pd.to_datetime(ts, unit="s"),
+            "ts": pd.to_datetime(ts_us, unit="us"),
         }
     )
 

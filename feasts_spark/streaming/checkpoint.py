@@ -81,6 +81,6 @@ def checksum_df(df: DataFrame) -> tuple[int, str]:
     hashes; used for manifest rows and resume-equality tests."""
     agg = df.select(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64(*df.columns)).alias("h"),
+        F.expr("bit_xor(" + "xxhash64(" + ", ".join(df.columns) + "))").alias("h"),
     ).collect()[0]
     return int(agg["n"]), format((agg["h"] or 0) & 0xFFFFFFFFFFFFFFFF, "016x")
