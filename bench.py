@@ -86,15 +86,19 @@ def run_bench(cores: str, sf_dir: str) -> dict:
     series = turn_series(transcripts)
 
     def tr_rollup():
+        # each tier is computed once and persisted — the real pipeline
+        # writes each tier table and reads it to build the next
         r1m = salted_rollup(
             series, "1m", key_col="conv_id", ts_col="ts", value_col="value",
             heavy_threshold=50_000,
-        )
-        r1h = rollup_cascade(r1m, "1h")
+        ).persist()
+        materialize(r1m)
+        r1h = rollup_cascade(r1m, "1h").persist()
+        materialize(r1h)
         r1d = rollup_cascade(r1h, "1d")
         materialize(r1d)
-        materialize(r1h)
-        materialize(r1m)
+        r1m.unpersist()
+        r1h.unpersist()
 
     timed("transcripts_rollup_tiers", tr_rollup, points=n_turns)
 
@@ -163,9 +167,12 @@ def run_scaling() -> dict:
     for cores in ("8", "32"):
         out = subprocess.run(
             [sys.executable, __file__, "--single", cores],
-            capture_output=True, text=True, check=True,
+            capture_output=True, text=True,
             env={**os.environ, "SPARK_GRAFT_CPUS": cores},
         )
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-4000:])
+            raise SystemExit(f"bench subprocess (local[{cores}]) failed")
         results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
     t8 = results["8"]["queries"]["transcripts_rollup_tiers"] + results["8"][
         "queries"

@@ -36,6 +36,7 @@ from feasts_spark.kernels import (
     var_tiled_mean,
     var_tiled_var,
 )
+from feasts_spark.kernels.extras import coef_hurst, unitroot_pp
 from feasts_spark.kernels.stat_tests import unitroot_kpss, unitroot_ndiffs, unitroot_nsdiffs
 
 # Registry: feature name -> (kernel, tags) — mirrors fabletools
@@ -47,6 +48,8 @@ FEATURE_REGISTRY: dict[str, tuple] = {
     "feat_intermittent": (feat_intermittent, ("intermittent",)),
     "guerrero": (guerrero, ("optimisation", "boxcox")),
     "unitroot_kpss": (unitroot_kpss, ("test", "unitroot")),
+    "unitroot_pp": (unitroot_pp, ("test", "unitroot")),
+    "coef_hurst": (coef_hurst, ("coefficients",)),
     "unitroot_ndiffs": (unitroot_ndiffs, ("test", "unitroot")),
     "unitroot_nsdiffs": (unitroot_nsdiffs, ("test", "seasonal", "unitroot")),
     "box_pierce": (box_pierce, ("test", "portmanteau")),
@@ -81,9 +84,15 @@ FEATURE_COLUMNS = [
     "lb_stat", "lb_pvalue", "bp_stat", "bp_pvalue",
     # intermittency
     "zero_run_mean", "nonzero_squared_cv", "zero_start_prop", "zero_end_prop",
-    # unit roots
-    "kpss_stat", "kpss_pvalue", "ndiffs", "nsdiffs",
+    # unit roots / long memory
+    "kpss_stat", "kpss_pvalue", "pp_stat", "pp_pvalue", "ndiffs", "nsdiffs",
+    "coef_hurst",
 ]
+
+# coef_hurst is exact ARFIMA(0,d,0) ML — O(n^2) per series — so the pack
+# computes it only for series up to this length (NaN above; call the kernel
+# directly for longer series if needed).
+HURST_MAX_N = 512
 
 NAN = float("nan")
 
@@ -127,9 +136,10 @@ def compute_feature_pack(x: np.ndarray, period: int = 1) -> dict:
         (box_pierce, {}),
         (feat_intermittent, {}),
         (unitroot_kpss, {}),
+        (unitroot_pp, {}),
         (unitroot_ndiffs, {}),
         (unitroot_nsdiffs, {"period": period}),
-    ):
+    ) + (((coef_hurst, {}),) if n <= HURST_MAX_N else ()):
         for k, v in safe(fn, x, **kwargs).items():
             if k in out:
                 out[k] = v
