@@ -481,6 +481,72 @@ FROM documents
 """
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs over the first 80 documents."""
+    from feasts_spark.operators.dedup import ngram_jaccard_pairs
+
+    _utc(spark)
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 80)
+    out = ngram_jaccard_pairs(d, n=3, threshold=0.0)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.05)
+
+
+ORACLE_NGRAM_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE doc_id < 80
+), dims AS (
+  SELECT unnest(generate_series(1, (SELECT max(len(t)) FROM toks))) AS k
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[k:k+2], ' ') AS gram
+  FROM toks CROSS JOIN dims
+  WHERE k <= greatest(len(t) - 2, 1)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(ni / (sa.n + sb.n - ni), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(ni / (sa.n + sb.n - ni), 4) >= 0.05
+"""
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup candidates with estimated Jaccard — rows-only
+    (the LSH construction is probabilistic banding, not SQL-expressible;
+    exactness of the estimate is covered in tests/test_dedup_multimodal)."""
+    from feasts_spark.operators.dedup import (
+        minhash_estimate,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    _utc(spark)
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    sigs = minhash_signatures(d)
+    cands = minhash_lsh_candidates(sigs)
+    return minhash_estimate(sigs, cands).select(
+        "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming <= 16 of 64) — rows-only."""
+    from feasts_spark.operators.dedup import simhash_near_pairs, simhash_signatures
+
+    _utc(spark)
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return simhash_near_pairs(simhash_signatures(d), max_hamming=16)
+
+
 def q_cosine_pairs(spark, sf_dir):
     """All embedding pairs with cosine >= 0.2 among the first 20 vectors —
     brute-force double-precision cosine, the dedup/similarity baseline."""
@@ -585,6 +651,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_pack": q_feature_pack,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
         "cosine_pairs": q_cosine_pairs,
         "ann_topk": q_ann_topk,
     }
@@ -604,6 +673,7 @@ def oracle_sql() -> dict[str, str]:
         "classical_additive_1d": ORACLE_CLASSICAL_1D,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "text_stats": ORACLE_TEXT_STATS,
+        "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "cosine_pairs": ORACLE_COSINE_PAIRS,
         # pacf_table_1h, stl_components_1d, feature_pack, ann_topk:
         # non-SQL-expressible (D-L recursion, iterated loess, optimizers,

@@ -140,8 +140,11 @@ def shift_kl_max(x, size: int | None = None, period: int = 1) -> dict:
     )
     p = rmean[: n - size]
     q = rmean[size:]
-    kl = np.nansum(p * (np.log(p) - np.log(q)) * grid, axis=1)
-    diffkl = np.diff(kl)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # rolling means of subnormal density floors can flush to 0 ->
+        # log(0); R hits the same inf/NaN arithmetic (na.rm sums keep inf)
+        kl = np.nansum(p * (np.log(p) - np.log(q)) * grid, axis=1)
+        diffkl = np.diff(kl)
     if diffkl.size == 0:
         return {"shift_kl_max": 0.0, "shift_kl_index": NAN}
     idx = int(np.nanargmax(diffkl))

