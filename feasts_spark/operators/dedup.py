@@ -112,7 +112,7 @@ def minhash_signatures(
         b = np.array(b_params, dtype=object)
         for pdf in batches:
             sigs = []
-            for text in pdf[text_col].astype(str):
+            for text in pdf[text_col].fillna("").astype(str):
                 toks = text.lower().split()
                 if len(toks) < shingle_n:
                     shingles = {" ".join(toks)} if toks else {""}
@@ -216,14 +216,15 @@ def simhash_signatures(
 
         for pdf in batches:
             out = []
-            for text in pdf[text_col].astype(str):
+            for text in pdf[text_col].fillna("").astype(str):
                 toks = text.lower().split()
                 acc = np.zeros(64, dtype=np.int64)
                 for t in toks:
-                    h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-                    bits = (h >> np.arange(64)) & 1
-                    acc += np.where(bits == 1, 1, -1)
-                sim = int((acc > 0).astype(np.uint64) @ (1 << np.arange(64, dtype=np.uint64)))
+                    bits = np.unpackbits(
+                        np.frombuffer(hashlib.md5(t.encode()).digest()[:8], np.uint8)
+                    ).astype(np.int64)
+                    acc += 2 * bits - 1
+                sim = int.from_bytes(np.packbits(acc > 0).tobytes(), "big")
                 out.append(sim & 0x7FFFFFFFFFFFFFFF)
             yield pd.DataFrame({"id": pdf[id_col], "simhash": out})
 

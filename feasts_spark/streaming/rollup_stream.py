@@ -73,6 +73,15 @@ def run_stream_once(
     With append output mode only watermark-closed windows emit — callers
     append a max-timestamp sentinel row or read the complete output for
     bounded fixtures (tests use complete mode via this helper's sink)."""
+    import os
+    import tempfile
+
+    # FileStreamSource requires a directory basePath; stage a single-file
+    # input behind a symlink dir (production inputs are table directories).
+    if os.path.isfile(input_path):
+        staged = tempfile.mkdtemp(prefix="feasts_stream_")
+        os.symlink(input_path, os.path.join(staged, os.path.basename(input_path)))
+        input_path = staged
     stream = (
         spark.readStream.schema(schema).parquet(input_path)
     )

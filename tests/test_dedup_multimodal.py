@@ -48,7 +48,7 @@ class TestDedup:
     def test_exact(self, spark, doc_df):
         out = exact_dedup(doc_df).toPandas()
         dup_row = out[out["n_dups"] == 2]
-        assert len(dup_row) == 2  # (0,1) and (3,4)? no — (3,4) differ
+        assert len(dup_row) == 1  # only (0,1) are byte-identical; 4 has " extra"
         # exactly one group has both 0 and 1
         members = [sorted(m) for m in out["member_ids"]]
         assert [0, 1] in members
