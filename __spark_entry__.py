@@ -488,9 +488,7 @@ def q_ngram_jaccard(spark, sf_dir):
     _utc(spark)
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 80)
     out = ngram_jaccard_pairs(d, n=3, threshold=0.0)
-    return out.select(
-        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
-    ).filter(F.col("jaccard") >= 0.05)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 ORACLE_NGRAM_JACCARD = r"""
@@ -515,7 +513,6 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE round(ni / (sa.n + sb.n - ni), 4) >= 0.05
 """
 
 
@@ -614,6 +611,539 @@ def q_ann_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Correlation / portmanteau / flat-spot / intermittency (SURVEY.md §2.1, §2.3)
+# ---------------------------------------------------------------------------
+
+def _hourly_pair(spark, sf_dir):
+    """1h rollup restricted to keys with enough buckets: two aligned series
+    per user — y = val_avg, x = n_points."""
+    from feasts_spark.operators.rollup import rollup_raw
+
+    r = rollup_raw(_events(spark, sf_dir), "1h", "user_id", "ts", "value")
+    counts = r.groupBy("series_key").count().filter(F.col("count") > 11)
+    return r.join(counts.select("series_key"), "series_key")
+
+
+def q_ccf_table_1h(spark, sf_dir):
+    """CCF(y=val_avg, x=n_points) per user over the 1h tier (acf.R:184-221)."""
+    from feasts_spark.operators.cf import ccf_table
+
+    _utc(spark)
+    r = _hourly_pair(spark, sf_dir).select(
+        "series_key", "bucket_ts",
+        F.col("val_avg").alias("y"),
+        F.col("n_points").cast("double").alias("x"),
+    )
+    out = ccf_table(r, lag_max=10)
+    return out.select("series_key", "lag", F.round("ccf", 4).alias("ccf"))
+
+
+ORACLE_CCF_1H = """
+WITH r AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+         avg(value) AS y, count(*)::DOUBLE AS x
+  FROM events GROUP BY 1, 2
+), keyed AS (
+  SELECT user_id FROM r GROUP BY 1 HAVING count(*) > 11
+), s AS (
+  SELECT r.user_id, x, y,
+         row_number() OVER (PARTITION BY r.user_id ORDER BY bucket_ts) AS rn,
+         avg(x) OVER (PARTITION BY r.user_id) AS mx,
+         avg(y) OVER (PARTITION BY r.user_id) AS my,
+         count(*) OVER (PARTITION BY r.user_id) AS n
+  FROM r JOIN keyed USING (user_id)
+), c0 AS (
+  SELECT user_id,
+         sum((x - mx) * (x - mx)) / any_value(n) AS cxx0,
+         sum((y - my) * (y - my)) / any_value(n) AS cyy0
+  FROM s GROUP BY user_id
+), lags AS (SELECT unnest(generate_series(-10, 10)) AS lag)
+SELECT a.user_id AS series_key, lags.lag AS lag,
+       round((sum((a.x - a.mx) * (b.y - b.my)) / any_value(a.n))
+             / sqrt(any_value(c0.cxx0) * any_value(c0.cyy0)), 4) AS ccf
+FROM s a
+CROSS JOIN lags
+JOIN s b ON b.user_id = a.user_id AND a.rn = b.rn + lags.lag
+JOIN c0 ON c0.user_id = a.user_id
+GROUP BY a.user_id, lags.lag
+"""
+
+
+def q_portmanteau_1h(spark, sf_dir):
+    """Ljung-Box + Box-Pierce statistics at lag 10 per 1h series
+    (tests.R:19-31). P-values need the chi-square survival function (not
+    SQL-expressible) — they are golden-tested in pytest; this query
+    cross-checks the Q statistics end-to-end against SQL."""
+    from feasts_spark.kernels.stat_tests import box_pierce, ljung_box
+    from feasts_spark.operators.series_stats import series_stats
+
+    _utc(spark)
+    r = _hourly_pair(spark, sf_dir)
+
+    def kernel(x, lag=10):
+        return {**ljung_box(x, lag=lag), **box_pierce(x, lag=lag)}
+
+    out = series_stats(r, kernel, ["lb_stat", "bp_stat"])
+    return out.select(
+        "series_key",
+        F.round("lb_stat", 4).alias("lb_stat"),
+        F.round("bp_stat", 4).alias("bp_stat"),
+    )
+
+
+ORACLE_PORTMANTEAU_1H = """
+WITH r AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts, avg(value) AS v
+  FROM events GROUP BY 1, 2
+), keyed AS (
+  SELECT user_id FROM r GROUP BY 1 HAVING count(*) > 11
+), s AS (
+  SELECT r.user_id, v,
+         row_number() OVER (PARTITION BY r.user_id ORDER BY bucket_ts) AS rn,
+         avg(v) OVER (PARTITION BY r.user_id) AS m,
+         count(*) OVER (PARTITION BY r.user_id) AS n
+  FROM r JOIN keyed USING (user_id)
+), c0 AS (
+  SELECT user_id, sum((v - m) * (v - m)) / any_value(n) AS acvf0,
+         any_value(n) AS n
+  FROM s GROUP BY user_id
+), lags AS (SELECT unnest(generate_series(1, 10)) AS lag),
+rk AS (
+  SELECT a.user_id, lags.lag,
+         (sum((a.v - a.m) * (b.v - b.m)) / any_value(a.n))
+           / any_value(c0.acvf0) AS r
+  FROM s a CROSS JOIN lags
+  JOIN s b ON b.user_id = a.user_id AND b.rn = a.rn + lags.lag
+  JOIN c0 ON c0.user_id = a.user_id
+  GROUP BY a.user_id, lags.lag
+)
+SELECT rk.user_id AS series_key,
+       round(any_value(c0.n) * (any_value(c0.n) + 2)
+             * sum(r * r / (c0.n - lag)), 4) AS lb_stat,
+       round(any_value(c0.n) * sum(r * r), 4) AS bp_stat
+FROM rk JOIN c0 ON c0.user_id = rk.user_id
+GROUP BY rk.user_id
+"""
+
+
+def q_longest_flat_spot(spark, sf_dir):
+    """longest_flat_spot (features.R:349-353) as native SQL: R-style cut()
+    into 10 equal-width bins, then gaps-and-islands max run length."""
+    _utc(spark)
+    e = _events(spark, sf_dir)
+    stats = e.groupBy("user_id").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    binned = (
+        e.join(stats, "user_id")
+        .withColumn(
+            "bin",
+            F.when(F.col("mx") == F.col("mn"), F.lit(1)).otherwise(
+                F.least(
+                    F.greatest(
+                        F.ceil((F.col("value") - F.col("mn"))
+                               / ((F.col("mx") - F.col("mn")) / 10)),
+                        F.lit(1),
+                    ),
+                    F.lit(10),
+                )
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w_ord))
+    )
+    w_bin = W.partitionBy("user_id", "bin").orderBy("rn")
+    runs = binned.withColumn("grp", F.col("rn") - F.row_number().over(w_bin))
+    return (
+        runs.groupBy("user_id", "bin", "grp")
+        .count()
+        .groupBy(F.col("user_id").alias("series_key"))
+        .agg(F.max("count").alias("longest_flat_spot"))
+    )
+
+
+ORACLE_FLAT_SPOT = """
+WITH stats AS (
+  SELECT user_id, min(value) AS mn, max(value) AS mx FROM events GROUP BY 1
+), binned AS (
+  SELECT e.user_id,
+         CASE WHEN s.mx = s.mn THEN 1
+              ELSE least(greatest(ceil((e.value - s.mn) / ((s.mx - s.mn) / 10)),
+                                  1), 10) END AS bin,
+         row_number() OVER (PARTITION BY e.user_id
+                            ORDER BY e.ts, e.event_id) AS rn
+  FROM events e JOIN stats s USING (user_id)
+), runs AS (
+  SELECT user_id, bin,
+         rn - row_number() OVER (PARTITION BY user_id, bin ORDER BY rn) AS grp
+  FROM binned
+), lens AS (
+  SELECT user_id, count(*) AS len FROM runs GROUP BY user_id, bin, grp
+)
+SELECT user_id AS series_key, max(len) AS longest_flat_spot
+FROM lens GROUP BY 1
+"""
+
+
+def q_intermittent_daily(spark, sf_dir):
+    """feat_intermittent (features.R:716-726) over each user's daily event
+    counts with gap days as zeros — the intermittent-demand shape."""
+    from feasts_spark.kernels.features_basic import feat_intermittent
+    from feasts_spark.operators.gapfill import dense_grid
+    from feasts_spark.operators.rollup import rollup_raw
+    from feasts_spark.operators.series_stats import series_stats
+
+    _utc(spark)
+    r = rollup_raw(_events(spark, sf_dir), "1d", "user_id", "ts", "value")
+    grid = dense_grid(r, "1d")
+    daily = grid.join(
+        r.select("series_key", "bucket_ts", "n_points"),
+        ["series_key", "bucket_ts"],
+        "left",
+    ).withColumn("cnt", F.coalesce(F.col("n_points"), F.lit(0)).cast("double"))
+    out = series_stats(
+        daily, feat_intermittent,
+        ["zero_run_mean", "nonzero_squared_cv", "zero_start_prop", "zero_end_prop"],
+        value_col="cnt",
+    )
+    return out.select(
+        "series_key",
+        F.round("zero_run_mean", 4).alias("zero_run_mean"),
+        F.round("nonzero_squared_cv", 4).alias("nonzero_squared_cv"),
+        F.round("zero_start_prop", 4).alias("zero_start_prop"),
+        F.round("zero_end_prop", 4).alias("zero_end_prop"),
+    )
+
+
+ORACLE_INTERMITTENT = """
+WITH r AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket_ts, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, min(bucket_ts) AS b0, max(bucket_ts) AS b1 FROM r GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 DAY)) AS bucket_ts
+  FROM spans
+), daily AS (
+  SELECT g.user_id, g.bucket_ts, coalesce(r.cnt, 0)::DOUBLE AS cnt,
+         row_number() OVER (PARTITION BY g.user_id ORDER BY g.bucket_ts) AS rn,
+         count(*) OVER (PARTITION BY g.user_id) AS n
+  FROM grid g LEFT JOIN r ON r.user_id = g.user_id AND r.bucket_ts = g.bucket_ts
+), runs AS (
+  SELECT user_id, cnt = 0 AS is_zero, n,
+         rn - row_number() OVER (PARTITION BY user_id, cnt = 0 ORDER BY rn) AS grp,
+         min(rn) OVER (PARTITION BY user_id) AS rn0,
+         max(rn) OVER (PARTITION BY user_id) AS rn1, rn
+  FROM daily
+), runlens AS (
+  SELECT user_id, is_zero, grp, count(*) AS len,
+         min(rn) AS lo, max(rn) AS hi, any_value(n) AS n
+  FROM runs GROUP BY 1, 2, 3
+), zr AS (
+  SELECT user_id, coalesce(avg(len) FILTER (is_zero), 0) AS zero_run_mean,
+         coalesce(max(CASE WHEN is_zero AND lo = 1 THEN len END), 0)
+           / any_value(n)::DOUBLE AS zero_start_prop,
+         coalesce(max(CASE WHEN is_zero AND hi = n THEN len END), 0)
+           / any_value(n)::DOUBLE AS zero_end_prop
+  FROM runlens GROUP BY 1
+), nz AS (
+  SELECT user_id,
+         (stddev_samp(cnt) / avg(cnt)) ^ 2 AS nonzero_squared_cv
+  FROM daily WHERE cnt <> 0 GROUP BY 1
+)
+SELECT zr.user_id AS series_key,
+       round(zr.zero_run_mean, 4) AS zero_run_mean,
+       round(nz.nonzero_squared_cv, 4) AS nonzero_squared_cv,
+       round(zr.zero_start_prop, 4) AS zero_start_prop,
+       round(zr.zero_end_prop, 4) AS zero_end_prop
+FROM zr JOIN nz USING (user_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Engine invariant queries: Gorilla round-trip, salted aggregation, heavy keys
+# ---------------------------------------------------------------------------
+
+def q_gorilla_roundtrip_1h(spark, sf_dir):
+    """1h tier -> Gorilla chunks (delta-of-delta ts + XOR floats, BinaryType)
+    -> decode. The oracle is the DIRECT rollup SQL: encode∘decode must be
+    the identity, so matching it proves bit-level correctness end-to-end."""
+    from feasts_spark.operators.compression import compress_chunks, decompress_chunks
+    from feasts_spark.operators.rollup import rollup_raw
+
+    _utc(spark)
+    r = rollup_raw(_events(spark, sf_dir), "1h", "user_id", "ts", "value")
+    chunks = compress_chunks(r, "1h", key_col="series_key", value_col="val_avg")
+    back = decompress_chunks(chunks)
+    return back.select(
+        "series_key", "bucket_ts", F.round("value", 4).alias("val_avg")
+    )
+
+
+ORACLE_GORILLA_1H = """
+SELECT user_id::VARCHAR AS series_key, date_trunc('hour', ts) AS bucket_ts,
+       round(avg(value), 4) AS val_avg
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_salted_rollup_1m(spark, sf_dir):
+    """Two-phase salted aggregation (heavy keys split across 16 salts, then
+    merged) must equal the plain rollup — the oracle IS the plain SQL.
+    heavy_threshold=40 forces most keys down the salted path at sf0.01."""
+    from feasts_spark.operators.skew import salted_rollup
+
+    _utc(spark)
+    r = salted_rollup(
+        _events(spark, sf_dir), "1m", key_col="user_id", ts_col="ts",
+        value_col="value", heavy_threshold=40,
+    )
+    return _round_cols(
+        r.select("series_key", "bucket_ts", "n_points", "val_sum", "val_min",
+                 "val_max", "val_avg", "val_first", "val_last"),
+        ["val_sum", "val_avg"],
+    )
+
+
+def q_heavy_keys(spark, sf_dir):
+    """Heavy-key detection: users with > 40 events (skew routing input)."""
+    from feasts_spark.operators.skew import detect_heavy_keys
+
+    _utc(spark)
+    return detect_heavy_keys(_events(spark, sf_dir), "user_id", threshold=40)
+
+
+ORACLE_HEAVY_KEYS = """
+SELECT user_id FROM events GROUP BY 1 HAVING count(*) > 40
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: tokens / language-ID / quality / fingerprints
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark, sf_dir):
+    from feasts_spark.operators.text import token_stats
+
+    _utc(spark)
+    return token_stats(_docs(spark, sf_dir))
+
+
+ORACLE_TOKEN_STATS = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+         AS n_bpe_pieces,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_number_runs,
+       len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+FROM documents
+"""
+
+
+def q_language_id(spark, sf_dir):
+    from feasts_spark.operators.text import language_scores
+
+    _utc(spark)
+    return language_scores(_docs(spark, sf_dir))
+
+
+ORACLE_LANGUAGE_ID = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht','von','mit','auf','ein'))) AS score_de,
+    len(list_filter(toks, x -> x IN ('the','of','and','to','in','is','that','for','with','as'))) AS score_en,
+    len(list_filter(toks, x -> x IN ('el','la','los','de','y','un','una','es','que','por'))) AS score_es,
+    len(list_filter(toks, x -> x IN ('le','la','les','de','et','un','une','est','que','pour'))) AS score_fr
+  FROM t
+)
+SELECT doc_id, score_de, score_en, score_es, score_fr,
+       CASE WHEN score_fr > greatest(score_de, score_en, score_es) THEN 'fr'
+            WHEN score_es > greatest(score_de, score_en) THEN 'es'
+            WHEN score_en > score_de THEN 'en'
+            ELSE 'de' END AS pred_lang
+FROM s
+"""
+
+
+def q_quality_scores(spark, sf_dir):
+    from feasts_spark.operators.text import quality_scores
+
+    _utc(spark)
+    return quality_scores(_docs(spark, sf_dir))
+
+
+ORACLE_QUALITY = r"""
+WITH b AS (
+  SELECT doc_id, text,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tok,
+         length(text) AS n_chars,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> x IN ('the','of','and','to','in','is','that','for','with','as')))
+           AS stop_hits,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS punct
+  FROM documents
+), m AS (
+  SELECT doc_id, n_tok,
+         length(regexp_replace(trim(text), '\s+', '', 'g'))
+           / greatest(n_tok, 1)::DOUBLE AS mean_word_len,
+         stop_hits / n_tok::DOUBLE AS stop_ratio,
+         punct / greatest(n_chars, 1)::DOUBLE AS punct_ratio,
+         least(n_tok / 64.0::DOUBLE, 1.0::DOUBLE) AS length_score
+  FROM b
+)
+SELECT doc_id, n_tok AS n_tokens,
+       round(mean_word_len, 4) AS mean_word_len,
+       round(stop_ratio, 4) AS stopword_ratio,
+       round(punct_ratio, 4) AS punct_ratio,
+       floor((0.4::DOUBLE * length_score
+              + 0.3::DOUBLE * least(stop_ratio * 5, 1.0::DOUBLE)
+              + 0.3::DOUBLE * (1.0::DOUBLE - least(punct_ratio * 4, 1.0::DOUBLE)))
+             * 10000 + 0.5::DOUBLE) / 10000 AS quality_score
+FROM m
+"""
+
+
+def q_fingerprints(spark, sf_dir):
+    from feasts_spark.operators.text import fingerprints
+
+    _utc(spark)
+    return fingerprints(_docs(spark, sf_dir))
+
+
+ORACLE_FINGERPRINTS = """
+WITH t AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+), g AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(length(t) - 7, 1))) AS i
+  FROM t
+)
+SELECT doc_id, min(md5(substring(t, i, 8))) AS fingerprint,
+       count(DISTINCT substring(t, i, 8)) AS n_shingles,
+       any_value(length(t)) AS n_chars_norm
+FROM g GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN scale path + remaining rows-only operators
+# ---------------------------------------------------------------------------
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate cosine top-5 for the first 10 queries —
+    the scale path of q_ann_topk (rows-only; recall vs brute force is
+    asserted in tests/test_similarity.py)."""
+    from feasts_spark.operators.similarity import ann_lsh_topk
+
+    _utc(spark)
+    out = ann_lsh_topk(
+        _emb(spark, sf_dir), k=5, n_planes=4,
+        query_filter=lambda c: c < 10,
+    )
+    return out.select("query_id", "cand_id", "rank", F.round("cos", 4).alias("cos"))
+
+
+def q_guerrero_1d(spark, sf_dir):
+    """Box-Cox lambda (guerrero.R:30-60) per user over the 1d tier, weekly
+    subseries — rows-only (Brent optimizer); golden-tested on WWWusage."""
+    from feasts_spark.kernels.features_basic import guerrero
+    from feasts_spark.operators.rollup import rollup_raw
+    from feasts_spark.operators.series_stats import series_stats
+
+    _utc(spark)
+    r = rollup_raw(_events(spark, sf_dir), "1d", "user_id", "ts", "value")
+    counts = r.groupBy("series_key").count().filter(F.col("count") >= 14)
+    r = r.join(counts.select("series_key"), "series_key")
+    out = series_stats(r, guerrero, ["lambda_guerrero"], period=7)
+    return out.select(
+        "series_key", F.round("lambda_guerrero", 4).alias("lambda_guerrero")
+    )
+
+
+def q_unitroot_1d(spark, sf_dir):
+    """KPSS + Phillips-Perron + ndiffs per user daily series — rows-only
+    (critical-value interpolation; features.R:139-203)."""
+    from feasts_spark.kernels.extras import unitroot_pp
+    from feasts_spark.kernels.stat_tests import unitroot_kpss, unitroot_ndiffs
+    from feasts_spark.operators.rollup import rollup_raw
+    from feasts_spark.operators.series_stats import series_stats
+
+    _utc(spark)
+    r = rollup_raw(_events(spark, sf_dir), "1d", "user_id", "ts", "value")
+    counts = r.groupBy("series_key").count().filter(F.col("count") >= 14)
+    r = r.join(counts.select("series_key"), "series_key")
+
+    def kernel(x):
+        return {**unitroot_kpss(x), **unitroot_pp(x), **unitroot_ndiffs(x)}
+
+    out = series_stats(
+        r, kernel, ["kpss_stat", "kpss_pvalue", "pp_stat", "pp_pvalue", "ndiffs"]
+    )
+    return out.select(
+        "series_key",
+        F.round("kpss_stat", 4).alias("kpss_stat"),
+        F.round("kpss_pvalue", 4).alias("kpss_pvalue"),
+        F.round("pp_stat", 4).alias("pp_stat"),
+        F.round("pp_pvalue", 4).alias("pp_pvalue"),
+        "ndiffs",
+    )
+
+
+def q_stl_multi_1h(spark, sf_dir):
+    """MSTL with daily + weekly seasons over the 1h tier (stl.R:63-78) —
+    rows-only (iterated loess)."""
+    from feasts_spark.operators.decompose import stl_components
+    from feasts_spark.operators.gapfill import gapfill_locf
+    from feasts_spark.operators.rollup import rollup_raw
+
+    _utc(spark)
+    r = rollup_raw(_events(spark, sf_dir), "1h", "user_id", "ts", "value")
+    filled = gapfill_locf(r, "1h", value_cols=("val_avg",))
+    counts = filled.groupBy("series_key").count().filter(F.col("count") >= 2 * 168)
+    filled = filled.join(counts.select("series_key"), "series_key")
+    out = stl_components(filled, periods=(24, 168), value_col="val_avg_filled")
+    return out.select(
+        "series_key", "bucket_ts",
+        F.round("trend", 4).alias("trend"),
+        F.round("season_24", 4).alias("season_24"),
+        F.round("season_168", 4).alias("season_168"),
+        F.round("remainder", 4).alias("remainder"),
+    )
+
+
+def q_supsmu_trend_1d(spark, sf_dir):
+    """Non-seasonal decomposition branch: trend = supsmu (Friedman 1984,
+    stl.R:80) — rows-only; oracle-equivalence vs R supsmu is golden-tested."""
+    from feasts_spark.operators.decompose import stl_components
+    from feasts_spark.operators.rollup import rollup_raw
+
+    _utc(spark)
+    r = rollup_raw(_events(spark, sf_dir), "1d", "user_id", "ts", "value")
+    counts = r.groupBy("series_key").count().filter(F.col("count") >= 10)
+    r = r.join(counts.select("series_key"), "series_key")
+    out = stl_components(r, periods=(), value_col="val_avg")
+    return out.select(
+        "series_key", "bucket_ts",
+        F.round("trend", 4).alias("trend"),
+        F.round("remainder", 4).alias("remainder"),
+    )
+
+
+def q_tacf_1h(spark, sf_dir):
+    """Tapered/banded ACF with eigenvalue shrinkage (acf.R:252-300) —
+    rows-only."""
+    from feasts_spark.operators.cf import acf_table
+
+    _utc(spark)
+    r = _hourly_pair(spark, sf_dir)
+    out = acf_table(r, lag_max=10, tapered=True)
+    return out.select("series_key", "lag", F.round("acf", 4).alias("acf"))
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -656,6 +1186,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "cosine_pairs": q_cosine_pairs,
         "ann_topk": q_ann_topk,
+        "ccf_table_1h": q_ccf_table_1h,
+        "portmanteau_1h": q_portmanteau_1h,
+        "longest_flat_spot": q_longest_flat_spot,
+        "intermittent_daily": q_intermittent_daily,
+        "gorilla_roundtrip_1h": q_gorilla_roundtrip_1h,
+        "salted_rollup_1m": q_salted_rollup_1m,
+        "heavy_keys": q_heavy_keys,
+        "token_stats": q_token_stats,
+        "language_id": q_language_id,
+        "quality_scores": q_quality_scores,
+        "fingerprints": q_fingerprints,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "guerrero_1d": q_guerrero_1d,
+        "unitroot_1d": q_unitroot_1d,
+        "stl_multi_1h": q_stl_multi_1h,
+        "supsmu_trend_1d": q_supsmu_trend_1d,
+        "tacf_1h": q_tacf_1h,
     }
 
 
@@ -675,7 +1222,20 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": ORACLE_TEXT_STATS,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "cosine_pairs": ORACLE_COSINE_PAIRS,
-        # pacf_table_1h, stl_components_1d, feature_pack, ann_topk:
-        # non-SQL-expressible (D-L recursion, iterated loess, optimizers,
+        "ccf_table_1h": ORACLE_CCF_1H,
+        "portmanteau_1h": ORACLE_PORTMANTEAU_1H,
+        "longest_flat_spot": ORACLE_FLAT_SPOT,
+        "intermittent_daily": ORACLE_INTERMITTENT,
+        "gorilla_roundtrip_1h": ORACLE_GORILLA_1H,
+        "salted_rollup_1m": _cascade_oracle("minute"),
+        "heavy_keys": ORACLE_HEAVY_KEYS,
+        "token_stats": ORACLE_TOKEN_STATS,
+        "language_id": ORACLE_LANGUAGE_ID,
+        "quality_scores": ORACLE_QUALITY,
+        "fingerprints": ORACLE_FINGERPRINTS,
+        # pacf_table_1h, stl_components_1d, feature_pack, ann_topk,
+        # ann_lsh_topk, guerrero_1d, unitroot_1d, stl_multi_1h,
+        # supsmu_trend_1d, tacf_1h: non-SQL-expressible (D-L recursion,
+        # iterated loess, optimizers, LSH banding, critical-value interp,
         # rank ties) — rows-only checks; exactness via golden pytest suite.
     }

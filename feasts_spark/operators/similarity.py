@@ -1,0 +1,169 @@
+"""Approximate nearest-neighbor search over embedding columns.
+
+Scale path for the brute-force cosine top-k baseline (__spark_entry__
+q_ann_topk): random-hyperplane LSH (Charikar 2002) buckets vectors so the
+candidate join shuffles on bucket ids instead of forming the full cross
+product. At N vectors x Q queries brute force is O(N*Q) dot products; LSH
+with b sign-bits cuts candidates ~2^-b per probe while multiprobe (flip one
+bit) recovers recall. All hyperplanes derive from a fixed seed so results
+are deterministic across runs and cluster sizes.
+
+Everything JVM-side after the (vectorized, Arrow-batched) projection UDF:
+bucket join, cosine via zip_with/aggregate, top-k via row_number window.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+_COS = (
+    "aggregate(zip_with(cast({a} as array<double>), cast({b} as array<double>),"
+    " (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    " / sqrt(aggregate(cast({a} as array<double>), 0D, (acc, x) -> acc + x * x)"
+    " * aggregate(cast({b} as array<double>), 0D, (acc, x) -> acc + x * x))"
+)
+
+
+def lsh_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 1,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, vec) -> (id, vec, table, bucket): bucket = sign bits of P_t @ v.
+
+    Classic multi-table LSH: each of the n_tables hash tables draws its own
+    n_planes hyperplanes; a pair is a candidate if it collides in ANY table
+    — recall grows ~1-(1-p^b)^L while the join still shuffles only on
+    (table, bucket). P is drawn once per worker from a seeded Generator —
+    identical everywhere, so bucketing is globally consistent without a
+    broadcast.
+    """
+
+    def fn(batches):
+        planes_by_dim = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            dim = mat.shape[1]
+            if dim not in planes_by_dim:
+                planes_by_dim[dim] = np.random.default_rng(seed).standard_normal(
+                    (n_tables, n_planes, dim)
+                )
+            frames = []
+            for t in range(n_tables):
+                bits = (planes_by_dim[dim][t] @ mat.T) > 0  # (planes, rows)
+                bucket = np.zeros(mat.shape[0], dtype=np.int64)
+                for i in range(n_planes):
+                    bucket |= bits[i].astype(np.int64) << i
+                frames.append(
+                    pd.DataFrame(
+                        {"id": pdf[id_col], "vec": pdf[vec_col],
+                         "table": t, "bucket": bucket}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    return df.select(id_col, vec_col).mapInPandas(
+        fn, schema=f"id long, vec {vec_type}, table int, bucket long"
+    )
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 4,
+    seed: int = 7,
+    multiprobe: bool = True,
+    query_filter=None,
+) -> DataFrame:
+    """Approximate cosine top-k per query vector via multi-table LSH join.
+
+    multiprobe=True also probes every Hamming-1 neighbor bucket of the
+    query in each table (n_planes extra buckets/table), the standard
+    recall/fan-out trade. query_filter: optional Column predicate on the
+    query id (e.g. limit the query set); candidates always come from the
+    full table.
+    """
+    proj = lsh_project(df, id_col, vec_col, n_planes, n_tables, seed)
+    cand = proj.select(
+        F.col("id").alias("cand_id"),
+        F.col("vec").alias("ec"),
+        F.col("table").alias("ctable"),
+        F.col("bucket").alias("cbucket"),
+    )
+    q = proj.select(
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("eq"),
+        F.col("table").alias("qtable"),
+        F.col("bucket").alias("qbucket"),
+    )
+    if query_filter is not None:
+        q = q.filter(query_filter(F.col("query_id")))
+    if multiprobe:
+        probes = F.array(
+            F.col("qbucket"),
+            *[
+                F.col("qbucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(n_planes)
+            ],
+        )
+        q = q.select(
+            "query_id", "eq", "qtable", F.explode(probes).alias("qbucket")
+        )
+    scored = (
+        q.join(
+            cand,
+            (F.col("qtable") == F.col("ctable"))
+            & (F.col("qbucket") == F.col("cbucket")),
+        )
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(_COS.format(a="eq", b="ec")).alias("cos"),
+        )
+        # tables/multiprobe surface the same candidate repeatedly
+        .groupBy("query_id", "cand_id")
+        .agg(F.max("cos").alias("cos"))
+    )
+    wrank = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "cos")
+    )
+
+
+def brute_force_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter=None,
+) -> DataFrame:
+    """Exact cosine top-k (the recall oracle for ann_lsh_topk)."""
+    q = df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("eq"))
+    if query_filter is not None:
+        q = q.filter(query_filter(F.col("query_id")))
+    c = df.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("ec"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", F.expr(_COS.format(a="eq", b="ec")).alias("cos"))
+    )
+    wrank = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "cos")
+    )

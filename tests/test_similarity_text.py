@@ -1,0 +1,126 @@
+"""LSH ANN recall vs brute force; text-analysis operators; series_stats."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from feasts_spark.operators.similarity import ann_lsh_topk, brute_force_topk
+from feasts_spark.operators.text import (
+    fingerprints,
+    language_scores,
+    quality_scores,
+    token_stats,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+class TestAnnLsh:
+    def test_recall_vs_brute_force(self, spark, emb):
+        qf = lambda c: c < 20  # noqa: E731
+        exact = brute_force_topk(emb, k=5, query_filter=qf).toPandas()
+        approx = ann_lsh_topk(emb, k=5, n_planes=4, query_filter=qf).toPandas()
+        hits = 0
+        total = 0
+        for qid, grp in exact.groupby("query_id"):
+            truth = set(grp["cand_id"])
+            got = set(approx[approx["query_id"] == qid]["cand_id"])
+            hits += len(truth & got)
+            total += len(truth)
+        recall = hits / total
+        # 4 tables x 4-bit LSH + hamming-1 multiprobe: measured 0.92 on
+        # this fixture; assert with headroom against plane-draw variance.
+        assert recall >= 0.85, f"recall {recall:.2f}"
+
+    def test_deterministic(self, spark, emb):
+        a = ann_lsh_topk(emb, k=3, query_filter=lambda c: c < 5).toPandas()
+        b = ann_lsh_topk(emb, k=3, query_filter=lambda c: c < 5).toPandas()
+        key = ["query_id", "rank"]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b.sort_values(key).reset_index(drop=True)
+        assert (a["cand_id"] == b["cand_id"]).all()
+
+    def test_topk_sorted_desc(self, spark, emb):
+        out = ann_lsh_topk(emb, k=5, query_filter=lambda c: c < 5).toPandas()
+        for _, grp in out.groupby("query_id"):
+            cos = grp.sort_values("rank")["cos"].to_numpy()
+            assert (np.diff(cos) <= 1e-12).all()
+
+
+class TestText:
+    def test_token_stats_counts(self, spark):
+        df = spark.createDataFrame(
+            [(0, "Hello, world! 42 times"), (1, "abc")], "doc_id long, text string"
+        )
+        out = token_stats(df).orderBy("doc_id").toPandas()
+        # Hello , world ! 42 times -> 6 bpe pieces; 1 number run; 2 punct
+        assert out.loc[0, "n_ws_tokens"] == 4
+        assert out.loc[0, "n_bpe_pieces"] == 6
+        assert out.loc[0, "n_number_runs"] == 1
+        assert out.loc[0, "n_punct"] == 2
+        assert out.loc[1, "n_bpe_pieces"] == 1
+
+    def test_language_id_argmax(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, "the cat is in the house and that is that"),
+                (1, "der hund ist nicht auf der wiese und das ist gut"),
+                (2, "le chat est pour les amis et une souris"),
+            ],
+            "doc_id long, text string",
+        )
+        out = language_scores(df).orderBy("doc_id").toPandas()
+        assert list(out["pred_lang"]) == ["en", "de", "fr"]
+
+    def test_quality_monotone_length(self, spark):
+        df = spark.createDataFrame(
+            [(0, "word " * 100), (1, "word")], "doc_id long, text string"
+        )
+        out = quality_scores(df).orderBy("doc_id").toPandas()
+        assert out.loc[0, "quality_score"] > out.loc[1, "quality_score"]
+
+    def test_fingerprint_stability(self, spark, docs):
+        a = fingerprints(docs).orderBy("doc_id").toPandas()
+        b = fingerprints(docs).orderBy("doc_id").toPandas()
+        assert (a["fingerprint"] == b["fingerprint"]).all()
+        # identical text -> identical fingerprint
+        df = spark.createDataFrame(
+            [(0, "SAME same text body here"), (1, "same SAME text body here")],
+            "doc_id long, text string",
+        )
+        out = fingerprints(df).toPandas()
+        # lowercased shingles differ between these two (word order), but
+        # case must not matter for identical strings:
+        df2 = spark.createDataFrame(
+            [(0, "Casing Differs Only"), (1, "cAsInG dIfFeRs OnLy")],
+            "doc_id long, text string",
+        )
+        out2 = fingerprints(df2).toPandas()
+        assert out2.loc[0, "fingerprint"] == out2.loc[1, "fingerprint"]
+
+
+class TestSeriesStats:
+    def test_matches_kernel_direct(self, spark):
+        from feasts_spark.kernels.stat_tests import ljung_box
+        from feasts_spark.operators.series_stats import series_stats
+
+        rows = [("a", i, float(np.sin(i / 3) * 10 + i)) for i in range(40)]
+        df = spark.createDataFrame(rows, "series_key string, t int, v double")
+        out = series_stats(
+            df, ljung_box, ["lb_stat", "lb_pvalue"], order_col="t", value_col="v",
+            lag=10,
+        ).toPandas()
+        x = np.array([r[2] for r in rows])
+        expect = ljung_box(x, lag=10)
+        assert out.loc[0, "lb_stat"] == pytest.approx(expect["lb_stat"], rel=1e-12)
+        assert out.loc[0, "lb_pvalue"] == pytest.approx(expect["lb_pvalue"], rel=1e-9)
