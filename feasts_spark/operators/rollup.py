@@ -64,6 +64,13 @@ def rollup_cascade(lower: DataFrame, tier: str) -> DataFrame:
     All aggregates re-aggregate exactly: counts/sums add, min/max nest, and
     first/last carry their timestamps so arg-min/arg-max stay correct. The
     invariant `cascade(1m -> 1h) == rollup_raw(1h)` is tested bitwise.
+
+    Plan note: this re-shuffle moves TIER-sized data (already ~60:1 smaller
+    than raw for 1m), not raw rows. Hash-partitioning tiers by series_key
+    alone would make every coarser re-aggregation shuffle-free
+    (HashPartitioning(key) satisfies ClusteredDistribution(key, bucket)),
+    but concentrates each whale key's full history in one partition — the
+    (key, bucket) layout + salted_rollup is the skew-safe choice at scale.
     """
     trunc = TIERS[tier]
     bucket = F.date_trunc(trunc, F.col("bucket_ts")).alias("bucket_ts")

@@ -7,6 +7,8 @@ codegen coverage) rather than eyeballing explain output.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -16,15 +18,34 @@ def formatted_plan(df: DataFrame) -> str:
     )
 
 
+def count_nodes(plan: str, name: str) -> int:
+    """Occurrences of a physical operator in a `formatted` plan.
+
+    `formatted` prints every node twice (tree line `Op (N)` and detail
+    header `(N) Op`); counting only detail headers gives the true count.
+    Matches by prefix so `Exchange` also counts `BroadcastExchange` detail
+    lines when asked for explicitly, not implicitly.
+    """
+    return len(re.findall(rf"^\(\d+\) {re.escape(name)}\b", plan, re.MULTILINE))
+
+
 def plan_summary(df: DataFrame) -> dict:
-    """Structural facts about the physical plan."""
+    """Structural facts about the physical plan.
+
+    NOTE on WholeStageCodegen: with AQE on, the pre-execution formatted
+    plan hides codegen stages — inspect with adaptive.enabled=false (the
+    plan-structure tests do) or accept n_wscg == 0 under AQE.
+    """
     plan = formatted_plan(df)
     return {
-        "n_exchanges": plan.count("Exchange"),
-        "n_wscg": plan.count("WholeStageCodegen"),
+        "n_exchanges": count_nodes(plan, "Exchange"),
+        # formatted mode marks codegen with `* Op` tree lines + `[codegen id : N]`
+        "n_wscg": len(set(re.findall(r"codegen id : (\d+)", plan))),
         "has_broadcast": "BroadcastExchange" in plan or "BroadcastHashJoin" in plan,
         "pushed_filters": "PushedFilters: [" in plan
         and "PushedFilters: []" not in plan,
+        "n_scans": count_nodes(plan, "Scan parquet"),
+        "n_python": len(re.findall(r"InPandas|ArrowEvalPython|BatchEvalPython", plan)),
         "read_schema_cols": _read_schema_width(plan),
         "plan": plan,
     }

@@ -1,0 +1,113 @@
+"""Physical-plan structure assertions — Catalyst must be doing its job.
+
+These lock in the scale-critical plan properties (SURVEY.md §4.2): column
+pruning to the parquet scan, predicate pushdown, broadcast for the
+heavy-key dim join, single shuffle for rollups, partial aggregation, and
+no extra shuffle in the tier cascade (re-aggregating 1m -> 1h shuffles on
+the same key set).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feasts_spark.plans import formatted_plan, plan_summary
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def no_aqe(spark):
+    """Classic physical plans for inspection (AQE hides WSCG pre-execution)."""
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield
+    spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def test_rollup_prunes_scan_columns(spark, events):
+    from feasts_spark.operators.rollup import rollup_raw
+
+    r = rollup_raw(events, "1h", "user_id", "ts", "value")
+    plan = formatted_plan(r)
+    # scan must read only user_id, ts, value — not event_type/props/event_id
+    assert "ReadSchema" in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "props" not in read and "event_type" not in read
+    for col in ("user_id", "ts", "value"):
+        assert col in read
+
+
+def test_rollup_single_shuffle_partial_agg(spark, events):
+    from feasts_spark.operators.rollup import rollup_raw
+
+    r = rollup_raw(events, "1h", "user_id", "ts", "value")
+    s = plan_summary(r)
+    # one shuffle (hash on key+bucket), partial+final HashAggregate
+    assert s["n_exchanges"] == 1
+    from feasts_spark.plans import count_nodes
+    assert count_nodes(s["plan"], "HashAggregate") == 2  # partial + final
+
+
+def test_filter_pushdown_reaches_scan(spark, events):
+    filtered = events.filter(F.col("user_id") == 3).select("user_id", "value")
+    s = plan_summary(filtered)
+    assert s["pushed_filters"], "predicate not pushed to parquet scan"
+
+
+def test_salted_rollup_broadcasts_heavy_keys(spark, events):
+    from feasts_spark.operators.skew import salted_rollup
+
+    r = salted_rollup(events, "1m", key_col="user_id", ts_col="ts",
+                      value_col="value", heavy_threshold=10)
+    s = plan_summary(r)
+    assert s["has_broadcast"], "heavy-key dim join must broadcast"
+
+
+def test_cascade_no_extra_scan(spark, events):
+    """1h-from-1m cascade must not rescan the source table."""
+    from feasts_spark.operators.rollup import rollup_cascade, rollup_raw
+
+    r1m = rollup_raw(events, "1m", "user_id", "ts", "value")
+    r1h = rollup_cascade(r1m, "1h")
+    s = plan_summary(r1h)
+    assert s["n_scans"] == 1
+
+
+def test_feature_pack_single_shuffle(spark, events):
+    """groupBy(key).applyInPandas = exactly one exchange over the scan."""
+    from feasts_spark.operators.features import features
+    from feasts_spark.operators.rollup import rollup_raw
+
+    r = rollup_raw(events, "1h", "user_id", "ts", "value")
+    out = features(r, period=24)
+    s = plan_summary(out)
+    # rollup shuffle + applyInPandas shuffle — no more
+    assert s["n_exchanges"] <= 2
+    assert s["n_python"] >= 1
+
+
+def test_gapfill_no_cartesian(spark, events):
+    from feasts_spark.operators.gapfill import gapfill_locf
+    from feasts_spark.operators.rollup import rollup_raw
+
+    r = rollup_raw(events, "1d", "user_id", "ts", "value")
+    g = gapfill_locf(r, "1d", value_cols=("val_avg",))
+    plan = formatted_plan(g)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_text_ops_stay_jvm_side(spark):
+    """Text analysis must be pure Catalyst expressions — no Python eval."""
+    from feasts_spark.operators.text import language_scores, quality_scores, token_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for op in (token_stats, language_scores, quality_scores):
+        s = plan_summary(op(docs))
+        assert s["n_python"] == 0, f"{op.__name__} fell off the JVM path"
+        assert s["n_wscg"] >= 1, f"{op.__name__} not in whole-stage codegen"
