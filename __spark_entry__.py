@@ -1132,6 +1132,46 @@ def q_supsmu_trend_1d(spark, sf_dir):
     )
 
 
+def q_stl_generate_1d(spark, sf_dir):
+    """generate.stl_decomposition (stl.R:171-197): 2 bootstrap replicates
+    per user via seeded moving-block bootstrap of the STL remainder —
+    rows-only (MBB is sampling; determinism is pinned by the fixed seed and
+    asserted by the driver's repeated-run hash)."""
+    import numpy as np
+    import pandas as pd
+
+    from feasts_spark.kernels.extras import generate_stl
+    from feasts_spark.kernels.stl import estimate_stl
+    from feasts_spark.operators.rollup import rollup_raw
+
+    _utc(spark)
+    r = rollup_raw(_events(spark, sf_dir), "1d", "user_id", "ts", "value")
+    counts = r.groupBy("series_key").count().filter(F.col("count") >= 15)
+    r = r.join(counts.select("series_key"), "series_key")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_ts", kind="mergesort")
+        y = pdf["val_avg"].to_numpy(dtype=np.float64)
+        d = estimate_stl(y, periods=(7,), s_windows=None, period_names=("7",))
+        sims = generate_stl(
+            d["trend"], [d["season_7"]], d["remainder"], period=7, times=2,
+            seed=42,
+        )
+        frames = []
+        for rep, sim in enumerate(sims):
+            frames.append(pd.DataFrame({
+                "series_key": pdf["series_key"].iloc[0],
+                "bucket_ts": pdf["bucket_ts"].to_numpy(),
+                "rep": rep,
+                "sim": np.round(sim, 4),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    return r.groupBy("series_key").applyInPandas(
+        fn, schema="series_key long, bucket_ts timestamp, rep int, sim double"
+    )
+
+
 def q_tacf_1h(spark, sf_dir):
     """Tapered/banded ACF with eigenvalue shrinkage (acf.R:252-300) —
     rows-only."""
@@ -1202,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unitroot_1d": q_unitroot_1d,
         "stl_multi_1h": q_stl_multi_1h,
         "supsmu_trend_1d": q_supsmu_trend_1d,
+        "stl_generate_1d": q_stl_generate_1d,
         "tacf_1h": q_tacf_1h,
     }
 

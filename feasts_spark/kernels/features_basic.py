@@ -133,11 +133,24 @@ def shift_kl_max(x, size: int | None = None, period: int = 1) -> dict:
         raise ValueError("length of `x` is too short for `.size`.")
     dens_floor = float(norm_pdf(38.0))
     # densities: (n, gw) — dnorm(g, mean=x_t, sd=bw) per grid point g
-    dens = norm_pdf(xgrid[None, :], mean=x[:, None], sd=bw)
-    dens = np.maximum(dens, dens_floor)
-    rmean = (
-        pd.DataFrame(dens).rolling(size, min_periods=1).mean().to_numpy()
-    )
+    z = (xgrid[None, :] - x[:, None]) / bw
+    dens = np.exp(-0.5 * z * z, out=z) / (bw * math.sqrt(2.0 * math.pi))
+    dens = np.maximum(dens, dens_floor, out=dens)
+    # trailing rolling mean (min_periods=1) via prefix sums. The floor is
+    # SUBNORMAL (dnorm(38) ~ 2e-314): cumsum of (normal + floor) values
+    # absorbs the floor entirely and windows of pure floor would difference
+    # to exactly 0 -> log(0). Rolling the excess above the floor and adding
+    # the floor back keeps those windows at the floor, matching the
+    # windowed-sum (pandas/R) behavior within the golden tolerance.
+    excess = dens - dens_floor
+    csum = np.cumsum(excess, axis=0)
+    rmean = np.empty_like(dens)
+    k = min(size, n)
+    rmean[:k] = csum[:k] / np.arange(1, k + 1)[:, None]
+    if n > size:
+        rmean[size:] = (csum[size:] - csum[:-size]) / size
+    np.maximum(rmean, 0.0, out=rmean)
+    rmean += dens_floor
     p = rmean[: n - size]
     q = rmean[size:]
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -168,7 +181,8 @@ def var_tiled_var(x, size: int | None = None, period: int = 1) -> dict:
     if n < 2 * size:
         return {"var_tiled_var": 0.0}
     tiles = z[: n_tiles * size].reshape(n_tiles, size)
-    tile_vars = np.array([r_var(t) for t in tiles])
+    with np.errstate(invalid="ignore"):
+        tile_vars = np.nanvar(tiles, axis=1, ddof=1)
     return {"var_tiled_var": r_var(tile_vars)}
 
 
@@ -180,8 +194,13 @@ def var_tiled_mean(x, size: int | None = None, period: int = 1) -> dict:
     n = z.size
     if n < 2 * size:
         return {"var_tiled_mean": 0.0}
-    means = [float(np.nanmean(z[s : s + size])) for s in range(0, n, size)]
-    return {"var_tiled_mean": r_var(np.array(means))}
+    n_full = n // size
+    full = np.nanmean(z[: n_full * size].reshape(n_full, size), axis=1)
+    if n_full * size < n:  # ragged final tile included (no .complete)
+        means = np.append(full, np.nanmean(z[n_full * size :]))
+    else:
+        means = full
+    return {"var_tiled_mean": r_var(means)}
 
 
 def feat_intermittent(x: np.ndarray) -> dict:

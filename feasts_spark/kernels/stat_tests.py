@@ -102,8 +102,14 @@ def unitroot_ndiffs(x, alpha: float = 0.05, differences=(0, 1, 2)) -> dict:
     return {"ndiffs": float(max(chosen))}
 
 
-def unitroot_nsdiffs(x, alpha: float = 0.05, differences=(0, 1, 2), period: int = 1) -> dict:
-    """features.R:209-235 — seasonal differences needed (feat_stl strength < 0.64)."""
+def unitroot_nsdiffs(x, alpha: float = 0.05, differences=(0, 1, 2), period: int = 1,
+                     strength0: float | None = None) -> dict:
+    """features.R:209-235 — seasonal differences needed (feat_stl strength < 0.64).
+
+    strength0: optionally pass the already-computed seasonal strength of the
+    undifferenced series (the feature pack reuses its feat_stl result) —
+    saves one full STL per series; semantics unchanged.
+    """
     from feasts_spark.kernels.feat_stl import feat_stl
 
     if period == 1:
@@ -122,8 +128,13 @@ def unitroot_nsdiffs(x, alpha: float = 0.05, differences=(0, 1, 2), period: int 
     # is >= 0.64.
     keep = [True]
     for d in diffs[1:]:
-        ft = feat_stl(sdiff(x, d - 1), period=period)
-        strength = ft.get(f"seasonal_strength_{period}", 0.0)
+        if d == 1 and strength0 is not None:
+            strength = strength0
+        else:
+            ft = feat_stl(sdiff(x, d - 1), period=period)
+            strength = ft.get(f"seasonal_strength_{period}", 0.0)
+        # no early exit: the reference keeps max over ALL kept levels
+        # (features.R:233-234 — d=2 can win even when d=1 was rejected)
         keep.append(strength >= 0.64)
     chosen = [d for d, k in zip(diffs, keep) if k]
     return {"nsdiffs": float(max(chosen))}

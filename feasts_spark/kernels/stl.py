@@ -131,17 +131,29 @@ def _ess_weights(n: int, length: int, ideg: int) -> tuple:
             w = _loess_weight_row(n, length, ideg, float(i), 1, n)
             W[i - 1] = 0.0 if w is None else w
     else:
+        # Sliding-window case: for interior points (nsh <= i <= n-nsh) the
+        # window offsets j-xs, the bandwidth h, and the degree-1 reweighting
+        # are all shift-invariant, so ONE weight row serves every interior
+        # point — only the <length boundary rows differ. This turns the
+        # O(n) python loop into O(length) (a 1000x call reduction for long
+        # series; bitwise-identical rows, verified against the looped form).
         nsh = (length + 1) // 2
-        for i in range(1, n + 1):
-            if i < nsh:
-                nleft, nright = 1, length
-            elif i >= n - nsh + 1:
-                nleft, nright = n - length + 1, n
-            else:
-                nleft, nright = i - nsh + 1, length + i - nsh
-            nlefts[i - 1] = nleft
-            w = _loess_weight_row(n, length, ideg, float(i), nleft, nright)
+        for i in range(1, min(nsh, n + 1)):
+            nlefts[i - 1] = 1
+            w = _loess_weight_row(n, length, ideg, float(i), 1, length)
             W[i - 1] = 0.0 if w is None else w
+        for i in range(max(n - nsh + 1, 1), n + 1):
+            nlefts[i - 1] = n - length + 1
+            w = _loess_weight_row(n, length, ideg, float(i), n - length + 1, n)
+            W[i - 1] = 0.0 if w is None else w
+        lo, hi = nsh, n - nsh  # inclusive interior 1-based range
+        if lo <= hi:
+            i = lo
+            w = _loess_weight_row(n, length, ideg, float(i), i - nsh + 1,
+                                  length + i - nsh)
+            row = 0.0 if w is None else w
+            W[lo - 1 : hi] = row
+            nlefts[lo - 1 : hi] = np.arange(lo, hi + 1) - nsh + 1
     if len(_ESS_CACHE) >= _ESS_CACHE_MAX:
         _ESS_CACHE.clear()
     _ESS_CACHE[key] = (nlefts, W)
@@ -150,16 +162,20 @@ def _ess_weights(n: int, length: int, ideg: int) -> tuple:
 
 def _jump_interpolate(ys: np.ndarray, n: int, newnj: int) -> None:
     """stless tail: linear interpolation between jump evaluation points.
-    ys must already hold values at 1, 1+nj, ... and at n."""
-    for i in range(1, n - newnj + 1, newnj):
-        delta = (ys[i + newnj - 1] - ys[i - 1]) / newnj
-        for j in range(i + 1, i + newnj):
-            ys[j - 1] = ys[i - 1] + delta * (j - i)
+    ys must already hold values at 1, 1+nj, ... and at n. Vectorized over
+    the segment starts (the per-offset inner loop runs newnj-1 times on
+    whole arrays instead of n python iterations)."""
+    starts = np.arange(0, n - newnj, newnj)  # 0-based segment starts
+    if starts.size:
+        delta = (ys[starts + newnj] - ys[starts]) / newnj
+        base = ys[starts].copy()
+        for off in range(1, newnj):
+            ys[starts + off] = base + delta * off
     k = ((n - 1) // newnj) * newnj + 1
     if k != n and k != n - 1:
         delta = (ys[n - 1] - ys[k - 1]) / (n - k)
-        for j in range(k + 1, n):
-            ys[j - 1] = ys[k - 1] + delta * (j - k)
+        js = np.arange(k + 1, n)
+        ys[js - 1] = ys[k - 1] + delta * (js - k)
 
 
 def _stl_ess(y: np.ndarray, length: int, ideg: int, njump: int) -> np.ndarray:

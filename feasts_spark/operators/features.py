@@ -138,7 +138,9 @@ def compute_feature_pack(x: np.ndarray, period: int = 1) -> dict:
         (unitroot_kpss, {}),
         (unitroot_pp, {}),
         (unitroot_ndiffs, {}),
-        (unitroot_nsdiffs, {"period": period}),
+        # reuse the pack's own feat_stl seasonal strength for the d=1 gate
+        (unitroot_nsdiffs, {"period": period,
+                            "strength0": stl.get(f"seasonal_strength_{period}")}),
     ) + (((coef_hurst, {}),) if n <= HURST_MAX_N else ()):
         for k, v in safe(fn, x, **kwargs).items():
             if k in out:
