@@ -68,6 +68,13 @@ def run_bench(cores: str, sf_dir: str) -> dict:
         # 128m packs it into ~6 scan tasks, capping parallelism at any core
         # count. (On a real cluster with TB inputs the default is right.)
         "spark.sql.files.maxPartitionBytes": "16m",
+        # AQE coalescing sizes partitions for ~64MB of SHUFFLE bytes — but
+        # the python feature stage's cost is CPU per group, not bytes, so
+        # coalescing to ~1 task/core destroys the 4x-cores granularity that
+        # absorbs the Zipf series-length skew (measured: python stage
+        # coalesced to 12 tasks on 16 cores). Skew/stragglers are handled
+        # by task granularity instead.
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
     }
     # Shuffle on tmpfs when available: the sandbox has ONE virtio disk that
     # saturates at any core count and would measure the host, not the
