@@ -29,6 +29,10 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--heavy-threshold", type=int, default=1_000_000)
+    ap.add_argument("--features", action="store_true",
+                    help="also write the per-conversation feature table")
+    ap.add_argument("--feature-period", type=int, default=24)
+    ap.add_argument("--min-series-len", type=int, default=20)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -77,6 +81,32 @@ def main() -> None:
         return n, h
 
     metrics = run.run(days, process)
+
+    if args.features:
+        # Feature extraction over the finest written tier: per-conversation
+        # feature pack on the full (all-days) 1m series — one pass after
+        # the per-day rollup units, recorded as its own manifest unit.
+        from feasts_spark.operators.features import features
+
+        def feat_unit(_):
+            tier0 = args.tiers.split(",")[0]
+            r = io.read(f"rollup_{tier0}")
+            counts = (
+                r.groupBy("series_key").count()
+                .filter(F.col("count") >= args.min_series_len)
+            )
+            keyed = r.join(counts.select("series_key"), "series_key")
+            out = features(
+                keyed, key_col="series_key", order_col="bucket_ts",
+                value_col="val_avg", period=args.feature_period,
+            )
+            io.overwrite_partitions(out.withColumn("dt", F.lit("all")),
+                                    "features", ("dt",))
+            return checksum_df(out)
+
+        fm = run.run(["__features__"], feat_unit)
+        metrics["features"] = fm
+
     print(json.dumps(metrics))
 
 
