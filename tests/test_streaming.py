@@ -28,3 +28,67 @@ def test_stream_rollup_matches_batch(spark, sf_dir):
              "val_first", "val_last", "first_ts", "last_ts"]
     pd.testing.assert_frame_equal(got[exact], batch[exact], check_exact=True)
     np.testing.assert_allclose(got["val_sum"], batch["val_sum"], rtol=1e-12)
+
+
+def test_stream_gapfill_locf_matches_batch(spark, tmp_path):
+    """Stateful streaming LOCF over 2 micro-batches == batch gap-fill.
+
+    The time-split forces the interesting path: gaps SPANNING the
+    micro-batch boundary must be filled from carried state."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from feasts_spark.operators.gapfill import gapfill_locf
+    from feasts_spark.streaming.gapfill_stream import stream_gapfill_locf
+
+    rng = np.random.default_rng(11)
+    rows = []
+    base = pd.Timestamp("2024-03-01", tz=None)
+    for key in ("a", "b", "c"):
+        # sparse hourly buckets over 8 days with multi-bucket gaps
+        hours = np.sort(rng.choice(np.arange(0, 192), size=40, replace=False))
+        for h in hours:
+            rows.append((key, base + pd.Timedelta(hours=int(h)),
+                         float(rng.normal(100, 10))))
+    pdf = pd.DataFrame(rows, columns=["series_key", "bucket_ts", "val_avg"])
+    pdf["bucket_ts"] = pdf["bucket_ts"].astype("datetime64[us]")
+    cut = base + pd.Timedelta(hours=96)
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    pdf[pdf["bucket_ts"] < cut].to_parquet(d / "batch0.parquet", index=False)
+    pdf[pdf["bucket_ts"] >= cut].to_parquet(d / "batch1.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema(
+            "series_key string, bucket_ts timestamp, val_avg double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        stream_gapfill_locf(stream, "1h")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_gapfill_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("SELECT * FROM t_gapfill_stream")
+        .orderBy("series_key", "bucket_ts")
+        .toPandas()
+    )
+    batch = (
+        gapfill_locf(spark.createDataFrame(pdf), "1h", value_cols=("val_avg",))
+        .select(
+            "series_key", "bucket_ts",
+            F.col("val_avg_filled").alias("value"), "is_gap",
+        )
+        .orderBy("series_key", "bucket_ts")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), batch.reset_index(drop=True),
+        check_exact=True,
+    )
