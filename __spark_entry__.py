@@ -1132,6 +1132,42 @@ def q_supsmu_trend_1d(spark, sf_dir):
     )
 
 
+def q_johansen_1h(spark, sf_dir):
+    """Johansen cointegration (features.R:249-261) of each user's paired
+    hourly series (val_avg vs n_points) — rows-only (reduced-rank
+    regression + Osterwald-Lenum critical tables; statistically sane
+    behavior pinned in tests/test_cointegration.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from feasts_spark.kernels.cointegration import cointegration_johansen
+
+    _utc(spark)
+    r = _hourly_pair(spark, sf_dir).select(
+        "series_key", "bucket_ts",
+        F.col("val_avg").alias("y"),
+        F.col("n_points").cast("double").alias("x"),
+    )
+    cols = ["johansen_stat_r0", "johansen_stat_r1", "johansen_pvalue_r0",
+            "johansen_pvalue_r1", "johansen_trace_r0",
+            "johansen_trace_pvalue_r0"]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_ts", kind="mergesort")
+        try:
+            res = cointegration_johansen(
+                pdf["y"].to_numpy(np.float64), pdf["x"].to_numpy(np.float64)
+            )
+        except Exception:
+            res = {}
+        row = {"series_key": pdf["series_key"].iloc[0]}
+        row.update({c: round(res[c], 4) if c in res else None for c in cols})
+        return pd.DataFrame([row])
+
+    schema = ", ".join(["series_key long"] + [f"{c} double" for c in cols])
+    return r.groupBy("series_key").applyInPandas(fn, schema=schema)
+
+
 def q_stl_generate_1d(spark, sf_dir):
     """generate.stl_decomposition (stl.R:171-197): 2 bootstrap replicates
     per user via seeded moving-block bootstrap of the STL remainder —
@@ -1243,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stl_multi_1h": q_stl_multi_1h,
         "supsmu_trend_1d": q_supsmu_trend_1d,
         "stl_generate_1d": q_stl_generate_1d,
+        "johansen_1h": q_johansen_1h,
         "tacf_1h": q_tacf_1h,
     }
 
