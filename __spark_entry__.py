@@ -1132,6 +1132,39 @@ def q_supsmu_trend_1d(spark, sf_dir):
     )
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing as a first-class query: documents' text bytes
+    become opaque BinaryType payloads (kind round-robins image/audio/video
+    by doc_id), then the decode -> feature-extract map-only pass runs with
+    the deterministic fake codec (real codecs are env-absent; the Spark
+    machinery — schema, mapInPandas batching, binary transport — is the
+    thing under test). Rows-only."""
+    from feasts_spark.operators.multimodal import extract_features
+
+    _utc(spark)
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 120)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(16).alias("width"), F.lit(16).alias("height"),
+            F.lit(8).alias("n_frames"), F.lit(16000).alias("sample_rate"),
+            F.lit("fake").alias("codec"),
+        ).alias("meta"),
+    )
+    out = extract_features(media)
+    return out.select(
+        "media_id", "kind", "feat_dim",
+        F.round(F.expr("aggregate(feature, 0D, (a, x) -> a + x)"), 4).alias(
+            "feat_sum"
+        ),
+    )
+
+
 def q_johansen_1h(spark, sf_dir):
     """Johansen cointegration (features.R:249-261) of each user's paired
     hourly series (val_avg vs n_points) — rows-only (reduced-rank
@@ -1280,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supsmu_trend_1d": q_supsmu_trend_1d,
         "stl_generate_1d": q_stl_generate_1d,
         "johansen_1h": q_johansen_1h,
+        "multimodal_features": q_multimodal_features,
         "tacf_1h": q_tacf_1h,
     }
 
