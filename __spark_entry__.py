@@ -527,7 +527,7 @@ def q_minhash_lsh(spark, sf_dir):
     )
 
     _utc(spark)
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
     sigs = minhash_signatures(d)
     cands = minhash_lsh_candidates(sigs)
     return minhash_estimate(sigs, cands).select(
