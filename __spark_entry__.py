@@ -311,6 +311,44 @@ FROM ranked WHERE rk = 1
 """
 
 
+def q_shift_var_max(spark, sf_dir):
+    from feasts_spark.functions import shift_var_df
+
+    _utc(spark)
+    out = shift_var_df(
+        _events(spark, sf_dir), "user_id", ["ts", "event_id"], "value", size=10
+    )
+    return out.select(
+        "series_key",
+        F.round("shift_var_max", 4).alias("shift_var_max"),
+        "shift_var_index",
+    )
+
+
+ORACLE_SHIFT_VAR = """
+WITH s AS (
+  SELECT user_id, value,
+         row_number() OVER w AS rn,
+         var_samp(value) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+           AS v10
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), d AS (
+  SELECT user_id, rn, v10,
+         abs(v10 - lag(v10, 10) OVER (PARTITION BY user_id ORDER BY rn)) AS diff
+  FROM s
+), ranked AS (
+  SELECT user_id, rn, diff,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY round(diff, 6) DESC, rn ASC) AS rk
+  FROM d WHERE diff IS NOT NULL
+)
+SELECT user_id AS series_key, round(diff, 4) AS shift_var_max,
+       rn - 9 AS shift_var_index
+FROM ranked WHERE rk = 1
+"""
+
+
 def q_var_tiled(spark, sf_dir):
     """var_tiled_mean (stability) + var_tiled_var (lumpiness), size=10."""
     from feasts_spark.functions import var_tiled_df
@@ -1284,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pacf_table_1h": q_pacf_table_1h,
         "crossing_points": q_crossing_points,
         "shift_level_max": q_shift_level_max,
+        "shift_var_max": q_shift_var_max,
         "var_tiled": q_var_tiled,
         "classical_additive_1d": q_classical_additive_1d,
         "stl_components_1d": q_stl_components_1d,
@@ -1328,6 +1367,7 @@ def oracle_sql() -> dict[str, str]:
         "acf_table_1h": ORACLE_ACF_1H,
         "crossing_points": ORACLE_CROSSING,
         "shift_level_max": ORACLE_SHIFT_LEVEL,
+        "shift_var_max": ORACLE_SHIFT_VAR,
         "var_tiled": ORACLE_VAR_TILED,
         "classical_additive_1d": ORACLE_CLASSICAL_1D,
         "dedup_exact": ORACLE_DEDUP_EXACT,

@@ -11,7 +11,8 @@ from feasts_spark.functions.sql_features import (
     acf1_expr,
     crossing_points_df,
     shift_level_df,
+    shift_var_df,
     var_tiled_df,
 )
 
-__all__ = ["acf1_expr", "crossing_points_df", "shift_level_df", "var_tiled_df"]
+__all__ = ["acf1_expr", "crossing_points_df", "shift_level_df", "shift_var_df", "var_tiled_df"]

@@ -108,3 +108,32 @@ def var_tiled_df(
         .otherwise(F.var_samp(F.when(F.col("_tn") == size, F.col("_tvar"))))
         .alias("var_tiled_var"),
     )
+
+
+def shift_var_df(
+    df: DataFrame, key_col: str, order_cols: list, value_col: str, size: int = 10
+) -> DataFrame:
+    """shift_var_max/index (features.R:421-444): rolling var_samp windows.
+
+    Same gaps-free window algebra as shift_level_df with var_samp — stays
+    entirely in whole-stage codegen."""
+    wo = W.partitionBy(key_col).orderBy(*order_cols)
+    wroll = wo.rowsBetween(-(size - 1), 0)
+    s = (
+        df.withColumn("_rn", F.row_number().over(wo))
+        .withColumn("_v", F.var_samp(value_col).over(wroll))
+        .withColumn("_diff", F.abs(F.col("_v") - F.lag("_v", size).over(wo)))
+        .filter(F.col("_diff").isNotNull())
+    )
+    wrank = W.partitionBy(key_col).orderBy(
+        F.desc(F.round("_diff", 6)), F.asc("_rn")
+    )
+    return (
+        s.withColumn("_rk", F.row_number().over(wrank))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col(key_col).alias("series_key"),
+            F.col("_diff").alias("shift_var_max"),
+            (F.col("_rn") - F.lit(size - 1)).alias("shift_var_index"),
+        )
+    )
