@@ -155,6 +155,11 @@ def run_bench(cores: str, sf_dir: str) -> dict:
 
     timed("transcripts_feature_pack", tr_features, points=n_turns)
 
+    # the events table is tiny (100k rows at sf0.1): AQE coalescing is the
+    # right call there — re-enable it for the small-SQL section so 128
+    # near-empty shuffle tasks don't dominate (runtime-settable conf)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
     def ev_rollup():
         r1m = rollup_raw(events, "1m", "user_id", "ts", "value")
         r1h = rollup_cascade(r1m, "1h")
