@@ -1084,6 +1084,20 @@ def q_ann_lsh_topk(spark, sf_dir):
     return out.select("query_id", "cand_id", "rank", F.round("cos", 4).alias("cos"))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-cell approximate cosine top-5 (the coarse-quantizer scale path,
+    complementing LSH) — rows-only; recall vs brute force asserted in
+    tests/test_similarity_text.py."""
+    from feasts_spark.operators.similarity import ann_ivf_topk
+
+    _utc(spark)
+    out = ann_ivf_topk(
+        _emb(spark, sf_dir), k=5, n_cells=8, nprobe=3,
+        query_filter=lambda c: c < 10,
+    )
+    return out.select("query_id", "cand_id", "rank", F.round("cos", 4).alias("cos"))
+
+
 def q_guerrero_1d(spark, sf_dir):
     """Box-Cox lambda (guerrero.R:30-60) per user over the 1d tier, weekly
     subseries — rows-only (Brent optimizer); golden-tested on WWWusage."""
@@ -1346,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "fingerprints": q_fingerprints,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "guerrero_1d": q_guerrero_1d,
         "unitroot_1d": q_unitroot_1d,
         "stl_multi_1h": q_stl_multi_1h,

@@ -167,3 +167,95 @@ def brute_force_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "rank", "cos")
     )
+
+
+def _ivf_centroids(df, id_col, vec_col, n_cells, seed, sample_n=4096,
+                   iters=4):
+    """Deterministic coarse quantizer: seeded sample -> a few Lloyd
+    iterations driver-side (standard IVF training: the sample is O(k*100)
+    regardless of table size; the full table is never collected)."""
+    samp = np.array(
+        df.select(vec_col)
+        .orderBy(F.pmod(F.xxhash64(id_col), F.lit(1_000_003)))
+        .limit(sample_n)
+        .toPandas()[vec_col]
+        .tolist(),
+        dtype=np.float64,
+    )
+    samp /= np.linalg.norm(samp, axis=1, keepdims=True) + 1e-12
+    rng = np.random.default_rng(seed)
+    cent = samp[rng.choice(samp.shape[0], n_cells, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(samp @ cent.T, axis=1)
+        for c in range(n_cells):
+            members = samp[assign == c]
+            if members.size:
+                v = members.mean(axis=0)
+                cent[c] = v / (np.linalg.norm(v) + 1e-12)
+    return cent
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    nprobe: int = 2,
+    seed: int = 7,
+    query_filter=None,
+) -> DataFrame:
+    """IVF approximate cosine top-k: coarse-quantize vectors into n_cells
+    (max-cosine centroid), queries probe their nprobe nearest cells, and
+    the join shuffles on cell ids — candidate work ~ nprobe/n_cells of
+    brute force. Centroids are trained once on a bounded seeded sample and
+    shipped in the UDF closure (k x dim floats — broadcast-sized)."""
+    cent = _ivf_centroids(df, id_col, vec_col, n_cells, seed)
+
+    def assign_fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            mat = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12)
+            sims = mat @ cent.T
+            order = np.argsort(-sims, axis=1)
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "vec": pdf[vec_col],
+                "cell": order[:, 0].astype(np.int32),
+                "probes": [order[i, :nprobe].astype(np.int32).tolist()
+                           for i in range(order.shape[0])],
+            })
+
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    proj = df.select(id_col, vec_col).mapInPandas(
+        assign_fn,
+        schema=f"id long, vec {vec_type}, cell int, probes array<int>",
+    )
+    cand = proj.select(
+        F.col("id").alias("cand_id"), F.col("vec").alias("ec"),
+        F.col("cell").alias("ccell"),
+    )
+    q = proj.select(
+        F.col("id").alias("query_id"), F.col("vec").alias("eq"),
+        F.explode("probes").alias("qcell"),
+    )
+    if query_filter is not None:
+        q = q.filter(query_filter(F.col("query_id")))
+    scored = (
+        q.join(cand, F.col("qcell") == F.col("ccell"))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id", "cand_id",
+            F.expr(_COS.format(a="eq", b="ec")).alias("cos"),
+        )
+        .groupBy("query_id", "cand_id")
+        .agg(F.max("cos").alias("cos"))
+    )
+    wrank = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "cos")
+    )

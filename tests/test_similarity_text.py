@@ -124,3 +124,30 @@ class TestSeriesStats:
         expect = ljung_box(x, lag=10)
         assert out.loc[0, "lb_stat"] == pytest.approx(expect["lb_stat"], rel=1e-12)
         assert out.loc[0, "lb_pvalue"] == pytest.approx(expect["lb_pvalue"], rel=1e-9)
+
+
+class TestAnnIvf:
+    def test_recall_and_determinism(self, spark, emb):
+        from feasts_spark.operators.similarity import ann_ivf_topk
+
+        qf = lambda c: c < 20  # noqa: E731
+        exact = brute_force_topk(emb, k=5, query_filter=qf).toPandas()
+        approx = ann_ivf_topk(
+            emb, k=5, n_cells=8, nprobe=3, query_filter=qf
+        ).toPandas()
+        hits = total = 0
+        for qid, grp in exact.groupby("query_id"):
+            truth = set(grp["cand_id"])
+            got = set(approx[approx["query_id"] == qid]["cand_id"])
+            hits += len(truth & got)
+            total += len(truth)
+        # near-random 64-d vectors are IVF's worst case; measured 0.70 at
+        # nprobe=3/8 (37% scan) — assert with headroom
+        assert hits / total >= 0.55, f"recall {hits/total:.2f}"
+        again = ann_ivf_topk(
+            emb, k=5, n_cells=8, nprobe=3, query_filter=qf
+        ).toPandas()
+        key = ["query_id", "rank"]
+        a = approx.sort_values(key).reset_index(drop=True)
+        b = again.sort_values(key).reset_index(drop=True)
+        assert (a["cand_id"] == b["cand_id"]).all()
