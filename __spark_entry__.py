@@ -36,9 +36,23 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _round_cols(df: DataFrame, cols: list[str], nd: int = 4) -> DataFrame:
+    # Tie-stable rounding: floor(x*10^nd + 0.500001)/10^nd, mirrored
+    # verbatim in the oracle SQL. Two failure modes this kills:
+    #   (a) Spark round() HALF_UPs the exact binary while DuckDB rounds the
+    #       shortest decimal repr — .xxxx5 ties flip between engines;
+    #   (b) summation-order ULP differences (cascade re-agg vs direct agg)
+    #       put the two engines' doubles on opposite sides of an EXACT .5
+    #       boundary. The 1e-6 nudge moves the boundary off the decimal tie
+    #       so ULP-scale (~1e-10) divergence cannot straddle it.
+    p = float(10**nd)
     for c in cols:
-        df = df.withColumn(c, F.round(F.col(c), nd))
+        df = df.withColumn(c, F.floor(F.col(c) * p + F.lit(0.500001)) / p)
     return df
+
+
+def _sql_r4(expr: str) -> str:
+    """The oracle-side twin of _round_cols for 4dp."""
+    return f"floor(({expr}) * 1e4 + 0.500001::DOUBLE) / 1e4"
 
 
 # ---------------------------------------------------------------------------
@@ -60,9 +74,9 @@ def q_rollup_1m(spark, sf_dir):
 def _rollup_oracle(trunc: str) -> str:
     return f"""
     SELECT user_id AS series_key, date_trunc('{trunc}', ts) AS bucket_ts,
-           count(*) AS n_points, round(sum(value), 4) AS val_sum,
+           count(*) AS n_points, {_sql_r4('sum(value)')} AS val_sum,
            min(value) AS val_min, max(value) AS val_max,
-           round(avg(value), 4) AS val_avg
+           {_sql_r4('avg(value)')} AS val_avg
     FROM events GROUP BY 1, 2
     """
 
@@ -98,9 +112,9 @@ def _cascade_oracle(trunc: str) -> str:
     # re-aggregate to the same values (arg-min/arg-max by ts for first/last)
     return f"""
     SELECT user_id AS series_key, date_trunc('{trunc}', ts) AS bucket_ts,
-           count(*) AS n_points, round(sum(value), 4) AS val_sum,
+           count(*) AS n_points, {_sql_r4('sum(value)')} AS val_sum,
            min(value) AS val_min, max(value) AS val_max,
-           round(avg(value), 4) AS val_avg,
+           {_sql_r4('avg(value)')} AS val_avg,
            arg_min(value, ts) AS val_first, arg_max(value, ts) AS val_last
     FROM events GROUP BY 1, 2
     """
@@ -119,7 +133,9 @@ def q_gapfill_locf_1d(spark, sf_dir):
     g = gapfill_locf(r, "1d", value_cols=("val_avg",))
     return g.select(
         "series_key", "bucket_ts", "is_gap",
-        F.round("val_avg_filled", 4).alias("val_filled"),
+        (F.floor(F.col("val_avg_filled") * 1e4 + F.lit(0.500001)) / 1e4).alias(
+            "val_filled"
+        ),
     )
 
 
@@ -135,9 +151,10 @@ WITH r AS (
 )
 SELECT g.user_id AS series_key, g.bucket_ts,
        r.val_avg IS NULL AS is_gap,
-       round(last_value(r.val_avg IGNORE NULLS) OVER (
+       floor(last_value(r.val_avg IGNORE NULLS) OVER (
          PARTITION BY g.user_id ORDER BY g.bucket_ts
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS val_filled
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1e4
+         + 0.500001::DOUBLE) / 1e4 AS val_filled
 FROM grid g LEFT JOIN r ON r.user_id = g.user_id AND r.bucket_ts = g.bucket_ts
 """
 
@@ -149,9 +166,14 @@ def q_gapfill_linear_1d(spark, sf_dir):
     _utc(spark)
     r = rollup_raw(_events(spark, sf_dir), "1d", "user_id", "ts", "value")
     g = gapfill_linear(r, "1d", value_col="val_avg")
+    # Tie-stable 4dp rounding (floor(x*1e4+0.5)) on BOTH engine sides:
+    # Spark round() HALF_UPs the exact binary while DuckDB rounds the
+    # shortest decimal repr, flipping .xxxx5 ties (see quality_scores).
     return g.select(
         "series_key", "bucket_ts", "is_gap",
-        F.round("val_avg_interp", 4).alias("val_interp"),
+        (F.floor(F.col("val_avg_interp") * 1e4 + F.lit(0.500001)) / 1e4).alias(
+            "val_interp"
+        ),
     )
 
 
@@ -179,11 +201,12 @@ WITH r AS (
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT series_key, bucket_ts, v IS NULL AS is_gap,
-  round(CASE WHEN v IS NOT NULL THEN v
-             WHEN pv IS NULL THEN nv
-             WHEN nv IS NULL THEN pv
-             ELSE pv + (nv - pv) * (epoch(bucket_ts) - epoch(pt))
-                                   / (epoch(nt) - epoch(pt)) END, 4) AS val_interp
+  floor((CASE WHEN v IS NOT NULL THEN v
+              WHEN pv IS NULL THEN nv
+              WHEN nv IS NULL THEN pv
+              ELSE pv + (nv - pv) * (epoch(bucket_ts) - epoch(pt))
+                                    / (epoch(nt) - epoch(pt)) END) * 1e4
+        + 0.500001::DOUBLE) / 1e4 AS val_interp
 FROM j
 """
 
@@ -260,8 +283,16 @@ def q_crossing_points(spark, sf_dir):
 
 
 ORACLE_CROSSING = """
-WITH m AS (
-  SELECT user_id, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+WITH v AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value) AS vrn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), m AS (
+  -- Order-statistics median, same formula as the Spark side: engine
+  -- percentile interpolation differs in the last ULP for even n.
+  SELECT user_id, avg(value) AS med FROM v
+  WHERE vrn = (n + 1) // 2 OR vrn = n // 2 + 1 GROUP BY 1
 ), s AS (
   SELECT e.user_id, (e.value <= m.med) AS ab,
          lead(e.value <= m.med) OVER (PARTITION BY e.user_id
@@ -318,9 +349,13 @@ def q_shift_var_max(spark, sf_dir):
     out = shift_var_df(
         _events(spark, sf_dir), "user_id", ["ts", "event_id"], "value", size=10
     )
+    # floor(x*1e4+0.5) tie-stable rounding on both engines (Spark HALF_UP
+    # vs DuckDB shortest-repr flips .xxxx5 ties, e.g. 3533.76495).
     return out.select(
         "series_key",
-        F.round("shift_var_max", 4).alias("shift_var_max"),
+        (F.floor(F.col("shift_var_max") * 1e4 + F.lit(0.500001)) / 1e4).alias(
+            "shift_var_max"
+        ),
         "shift_var_index",
     )
 
@@ -343,7 +378,8 @@ WITH s AS (
                             ORDER BY round(diff, 6) DESC, rn ASC) AS rk
   FROM d WHERE diff IS NOT NULL
 )
-SELECT user_id AS series_key, round(diff, 4) AS shift_var_max,
+SELECT user_id AS series_key,
+       floor(diff * 1e4 + 0.500001::DOUBLE) / 1e4 AS shift_var_max,
        rn - 9 AS shift_var_index
 FROM ranked WHERE rk = 1
 """
@@ -914,13 +950,14 @@ def q_gorilla_roundtrip_1h(spark, sf_dir):
     chunks = compress_chunks(r, "1h", key_col="series_key", value_col="val_avg")
     back = decompress_chunks(chunks)
     return back.select(
-        "series_key", "bucket_ts", F.round("value", 4).alias("val_avg")
+        "series_key", "bucket_ts",
+        (F.floor(F.col("value") * 1e4 + F.lit(0.500001)) / 1e4).alias("val_avg"),
     )
 
 
 ORACLE_GORILLA_1H = """
 SELECT user_id::VARCHAR AS series_key, date_trunc('hour', ts) AS bucket_ts,
-       round(avg(value), 4) AS val_avg
+       floor(avg(value) * 1e4 + 0.500001::DOUBLE) / 1e4 AS val_avg
 FROM events GROUP BY 1, 2
 """
 
@@ -1039,7 +1076,7 @@ SELECT doc_id, n_tok AS n_tokens,
        floor((0.4::DOUBLE * length_score
               + 0.3::DOUBLE * least(stop_ratio * 5, 1.0::DOUBLE)
               + 0.3::DOUBLE * (1.0::DOUBLE - least(punct_ratio * 4, 1.0::DOUBLE)))
-             * 10000 + 0.5::DOUBLE) / 10000 AS quality_score
+             * 10000 + 0.500001::DOUBLE) / 10000 AS quality_score
 FROM m
 """
 

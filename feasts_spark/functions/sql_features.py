@@ -33,9 +33,27 @@ def acf1_expr(df: DataFrame, key_col: str, order_cols: list, value_col: str) -> 
 def crossing_points_df(
     df: DataFrame, key_col: str, order_cols: list, value_col: str
 ) -> DataFrame:
-    """n_crossing_points (features.R:4-13): exact percentile median midline."""
-    med = df.groupBy(key_col).agg(
-        F.expr(f"percentile({value_col}, 0.5D)").alias("_med")
+    """n_crossing_points (features.R:4-13): exact order-statistics median.
+
+    The midline is computed as (v[(n+1) div 2] + v[n div 2 + 1]) / 2 over the
+    value-sorted series — the same formula R's median() uses — instead of
+    `percentile(...)`: interpolating percentile implementations differ in the
+    last ULP across engines for even n, flipping `value <= med` for points
+    exactly at the median. Order statistics + one IEEE add/divide are
+    bitwise-reproducible everywhere.
+    """
+    wk = W.partitionBy(key_col)
+    wv = W.partitionBy(key_col).orderBy(value_col)
+    med = (
+        df.select(key_col, value_col)
+        .withColumn("_vrn", F.row_number().over(wv))
+        .withColumn("_n", F.count(F.lit(1)).over(wk))
+        .filter(
+            (F.col("_vrn") == F.expr("(_n + 1) div 2"))
+            | (F.col("_vrn") == F.expr("_n div 2 + 1"))
+        )
+        .groupBy(key_col)
+        .agg(F.avg(value_col).alias("_med"))
     )
     wo = W.partitionBy(key_col).orderBy(*order_cols)
     s = (

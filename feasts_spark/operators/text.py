@@ -105,10 +105,12 @@ def quality_scores(
         + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
         + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0)))
     )
-    # floor(x*1e4+0.5)/1e4 instead of round(): engines disagree on decimal
-    # ties (DuckDB half-away on shortest repr, Spark HALF_UP on BigDecimal);
-    # floor on the identical double is deterministic in both.
-    q4 = F.floor(composite * 10000 + F.lit(0.5)) / 10000
+    # floor(x*1e4+0.500001)/1e4 instead of round(): engines disagree on
+    # decimal ties (DuckDB half-away on shortest repr, Spark HALF_UP on
+    # BigDecimal); floor on the identical double is deterministic in both,
+    # and the 1e-6 boundary nudge keeps summation-order ULP divergence from
+    # straddling an exact .5 tie. Mirrors the oracle SQL verbatim.
+    q4 = F.floor(composite * 10000 + F.lit(0.500001)) / 10000
     return df.select(
         id_col,
         n_tok.alias("n_tokens"),

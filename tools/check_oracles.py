@@ -16,8 +16,10 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+STRICT = "--strict" in sys.argv
+argv = [a for a in sys.argv if a != "--strict"]
+SF_DIR = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
+ONLY = argv[2].split(",") if len(argv) > 2 else None
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -33,7 +35,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_bool_dtype(df[c]):
             df[c] = df[c].astype("int64")
         elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(6)
+            if not STRICT:
+                df[c] = df[c].round(6)
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
     df = df.reindex(sorted(df.columns), axis=1)
@@ -87,7 +90,13 @@ def main() -> int:
             print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
             continue
         try:
-            pd.testing.assert_frame_equal(g, e, check_dtype=False, atol=1e-9)
+            if STRICT:
+                # Mimic the round driver: bitwise value-hash parity.
+                pd.testing.assert_frame_equal(
+                    g, e, check_dtype=False, check_exact=True
+                )
+            else:
+                pd.testing.assert_frame_equal(g, e, check_dtype=False, atol=1e-9)
             print(f"OK   {name}: {len(g)} rows  ({el:.1f}s)")
         except AssertionError as exc:
             failures.append(name)
