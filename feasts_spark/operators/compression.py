@@ -1,185 +1,295 @@
 """Gorilla time-series compression (Pelkonen et al., VLDB 2015) as Spark UDFs.
 
-Encodes per-(key, chunk) point streams into a BinaryType payload:
+Encodes per-(key, span) point streams into a BinaryType payload:
   timestamps — delta-of-delta with the paper's bit buckets
-               (0 / 7 / 9 / 12 / 32 bits + '0'/'10'/'110'/'1110'/'1111' tags),
+               (0 / 7 / 9 / 12 / 64 bits + '0'/'10'/'110'/'1110'/'1111' tags),
   values     — float64 XOR with 5-bit leading-zero + 6-bit block-length
                control, reusing the previous meaningful-bit window when
                possible.
 
 The reference has no compression (feasts holds R vectors in memory); this
-is a north-rule engine component [BASELINE.json]. Chunking by (key, tier
-bucket span) keeps payloads bounded so executor memory is independent of
-conversation length; the encoder is invoked per group via applyInPandas.
+is a north-rule engine component [BASELINE.json].
 
-Round-trip is bit-exact (tested): decode(encode(ts, vals)) == (ts, vals).
+Scale design:
+  - The encoder is numpy-vectorized: delta-of-delta bucket classification,
+    XOR lead/trail counts, and the final bit-packing all run as array ops;
+    the only per-point Python work is the (inherently sequential) XOR
+    control-window recurrence, a handful of int ops per point. The bit
+    stream is assembled with one `np.bitwise_or.at` packing pass instead of
+    a quadratic Python-bignum accumulator.
+  - The decoder is a sequential loop by nature (entry boundaries are
+    data-dependent), but reads through an O(1)-amortized word-refill
+    reader instead of shifting one giant bignum per read.
+  - `compress_chunks` puts a bounded calendar span (day for the 1m tier,
+    month for 1h, year for 1d) in its OWN group key, so a whale series can
+    never become a single unbounded Python group.
+  - `decompress_chunks` uses mapInPandas — chunk rows decode independently,
+    no shuffle at all.
+
+Round-trip is bit-exact (tested): decode(encode(ts, vals)) == (ts, vals),
+and the byte format is identical to the round-1 scalar encoder (spec test
+in tests/test_gorilla_spec.py).
 """
 
 from __future__ import annotations
-
-import struct
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-
-class _BitWriter:
-    __slots__ = ("acc", "nbits")
-
-    def __init__(self) -> None:
-        self.acc = 0
-        self.nbits = 0
-
-    def write(self, value: int, nbits: int) -> None:
-        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
-        self.nbits += nbits
-
-    def to_bytes(self) -> bytes:
-        pad = (-self.nbits) % 8
-        return ((self.acc << pad)).to_bytes((self.nbits + pad) // 8, "big")
+_U64 = np.uint64
+_MASK32 = np.uint64(0xFFFFFFFF)
 
 
-class _BitReader:
-    __slots__ = ("data", "pos")
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (x==0 -> 64)."""
+    x = x.astype(np.uint64, copy=True)
+    lead = np.zeros(x.shape, dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        hi_zero = (x >> _U64(s)) == 0
+        lead = np.where(hi_zero, lead + s, lead)
+        x = np.where(hi_zero, x, x >> _U64(s))
+    return np.where(x == 0, lead + 1, lead)
 
-    def __init__(self, data: bytes) -> None:
-        self.data = int.from_bytes(data, "big")
-        self.pos = len(data) * 8
 
-    def read(self, nbits: int) -> int:
-        self.pos -= nbits
-        return (self.data >> self.pos) & ((1 << nbits) - 1)
+def _ctz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-trailing-zeros for uint64 (x==0 -> 64)."""
+    x = x.astype(np.uint64)
+    low = x & (~x + _U64(1))  # isolate lowest set bit
+    return np.where(x == 0, np.int64(64), 63 - _clz64(low))
 
 
-_DOD_BUCKETS = (
-    (-63, 64, "10", 7),
-    (-255, 256, "110", 9),
-    (-2047, 2048, "1110", 12),
-)
+def _pack_bits(values: np.ndarray, nbits: np.ndarray) -> bytes:
+    """Pack (value, nbits<=32) entries MSB-first into a zero-padded stream.
+
+    Each entry spans at most 5 bytes after byte alignment; contributions
+    never overlap bit-wise, so 5 `np.bitwise_or.at` scatter passes build
+    the whole buffer with no sequential loop.
+    """
+    nbits = nbits.astype(np.int64)
+    end = np.cumsum(nbits)
+    total = int(end[-1]) if end.size else 0
+    start = end - nbits
+    shift = (-end) % 8  # left-shift to byte-align each entry's LSB
+    v = values.astype(np.uint64) << shift.astype(np.uint64)  # < 2^39
+    b_end = (end - 1) // 8
+    b_start = start // 8
+    buf = np.zeros((total + 7) // 8, dtype=np.uint8)
+    span = b_end - b_start + 1  # 1..5 bytes
+    for j in range(5):
+        m = span > j
+        if not m.any():
+            break
+        np.bitwise_or.at(
+            buf, b_end[m] - j, ((v[m] >> _U64(8 * j)) & _U64(0xFF)).astype(np.uint8)
+        )
+    return buf.tobytes()
 
 
 def gorilla_encode(ts_us: np.ndarray, values: np.ndarray) -> bytes:
     """Encode parallel int64-microsecond timestamps + float64 values."""
-    ts_us = np.asarray(ts_us, dtype=np.int64)
-    values = np.asarray(values, dtype=np.float64)
+    ts_us = np.ascontiguousarray(ts_us, dtype=np.int64)
+    values = np.ascontiguousarray(values, dtype=np.float64)
     n = ts_us.size
-    out = _BitWriter()
-    out.write(n, 32)
+    bits0 = values.view(np.uint64) if n else np.empty(0, np.uint64)
+    # --- header: count, first ts, first value (as 32-bit packing entries) ---
+    head_v = [np.uint64(n)]
+    head_b = [32]
     if n == 0:
-        return out.to_bytes()
-    out.write(int(ts_us[0]) & ((1 << 64) - 1), 64)
-    out.write(struct.unpack(">Q", struct.pack(">d", values[0]))[0], 64)
-    prev_delta = 0
-    prev_lead, prev_len = -1, -1
-    prev_bits = struct.unpack(">Q", struct.pack(">d", values[0]))[0]
+        return _pack_bits(np.array(head_v, np.uint64), np.array(head_b))
+    t0 = np.uint64(ts_us[0].astype(np.uint64))
+    v0 = np.uint64(bits0[0])
+    head_v += [t0 >> _U64(32), t0 & _MASK32, v0 >> _U64(32), v0 & _MASK32]
+    head_b += [32, 32, 32, 32]
+    if n == 1:
+        return _pack_bits(np.array(head_v, np.uint64), np.array(head_b))
+
+    m = n - 1  # points 1..n-1 each emit a ts entry-group and a value group
+    # --- timestamps: delta-of-delta, fully vectorized ------------------
     deltas = np.diff(ts_us)
-    for i in range(1, n):
-        # --- timestamp: delta-of-delta ---
-        delta = int(deltas[i - 1])
-        dod = delta - prev_delta
-        prev_delta = delta
-        if dod == 0:
-            out.write(0, 1)
-        else:
-            for lo, hi, tag, nbits in _DOD_BUCKETS:
-                if lo <= dod <= hi:
-                    out.write(int(tag, 2), len(tag))
-                    out.write(dod - lo, nbits)
-                    break
-            else:
-                # escape bucket widened to 64 bits (the paper uses 32 for
-                # second-resolution stamps; we carry microseconds, where a
-                # 1d-tier first-delta alone exceeds 2^31)
-                out.write(0b1111, 4)
-                out.write(dod & ((1 << 64) - 1), 64)
-        # --- value: XOR ---
-        bits = struct.unpack(">Q", struct.pack(">d", values[i]))[0]
-        xor = bits ^ prev_bits
-        prev_bits = bits
-        if xor == 0:
-            out.write(0, 1)
+    dod = np.diff(deltas, prepend=np.int64(0))  # dod[0] = delta[0] - 0
+    dod_u = dod.astype(np.uint64)
+    in_b1 = (dod >= -63) & (dod <= 64)
+    in_b2 = (dod >= -255) & (dod <= 256) & ~in_b1
+    in_b3 = (dod >= -2047) & (dod <= 2048) & ~in_b1 & ~in_b2
+    is_zero = dod == 0
+    esc = ~(is_zero | in_b1 | in_b2 | in_b3)
+    # slot 0: tag (+ inline payload for the small buckets)
+    ts_v0 = np.select(
+        [is_zero, in_b1, in_b2, in_b3],
+        [
+            np.uint64(0),
+            (_U64(0b10) << _U64(7)) | ((dod + 63).astype(np.uint64)),
+            (_U64(0b110) << _U64(9)) | ((dod + 255).astype(np.uint64)),
+            (_U64(0b1110) << _U64(12)) | ((dod + 2047).astype(np.uint64)),
+        ],
+        default=np.uint64(0b1111),
+    )
+    ts_n0 = np.select([is_zero, in_b1, in_b2, in_b3], [1, 9, 12, 16], default=4)
+    # slots 1+2: the 64-bit escape payload split into two 32-bit halves
+    ts_v1 = np.where(esc, dod_u >> _U64(32), _U64(0))
+    ts_n1 = np.where(esc, 32, 0)
+    ts_v2 = np.where(esc, dod_u & _MASK32, _U64(0))
+    ts_n2 = np.where(esc, 32, 0)
+
+    # --- values: XOR lead/trail vectorized, control window sequential ---
+    xor = bits0[1:] ^ bits0[:-1]
+    lead_arr = np.minimum(_clz64(xor), 31)
+    trail_arr = _ctz64(xor)
+    # Sequential recurrence over precomputed python ints (the XOR window
+    # reuse decision depends on the previous emitted header).
+    xor_l = xor.tolist()
+    lead_l = lead_arr.tolist()
+    trail_l = trail_arr.tolist()
+    va_v0 = [0] * m  # control (+header) entry
+    va_n0 = [0] * m
+    va_v1 = [0] * m  # payload high half
+    va_n1 = [0] * m
+    va_v2 = [0] * m  # payload low half
+    va_n2 = [0] * m
+    prev_lead, prev_len = -1, -1
+    for i in range(m):
+        x = xor_l[i]
+        if x == 0:
+            va_n0[i] = 1  # '0' control bit, value 0
             continue
-        lead = 64 - xor.bit_length()
-        trail = (xor & -xor).bit_length() - 1
-        if lead > 31:
-            lead = 31
-        if (
-            prev_lead >= 0
-            and lead >= prev_lead
-            and trail >= 64 - prev_lead - prev_len
-        ):
-            out.write(0b10, 2)
-            out.write(xor >> (64 - prev_lead - prev_len), prev_len)
+        lead = lead_l[i]
+        trail = trail_l[i]
+        if prev_lead >= 0 and lead >= prev_lead and trail >= 64 - prev_lead - prev_len:
+            va_v0[i] = 0b10
+            va_n0[i] = 2
+            payload = x >> (64 - prev_lead - prev_len)
+            plen = prev_len
         else:
             mlen = 64 - lead - trail
-            out.write(0b11, 2)
-            out.write(lead, 5)
-            out.write(mlen - 1, 6)
-            out.write(xor >> trail, mlen)
+            va_v0[i] = (0b11 << 11) | (lead << 6) | (mlen - 1)
+            va_n0[i] = 13
+            payload = x >> trail
+            plen = mlen
             prev_lead, prev_len = lead, mlen
-    return out.to_bytes()
+        if plen <= 32:
+            va_v1[i] = payload
+            va_n1[i] = plen
+        else:
+            va_v1[i] = payload >> 32
+            va_n1[i] = plen - 32
+            va_v2[i] = payload & 0xFFFFFFFF
+            va_n2[i] = 32
+
+    # --- interleave per-point entry groups and pack ---------------------
+    vals_mat = np.empty((m, 6), dtype=np.uint64)
+    bits_mat = np.empty((m, 6), dtype=np.int64)
+    vals_mat[:, 0] = ts_v0
+    vals_mat[:, 1] = ts_v1
+    vals_mat[:, 2] = ts_v2
+    vals_mat[:, 3] = np.array(va_v0, dtype=np.uint64)
+    vals_mat[:, 4] = np.array(va_v1, dtype=np.uint64)
+    vals_mat[:, 5] = np.array(va_v2, dtype=np.uint64)
+    bits_mat[:, 0] = ts_n0
+    bits_mat[:, 1] = ts_n1
+    bits_mat[:, 2] = ts_n2
+    bits_mat[:, 3] = np.array(va_n0, dtype=np.int64)
+    bits_mat[:, 4] = np.array(va_n1, dtype=np.int64)
+    bits_mat[:, 5] = np.array(va_n2, dtype=np.int64)
+    flat_v = np.concatenate([np.array(head_v, np.uint64), vals_mat.ravel()])
+    flat_b = np.concatenate([np.array(head_b, np.int64), bits_mat.ravel()])
+    keep = flat_b > 0
+    return _pack_bits(flat_v[keep], flat_b[keep])
+
+
+class _WordReader:
+    """MSB-first bit reader with an O(1)-amortized 64-bit-word refill.
+
+    The accumulator never exceeds ~128 bits, so every read is a few
+    small-int ops — unlike a whole-payload bignum, which costs O(len)
+    per read.
+    """
+
+    __slots__ = ("_words", "_wi", "_acc", "_nacc")
+
+    def __init__(self, data: bytes) -> None:
+        pad = (-len(data)) % 8
+        self._words = np.frombuffer(data + b"\x00" * pad, dtype=">u8").tolist()
+        self._wi = 0
+        self._acc = 0
+        self._nacc = 0
+
+    def read(self, nbits: int) -> int:
+        acc, nacc = self._acc, self._nacc
+        while nacc < nbits:
+            acc = (acc << 64) | self._words[self._wi]
+            self._wi += 1
+            nacc += 64
+        nacc -= nbits
+        out = (acc >> nacc) & ((1 << nbits) - 1)
+        self._acc = acc & ((1 << nacc) - 1)
+        self._nacc = nacc
+        return out
 
 
 def gorilla_decode(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
     """Inverse of gorilla_encode — returns (ts_us int64, values float64)."""
-    r = _BitReader(payload)
-    n = r.read(32)
+    r = _WordReader(payload)
+    read = r.read
+    n = read(32)
     ts = np.empty(n, dtype=np.int64)
-    vals = np.empty(n, dtype=np.float64)
+    vals_u = np.empty(n, dtype=np.uint64)
     if n == 0:
-        return ts, vals
-    t0 = r.read(64)
+        return ts, vals_u.view(np.float64)
+    t0 = read(64)
     if t0 >= 1 << 63:
         t0 -= 1 << 64
-    ts[0] = t0
-    bits = r.read(64)
-    vals[0] = struct.unpack(">d", struct.pack(">Q", bits))[0]
+    bits = read(64)
     prev_delta = 0
     prev_lead, prev_len = -1, -1
     t = t0
+    ts_l = [0] * n
+    va_l = [0] * n
+    ts_l[0] = t0
+    va_l[0] = bits
     for i in range(1, n):
         # timestamps
-        if r.read(1) == 0:
+        if read(1) == 0:
             dod = 0
+        elif read(1) == 0:
+            dod = read(7) - 63
+        elif read(1) == 0:
+            dod = read(9) - 255
+        elif read(1) == 0:
+            dod = read(12) - 2047
         else:
-            if r.read(1) == 0:
-                lo, nbits = -63, 7
-            elif r.read(1) == 0:
-                lo, nbits = -255, 9
-            elif r.read(1) == 0:
-                lo, nbits = -2047, 12
-            else:
-                lo, nbits = None, 64
-            raw = r.read(nbits)
-            if lo is None:
-                dod = raw - (1 << 64) if raw >= (1 << 63) else raw
-            else:
-                dod = raw + lo
+            raw = read(64)
+            dod = raw - (1 << 64) if raw >= (1 << 63) else raw
         prev_delta += dod
         t += prev_delta
-        ts[i] = t
+        ts_l[i] = t
         # values
-        if r.read(1) == 0:
-            vals[i] = struct.unpack(">d", struct.pack(">Q", bits))[0]
+        if read(1) == 0:
+            va_l[i] = bits
             continue
-        if r.read(1) == 0:
+        if read(1) == 0:
             mlen = prev_len
             lead = prev_lead
         else:
-            lead = r.read(5)
-            mlen = r.read(6) + 1
+            lead = read(5)
+            mlen = read(6) + 1
             prev_lead, prev_len = lead, mlen
-        xor = r.read(mlen) << (64 - lead - mlen)
-        bits ^= xor
-        vals[i] = struct.unpack(">d", struct.pack(">Q", bits))[0]
-    return ts, vals
+        bits ^= read(mlen) << (64 - lead - mlen)
+        va_l[i] = bits
+    ts[:] = ts_l
+    vals_u[:] = va_l
+    return ts, vals_u.view(np.float64)
 
 
 CHUNK_SCHEMA = (
     "series_key string, tier string, start_ts timestamp, end_ts timestamp, "
     "n_points int, payload binary"
 )
+
+# Bounded chunk spans per tier: worst-case points per chunk stays ~O(1000)
+# (1440 minutes/day, 744 hours/month, 366 days/year), so executor memory per
+# group is independent of how long a conversation/series runs.
+SPAN_TRUNC = {"1m": "day", "1h": "month", "1d": "year"}
 
 
 def compress_chunks(
@@ -188,18 +298,19 @@ def compress_chunks(
     key_col: str = "series_key",
     ts_col: str = "bucket_ts",
     value_col: str = "val_avg",
+    span: str | None = None,
 ) -> DataFrame:
-    """Rollup rows -> one Gorilla chunk per key (per tier).
+    """Rollup rows -> one Gorilla chunk per (key, bounded calendar span).
 
-    At scale chunks should additionally split on a bounded span (e.g. one
-    day of 1m points) — callers pre-split by adding the span column to the
-    group key; this operator compresses whatever group it is given.
+    The span column is part of the operator's own group key (day for 1m,
+    month for 1h, year for 1d by default) — a whale series is split across
+    chunks by construction rather than relying on callers to pre-split.
     """
+    span = span or SPAN_TRUNC.get(tier, "month")
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col, kind="mergesort")
-        ts_us = pdf[ts_col].astype("int64").to_numpy()  # ns since epoch
-        ts_us = ts_us // 1000
+        ts_us = pdf[ts_col].astype("int64").to_numpy() // 1000  # ns -> us
         vals = pdf[value_col].to_numpy(dtype=np.float64)
         payload = gorilla_encode(ts_us, vals)
         return pd.DataFrame(
@@ -213,30 +324,41 @@ def compress_chunks(
             }]
         )
 
-    return df.groupBy(key_col).applyInPandas(fn, schema=CHUNK_SCHEMA)
+    sdf = df.withColumn("_span", F.date_trunc(span, F.col(ts_col)))
+    return sdf.groupBy(key_col, "_span").applyInPandas(fn, schema=CHUNK_SCHEMA)
 
 
 def decompress_chunks(chunks: DataFrame) -> DataFrame:
-    """Chunk table -> exploded (series_key, tier, bucket_ts, value) rows."""
+    """Chunk table -> exploded (series_key, tier, bucket_ts, value) rows.
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for _, row in pdf.iterrows():
-            ts_us, vals = gorilla_decode(bytes(row["payload"]))
-            frames.append(
-                pd.DataFrame({
-                    "series_key": row["series_key"],
-                    "tier": row["tier"],
-                    "bucket_ts": pd.to_datetime(ts_us * 1000),
-                    "value": vals,
-                })
-            )
-        if not frames:
-            return pd.DataFrame(
-                columns=["series_key", "tier", "bucket_ts", "value"]
-            )
-        return pd.concat(frames, ignore_index=True)
+    Chunks decode independently, so this is mapInPandas — a narrow,
+    shuffle-free transformation (the round-1 groupBy version paid a full
+    shuffle for nothing).
+    """
 
-    return chunks.groupBy("series_key").applyInPandas(
+    cols = ["series_key", "tier", "bucket_ts", "value"]
+
+    def fn(batches):
+        for pdf in batches:
+            frames = []
+            for key, tier, payload in zip(
+                pdf["series_key"], pdf["tier"], pdf["payload"]
+            ):
+                ts_us, vals = gorilla_decode(bytes(payload))
+                frames.append(
+                    pd.DataFrame({
+                        "series_key": key,
+                        "tier": tier,
+                        "bucket_ts": pd.to_datetime(ts_us * 1000),
+                        "value": vals,
+                    })
+                )
+            yield (
+                pd.concat(frames, ignore_index=True)
+                if frames
+                else pd.DataFrame(columns=cols)
+            )
+
+    return chunks.select("series_key", "tier", "payload").mapInPandas(
         fn, schema="series_key string, tier string, bucket_ts timestamp, value double"
     )
