@@ -610,12 +610,31 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (Hamming <= 16 of 64) — rows-only."""
+    """ALL SimHash near-dup pairs with Hamming <= 16 (of 60 bits).
+
+    Banding into max_hamming+1 chunks is pigeonhole-complete, so the
+    banded join computes exactly the brute-force semantics the oracle
+    checks (round 1's fixed 4-chunk banding silently missed distances
+    4-16)."""
     from feasts_spark.operators.dedup import simhash_near_pairs, simhash_signatures
 
     _utc(spark)
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     return simhash_near_pairs(simhash_signatures(d), max_hamming=16)
+
+
+def _oracle_simhash_pairs() -> str:
+    from feasts_spark.operators.dedup import simhash_oracle_sql
+
+    # The signature CTE is the engine's own cross-engine hash formula; the
+    # pair semantics are verified brute-force (banding must equal it).
+    return f"""
+WITH sigs AS ({simhash_oracle_sql("(SELECT * FROM documents WHERE doc_id < 200)")})
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sigs a JOIN sigs b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
+"""
 
 
 def q_cosine_pairs(spark, sf_dir):
@@ -1437,6 +1456,7 @@ def oracle_sql() -> dict[str, str]:
         "language_id": ORACLE_LANGUAGE_ID,
         "quality_scores": ORACLE_QUALITY,
         "fingerprints": ORACLE_FINGERPRINTS,
+        "simhash_pairs": _oracle_simhash_pairs(),
         # pacf_table_1h, stl_components_1d, feature_pack, ann_topk,
         # ann_lsh_topk, guerrero_1d, unitroot_1d, stl_multi_1h,
         # supsmu_trend_1d, tacf_1h: non-SQL-expressible (D-L recursion,

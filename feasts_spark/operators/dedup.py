@@ -4,18 +4,27 @@ Four tiers, cheapest to most semantic (all Spark-first):
 
   exact_dedup        — md5(text) groupBy; one shuffle, trivially scalable.
   ngram_jaccard_pairs— exact word-n-gram Jaccard via explode + self-join on
-                       shared shingles. Pure SQL (codegen), oracle-able;
-                       intended for candidate verification or small domains.
-  minhash_lsh        — MinHash signatures (vectorized numpy inside
-                       mapInPandas; universal hashing (a*x+b) mod p over
-                       xxhash64 shingle ids) banded into LSH buckets; only
-                       bucket cohabitants become candidate pairs. At scale:
-                       signature pass is map-only; the only shuffle keys on
-                       (band, band_hash); candidates are verified with exact
-                       Jaccard on a join that touches just the candidates.
-  simhash            — 64-bit SimHash; near-dup = small Hamming distance,
-                       banded on 16-bit chunks for the same
-                       shuffle-only-on-buckets property.
+                       shared shingles, with a document-frequency cap that
+                       drops hot shingles (the MMDS stopword-shingle fix)
+                       so one common 3-gram can't make the join quadratic.
+                       Pure SQL (codegen), oracle-able.
+  minhash_lsh        — MinHash signatures (numpy-vectorized uint64
+                       universal hashing inside mapInPandas — no per-shingle
+                       Python, no object dtype) banded into LSH buckets;
+                       only bucket cohabitants become candidate pairs. At
+                       scale: signature pass is map-only; the only shuffle
+                       keys on (band, band_hash); candidates are verified
+                       with exact Jaccard on a join that touches just the
+                       candidates.
+  simhash            — 60-bit SimHash computed ENTIRELY in SQL (explode
+                       tokens -> md5-prefix token hash -> per-bit sign
+                       sums), so the hot path is whole-stage codegen and a
+                       DuckDB oracle can replay it bit-for-bit. Near-dup
+                       banding uses ceil-distributed chunks with
+                       n_chunks = max_hamming + 1, so the pigeonhole
+                       guarantee holds for ANY radius (round 1 banded four
+                       16-bit chunks, which is only complete for
+                       Hamming <= 3).
 
 The reference engine (feasts) has no dedup; these follow the standard MMDS
 constructions (Leskovec et al., ch.3) re-expressed on DataFrames.
@@ -27,7 +36,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-_MERSENNE_P = (1 << 61) - 1
+SIMHASH_BITS = 60  # md5 15-hex-char prefix: parseable to int64 in both engines
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -49,12 +58,21 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int | None = 256,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
 
-    Plan shape: explode distinct shingles -> self-join on shingle (shuffle
-    keyed on shingle) -> per-pair intersection count -> Jaccard via
-    |A|+|B|-|A∩B|. Pairs sharing nothing never materialize.
+    Plan shape: explode distinct shingles -> drop shingles appearing in more
+    than `max_doc_freq` documents -> self-join on shingle (shuffle keyed on
+    shingle) -> per-pair intersection count -> Jaccard via |A|+|B|-|A∩B|.
+
+    The doc-frequency cap bounds the candidate blow-up: a shingle shared by
+    d documents contributes d^2/2 join rows, so one stopword 3-gram common
+    to 10^6 docs would otherwise create ~10^12 candidates. Dropped shingles
+    slightly undercount the intersection for pairs that share them — pairs
+    at a high Jaccard threshold share many rare shingles and are unaffected
+    (the per-pair |A∩B| loses at most the hot shingles). Pass
+    `max_doc_freq=None` for the exact small-domain verifier.
     """
     toks = tokenize_expr(text_col)
     grams = df.select(
@@ -69,8 +87,18 @@ def ngram_jaccard_pairs(
         ).alias("gram"),
     )
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = grams.alias("a")
-    b = grams.alias("b")
+    joinable = grams
+    if max_doc_freq is not None:
+        hot = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("gram")
+        )
+        # the hot set is tiny by construction — broadcast the anti-join
+        joinable = grams.join(F.broadcast(hot), "gram", "left_anti")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     inter = (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -90,10 +118,32 @@ def ngram_jaccard_pairs(
 
 
 def _minhash_params(num_perm: int, seed: int = 42):
+    """(a, b) for h_i(x) = (a_i*x + b_i) mod 2^64 with odd a_i.
+
+    Multiply-shift (Dietzfelbinger) hashing: the mod-2^64 wrap is free in
+    uint64, a_i odd makes the map a bijection on Z_2^64, and min-wise
+    equality — the only property MinHash uses — is preserved. Three array
+    passes per slab (mul, add, min) instead of a Mersenne modular reduce.
+    """
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE_P, size=num_perm, dtype=np.int64).astype(object)
-    b = rng.randint(0, _MERSENNE_P, size=num_perm, dtype=np.int64).astype(object)
+    a = (
+        rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64) * np.uint64(2)
+        + np.uint64(1)
+    )
+    b = rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64)
     return a, b
+
+
+def _ragged_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenate arange(starts[i], starts[i]+counts[i]) without a loop."""
+    ends = np.cumsum(counts)
+    total = int(ends[-1]) if ends.size else 0
+    out_offs = ends - counts
+    return (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(out_offs, counts)
+        + np.repeat(starts, counts)
+    )
 
 
 def minhash_signatures(
@@ -104,40 +154,83 @@ def minhash_signatures(
     shingle_n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """Map-only MinHash signature pass: (id, signature array<long>)."""
+    """Map-only MinHash signature pass: (id, signature array<long>).
+
+    Vectorized end to end — no per-shingle Python, no hashlib, no object
+    dtype:
+      1. every TOKEN is hashed once in one C pass (pandas siphash with a
+         fixed key — deterministic across executors);
+      2. shingle ids are rolling combinations of `shingle_n` consecutive
+         token hashes (odd-constant multiply-mix), computed with array
+         slicing — shingle strings are never materialized;
+      3. no set-dedup: min over a multiset equals min over its set, so
+         MinHash still estimates SET Jaccard;
+      4. the (num_perm x n_shingles) hash matrix is multiply-shift
+         (odd-a a*x+b mod 2^64, free uint64 wrap — no divides, no
+         object dtype) and is min-reduced per document with
+         np.minimum.reduceat.
+    Documents are processed in ~256k-shingle slabs so the matrix stays
+    ~256 MB regardless of Arrow batch size.
+    """
     a_params, b_params = _minhash_params(num_perm, seed)
+    # odd 64-bit mixing constants (splitmix64/xxhash finalizer family)
+    mix = np.array(
+        [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+         0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD][:shingle_n],
+        dtype=np.uint64,
+    )
+    slab_shingles = 1 << 18
 
     def fn(batches):
-        a = np.array(a_params, dtype=object)
-        b = np.array(b_params, dtype=object)
+        a = a_params[:, None]
+        b = b_params[:, None]
         for pdf in batches:
-            sigs = []
-            for text in pdf[text_col].fillna("").astype(str):
-                toks = text.lower().split()
-                if len(toks) < shingle_n:
-                    shingles = {" ".join(toks)} if toks else {""}
-                else:
-                    shingles = {
-                        " ".join(toks[i : i + shingle_n])
-                        for i in range(len(toks) - shingle_n + 1)
-                    }
-                # shingle ids via python hash of md5 (stable across workers)
-                import hashlib
-
-                ids = np.array(
-                    [
-                        int.from_bytes(
-                            hashlib.md5(s.encode()).digest()[:8], "big"
-                        )
-                        for s in shingles
-                    ],
-                    dtype=object,
-                )
-                # h_i(x) = (a_i * x + b_i) mod p, min over shingles
-                hs = (ids[None, :] * a[:, None] + b[:, None]) % _MERSENNE_P
-                sig = hs.min(axis=1)
-                sigs.append([int(v) & 0x7FFFFFFFFFFFFFFF for v in sig])
-            yield pd.DataFrame({"id": pdf[id_col], "signature": sigs})
+            token_lists = [
+                t.lower().split() for t in pdf[text_col].fillna("").astype(str)
+            ]
+            ndocs = len(token_lists)
+            lens = np.fromiter(
+                (len(t) for t in token_lists), dtype=np.int64, count=ndocs
+            )
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            flat = [tok for lst in token_lists for tok in lst]
+            tok_h = (
+                pd.util.hash_array(np.asarray(flat, dtype=object))
+                if flat
+                else np.empty(0, np.uint64)
+            )
+            # rolling shingle ids over the global token array
+            n_win = max(tok_h.size - shingle_n + 1, 0)
+            sh_all = np.zeros(n_win, dtype=np.uint64)
+            for j in range(shingle_n):
+                sh_all += tok_h[j : j + n_win] * mix[j]
+            counts = np.maximum(lens - shingle_n + 1, 0)
+            counts2 = np.where(counts > 0, counts, 1)  # short docs -> 1 shingle
+            offs2 = np.concatenate([[0], np.cumsum(counts2)[:-1]])
+            X = np.empty(int(counts2.sum()), dtype=np.uint64)
+            X[_ragged_ranges(offs2, counts)] = sh_all[_ragged_ranges(starts, counts)]
+            for d in np.flatnonzero(counts == 0):  # rare: len(toks) < n
+                h = tok_h[starts[d] : starts[d] + lens[d]]
+                X[offs2[d]] = (h * mix[: h.size]).sum() if h.size else np.uint64(0)
+            sig_rows = np.empty((ndocs, num_perm), dtype=np.uint64)
+            doc_lo = 0
+            while doc_lo < ndocs:  # slab by docs: bounded hash matrix
+                doc_hi = doc_lo
+                tot = 0
+                while doc_hi < ndocs and (
+                    tot == 0 or tot + counts2[doc_hi] <= slab_shingles
+                ):
+                    tot += int(counts2[doc_hi])
+                    doc_hi += 1
+                x = X[offs2[doc_lo] : offs2[doc_lo] + tot][None, :]
+                hs = a * x + b  # (num_perm, tot) uint64, mod-2^64 wrap
+                sig_rows[doc_lo:doc_hi] = np.minimum.reduceat(
+                    hs, offs2[doc_lo:doc_hi] - offs2[doc_lo], axis=1
+                ).T
+                doc_lo = doc_hi
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "signature": [r.astype(np.int64) for r in sig_rows]}
+            )
 
     return df.select(id_col, text_col).mapInPandas(
         fn, schema="id long, signature array<long>"
@@ -209,42 +302,121 @@ def minhash_estimate(
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens (Charikar 2002)."""
+    """60-bit SimHash (Charikar 2002) computed entirely in SQL.
 
-    def fn(batches):
-        import hashlib
+    Token hash = first 15 hex chars of md5(token) parsed base-16 — the one
+    hash both Spark (`conv`) and DuckDB (`'0x…'::BIGINT`) evaluate
+    identically, which is what makes the DuckDB oracle possible. Per bit i,
+    the sign sum counts +1/-1 over token OCCURRENCES (frequency-weighted,
+    per the paper); bit i of the output is 1 iff the sum is positive.
 
-        for pdf in batches:
-            out = []
-            for text in pdf[text_col].fillna("").astype(str):
-                toks = text.lower().split()
-                acc = np.zeros(64, dtype=np.int64)
-                for t in toks:
-                    bits = np.unpackbits(
-                        np.frombuffer(hashlib.md5(t.encode()).digest()[:8], np.uint8)
-                    ).astype(np.int64)
-                    acc += 2 * bits - 1
-                sim = int.from_bytes(np.packbits(acc > 0).tobytes(), "big")
-                out.append(sim & 0x7FFFFFFFFFFFFFFF)
-            yield pd.DataFrame({"id": pdf[id_col], "simhash": out})
+    Plan shape: project -> explode -> hash -> one groupBy(id) with 60
+    conditional sums -> combine. Everything whole-stage codegen; the only
+    shuffle keys on id. Empty/whitespace-only docs get simhash 0 via the
+    left join back to the id universe.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("id"), tokenize_expr(text_col).alias("_t"))
+        .select("id", F.explode("_t").alias("tok"))
+        .filter(F.col("tok") != "")
+        .withColumn(
+            "h",
+            F.expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"),
+        )
+    )
+    sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    combined = sums.select(
+        "id",
+        sum(
+            [
+                F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for i in range(SIMHASH_BITS)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(combined, "id", "left").select(
+        "id", F.coalesce("simhash", F.lit(0)).alias("simhash")
+    )
 
-    return df.select(id_col, text_col).mapInPandas(fn, schema="id long, simhash long")
+
+def simhash_oracle_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB SQL computing the same 60-bit simhash as simhash_signatures."""
+    sum_cols = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id,
+         ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS h
+  FROM {table},
+       unnest(string_split_regex(trim(lower({text_col})), '\\s+')) AS t(tok)
+  WHERE t.tok <> ''
+), sums AS (
+  SELECT id, {sum_cols}
+  FROM toks GROUP BY id
+), sh AS (
+  SELECT id, {combine} AS simhash FROM sums
+)
+SELECT d.{id_col} AS id, coalesce(sh.simhash, 0) AS simhash
+FROM (SELECT DISTINCT {id_col} FROM {table}) d LEFT JOIN sh ON sh.id = d.{id_col}
+"""
+
+
+def _chunk_bounds(nbits: int, n_chunks: int) -> list[tuple[int, int]]:
+    """(offset, width) per chunk, widths differing by at most one bit."""
+    base, rem = divmod(nbits, n_chunks)
+    bounds = []
+    off = 0
+    for i in range(n_chunks):
+        w = base + (1 if i < rem else 0)
+        bounds.append((off, w))
+        off += w
+    return bounds
 
 
 def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by Hamming distance, banded on 16-bit chunks.
+    """ALL pairs within `max_hamming`, banded on max_hamming+1 bit chunks.
 
-    Any pair within Hamming distance 3 must share at least one of the four
-    16-bit chunks exactly (pigeonhole) — the join only shuffles on chunk
-    values, never all-pairs.
+    Pigeonhole: a pair differing in at most k bits must agree exactly on at
+    least one of k+1 disjoint chunks, so banding into k+1 chunks is
+    COMPLETE for radius k (round 1's fixed four chunks were only complete
+    for k <= 3). The join only shuffles on (chunk_idx, chunk_val); the
+    radius/cost trade-off is explicit — larger k means narrower chunks and
+    bigger buckets.
     """
+    n_chunks = max_hamming + 1
+    if n_chunks > SIMHASH_BITS:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_chunks} chunks > "
+            f"{SIMHASH_BITS} hash bits"
+        )
     chunks = signatures.select(
         "id", "simhash",
         F.posexplode(
             F.array(*[
-                ((F.col("simhash").cast("long") / F.lit(2 ** (16 * i))).cast("long")
-                 % F.lit(65536)).cast("int")
-                for i in range(4)
+                F.shiftright(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .cast("int")
+                for off, w in _chunk_bounds(SIMHASH_BITS, n_chunks)
             ])
         ).alias("chunk_idx", "chunk_val"),
     )

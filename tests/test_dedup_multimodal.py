@@ -86,6 +86,52 @@ class TestDedup:
         # near-dup pair lands within the hamming budget
         assert (0, 2) in got or (1, 2) in got
 
+    def test_simhash_banding_complete_distance_10(self, spark):
+        # A pair at Hamming distance 10 whose differing bits hit 10 DISTINCT
+        # chunks: round 1's fixed 4-chunk banding missed any pair differing
+        # in all 4 chunks; max_hamming+1 banding must find it (pigeonhole).
+        base = 0x0ABCDE123456789
+        flipped = base
+        for i in range(10):  # one bit in each of 10 different 5/6-bit chunks
+            flipped ^= 1 << (i * 6 + 2)
+        sigs = spark.createDataFrame(
+            [(1, base), (2, flipped)], "id long, simhash long"
+        )
+        out = simhash_near_pairs(sigs, max_hamming=10).toPandas()
+        assert len(out) == 1
+        assert int(out.iloc[0]["hamming"]) == 10
+        # and a pair just beyond the radius is excluded
+        out9 = simhash_near_pairs(sigs, max_hamming=9).toPandas()
+        assert len(out9) == 0
+
+    def test_simhash_matches_duckdb_oracle(self, spark, doc_df):
+        import duckdb
+
+        from feasts_spark.operators.dedup import simhash_oracle_sql
+
+        got = simhash_signatures(doc_df).toPandas().sort_values("id")
+        con = duckdb.connect()
+        con.register("documents", doc_df.toPandas())
+        exp = (
+            con.execute(simhash_oracle_sql("documents")).fetchdf().sort_values("id")
+        )
+        assert list(got["simhash"]) == list(exp["simhash"])
+
+    def test_ngram_hot_shingle_cap(self, spark):
+        # 40 docs sharing one hot shingle + 2 genuine near-dups: with the
+        # cap the hot shingle contributes no candidates, so the join stays
+        # bounded and only the genuine pair survives.
+        hot = "common boilerplate header"
+        rows = [(i, f"{hot} unique body {i} filler words {i * 7}") for i in range(40)]
+        rows += [(100, "alpha beta gamma delta epsilon zeta"),
+                 (101, "alpha beta gamma delta epsilon eta")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        capped = ngram_jaccard_pairs(df, threshold=0.3, max_doc_freq=10).toPandas()
+        assert set(zip(capped.id_a, capped.id_b)) == {(100, 101)}
+        # uncapped finds the same genuine pair plus hot-shingle noise pairs
+        exact = ngram_jaccard_pairs(df, threshold=0.0, max_doc_freq=None).toPandas()
+        assert len(exact) >= 40 * 39 / 2  # the quadratic blow-up the cap kills
+
 
 class TestMultimodal:
     def test_feature_extraction(self, spark):
