@@ -1200,6 +1200,150 @@ def q_unitroot_1d(spark, sf_dir):
     )
 
 
+def q_kpss_sql_1d(spark, sf_dir):
+    """KPSS statistic + p-value computed entirely in SQL (kpss_df) —
+    independently value-matched by the DuckDB oracle, unlike the
+    kernel-path unitroot_1d which is golden-tested only."""
+    from feasts_spark.functions import kpss_df
+    from feasts_spark.operators.rollup import rollup_raw
+
+    _utc(spark)
+    r = rollup_raw(_events(spark, sf_dir), "1d", "user_id", "ts", "value")
+    counts = r.groupBy("series_key").count().filter(F.col("count") >= 14)
+    r = r.join(counts.select("series_key"), "series_key")
+    out = kpss_df(r, "series_key", ["bucket_ts"], "val_avg")
+    return out.select(
+        "series_key",
+        (F.floor(F.col("kpss_stat") * 1e4 + F.lit(0.500001)) / 1e4).alias(
+            "kpss_stat"
+        ),
+        (F.floor(F.col("kpss_pvalue") * 1e4 + F.lit(0.500001)) / 1e4).alias(
+            "kpss_pvalue"
+        ),
+    )
+
+
+def _kpss_oracle(l_max: int = 8) -> str:
+    lag_cols = ",\n         ".join(
+        f"lag(e, {k}) OVER (PARTITION BY k ORDER BY rn) AS el{k}"
+        for k in range(1, l_max + 1)
+    )
+    g_cols = ",\n         ".join(
+        f"sum(e * el{k}) AS g{k}" for k in range(1, l_max + 1)
+    )
+    s2_terms = "\n      ".join(
+        f"+ CASE WHEN {k} <= l THEN 2.0::DOUBLE * (1.0::DOUBLE - "
+        f"{k}.0::DOUBLE / (l + 1.0::DOUBLE)) * g{k} / n ELSE 0.0::DOUBLE END"
+        for k in range(1, l_max + 1)
+    )
+    return f"""
+WITH r AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket_ts, avg(value) AS v
+  FROM events GROUP BY 1, 2
+), keyed AS (
+  SELECT user_id FROM r GROUP BY 1 HAVING count(*) >= 14
+), s AS (
+  SELECT r.user_id AS k, v,
+         row_number() OVER (PARTITION BY r.user_id ORDER BY bucket_ts) AS rn,
+         v - avg(v) OVER (PARTITION BY r.user_id) AS e
+  FROM r JOIN keyed USING (user_id)
+), s2 AS (
+  SELECT k, rn, e,
+         sum(e) OVER (PARTITION BY k ORDER BY rn
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS S,
+         {lag_cols}
+  FROM s
+), agg AS (
+  SELECT k AS series_key, count(*)::DOUBLE AS n,
+         sum(e * e) AS g0, sum(S * S) AS ss,
+         {g_cols}
+  FROM s2 GROUP BY k
+), st AS (
+  SELECT series_key, n, ss,
+    floor(4.0::DOUBLE * power(n / 100.0::DOUBLE, 0.25::DOUBLE)) AS l,
+    g0, g1, g2, g3, g4, g5, g6, g7, g8
+  FROM agg
+), lr AS (
+  SELECT series_key, n, ss,
+    g0 / n
+      {s2_terms} AS s2v
+  FROM st
+), stat AS (
+  SELECT series_key, ss / (n * n * s2v) AS kpss_stat FROM lr
+)
+SELECT series_key,
+  floor(kpss_stat * 1e4 + 0.500001::DOUBLE) / 1e4 AS kpss_stat,
+  floor((CASE
+    WHEN kpss_stat <= 0.347::DOUBLE THEN 0.10::DOUBLE
+    WHEN kpss_stat <= 0.463::DOUBLE THEN 0.10::DOUBLE + (kpss_stat - 0.347::DOUBLE)
+      * (0.05::DOUBLE - 0.10::DOUBLE) / (0.463::DOUBLE - 0.347::DOUBLE)
+    WHEN kpss_stat <= 0.574::DOUBLE THEN 0.05::DOUBLE + (kpss_stat - 0.463::DOUBLE)
+      * (0.025::DOUBLE - 0.05::DOUBLE) / (0.574::DOUBLE - 0.463::DOUBLE)
+    WHEN kpss_stat <= 0.739::DOUBLE THEN 0.025::DOUBLE + (kpss_stat - 0.574::DOUBLE)
+      * (0.01::DOUBLE - 0.025::DOUBLE) / (0.739::DOUBLE - 0.574::DOUBLE)
+    ELSE 0.01::DOUBLE END) * 1e4 + 0.500001::DOUBLE) / 1e4 AS kpss_pvalue
+FROM stat
+"""
+
+
+def q_pacf12_1h(spark, sf_dir):
+    """PACF lags 1-2 via the Durbin-Levinson closed forms — the
+    SQL-reachable prefix of pacf_table, with a DuckDB oracle."""
+    from feasts_spark.functions import pacf12_df
+    from feasts_spark.operators.rollup import rollup_raw
+
+    _utc(spark)
+    r = rollup_raw(_events(spark, sf_dir), "1h", "user_id", "ts", "value")
+    counts = r.groupBy("series_key").count().filter(F.col("count") > 11)
+    r = r.join(counts.select("series_key"), "series_key")
+    out = pacf12_df(r, "series_key", ["bucket_ts"], "val_avg")
+    return out.select(
+        "series_key",
+        (F.floor(F.col("pacf1") * 1e4 + F.lit(0.500001)) / 1e4).alias("pacf1"),
+        (F.floor(F.col("pacf2") * 1e4 + F.lit(0.500001)) / 1e4).alias("pacf2"),
+    )
+
+
+ORACLE_PACF12_1H = """
+WITH r AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts, avg(value) AS v
+  FROM events GROUP BY 1, 2
+), keyed AS (
+  SELECT user_id FROM r GROUP BY 1 HAVING count(*) > 11
+), s AS (
+  SELECT r.user_id AS k, v,
+         row_number() OVER (PARTITION BY r.user_id ORDER BY bucket_ts) AS rn,
+         v - avg(v) OVER (PARTITION BY r.user_id) AS xc
+  FROM r JOIN keyed USING (user_id)
+), s2 AS (
+  SELECT k, xc,
+         lead(xc, 1) OVER (PARTITION BY k ORDER BY rn) AS xc1,
+         lead(xc, 2) OVER (PARTITION BY k ORDER BY rn) AS xc2
+  FROM s
+), agg AS (
+  SELECT k AS series_key,
+         sum(xc * xc) AS c0, sum(xc * xc1) AS c1, sum(xc * xc2) AS c2
+  FROM s2 GROUP BY k
+)
+SELECT series_key,
+  floor((c1 / c0) * 1e4 + 0.500001::DOUBLE) / 1e4 AS pacf1,
+  floor(((c2 / c0 - (c1 / c0) * (c1 / c0))
+         / (1.0::DOUBLE - (c1 / c0) * (c1 / c0))) * 1e4
+        + 0.500001::DOUBLE) / 1e4 AS pacf2
+FROM agg
+"""
+
+
+def q_pp_sql_1d(spark, sf_dir):
+    """Phillips-Perron Z-tau in pure SQL — the SAME SQL text is the DuckDB
+    oracle (pp_sql), so cross-engine parity is textual."""
+    from feasts_spark.functions.sql_features import pp_sql
+
+    _utc(spark)
+    _events(spark, sf_dir).createOrReplaceTempView("events")
+    return spark.sql(pp_sql())
+
+
 def q_stl_multi_1h(spark, sf_dir):
     """MSTL with daily + weekly seasons over the 1h tier (stl.R:63-78) —
     rows-only (iterated loess)."""
@@ -1419,6 +1563,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "guerrero_1d": q_guerrero_1d,
         "unitroot_1d": q_unitroot_1d,
+        "kpss_sql_1d": q_kpss_sql_1d,
+        "pacf12_1h": q_pacf12_1h,
+        "pp_sql_1d": q_pp_sql_1d,
         "stl_multi_1h": q_stl_multi_1h,
         "supsmu_trend_1d": q_supsmu_trend_1d,
         "stl_generate_1d": q_stl_generate_1d,
@@ -1457,6 +1604,11 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": ORACLE_QUALITY,
         "fingerprints": ORACLE_FINGERPRINTS,
         "simhash_pairs": _oracle_simhash_pairs(),
+        "kpss_sql_1d": _kpss_oracle(),
+        "pacf12_1h": ORACLE_PACF12_1H,
+        "pp_sql_1d": __import__(
+            "feasts_spark.functions.sql_features", fromlist=["pp_sql"]
+        ).pp_sql(),
         # pacf_table_1h, stl_components_1d, feature_pack, ann_topk,
         # ann_lsh_topk, guerrero_1d, unitroot_1d, stl_multi_1h,
         # supsmu_trend_1d, tacf_1h: non-SQL-expressible (D-L recursion,

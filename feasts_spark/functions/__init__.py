@@ -10,9 +10,19 @@ is pure windowed arithmetic (validated in __spark_entry__ oracles).
 from feasts_spark.functions.sql_features import (
     acf1_expr,
     crossing_points_df,
+    kpss_df,
+    pacf12_df,
     shift_level_df,
     shift_var_df,
     var_tiled_df,
 )
 
-__all__ = ["acf1_expr", "crossing_points_df", "shift_level_df", "shift_var_df", "var_tiled_df"]
+__all__ = [
+    "acf1_expr",
+    "crossing_points_df",
+    "kpss_df",
+    "pacf12_df",
+    "shift_level_df",
+    "shift_var_df",
+    "var_tiled_df",
+]

@@ -128,6 +128,241 @@ def var_tiled_df(
     )
 
 
+def kpss_df(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list,
+    value_col: str,
+    l_max: int = 8,
+) -> DataFrame:
+    """KPSS level-stationarity statistic + p-value in pure SQL.
+
+    urca::ur.kpss type="mu", lags="short" semantics (features.R:139-144):
+    demeaned residuals e_t, partial sums S_t, Bartlett long-run variance
+    s2(l) with l = trunc(4*(n/100)^0.25), stat = sum(S_t^2)/(n^2*s2),
+    p-value by clamped linear interpolation of the Kwiatkowski et al.
+    critical-value table — every step windows/aggregates + scalar math,
+    no Python. `l_max` bounds the materialized lag columns; it covers
+    series up to n = 100*((l_max+1)/4)^4 points (l_max=8 -> ~65 years of
+    daily data), and the conditional weights zero out unused lags.
+
+    Mirrored verbatim by the DuckDB oracle in __spark_entry__ — golden
+    parity with the numpy kernel is asserted in tests.
+    """
+    wk = W.partitionBy(key_col)
+    wo = W.partitionBy(key_col).orderBy(*order_cols)
+    wrun = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    v = F.col(value_col)
+    s = (
+        df.withColumn("_e", v - F.avg(v).over(wk))
+        .withColumn("_S", F.sum("_e").over(wrun))
+    )
+    for k in range(1, l_max + 1):
+        s = s.withColumn(f"_el{k}", F.lag("_e", k).over(wo))
+    agg = s.groupBy(F.col(key_col).alias("series_key")).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(F.col("_e") * F.col("_e")).alias("_g0"),
+        F.sum(F.col("_S") * F.col("_S")).alias("_ss"),
+        *[
+            F.sum(F.col("_e") * F.col(f"_el{k}")).alias(f"_g{k}")
+            for k in range(1, l_max + 1)
+        ],
+    )
+    n = F.col("_n")
+    l = F.floor(F.lit(4.0) * F.pow(n / F.lit(100.0), F.lit(0.25)))
+    s2 = F.col("_g0") / n
+    for k in range(1, l_max + 1):
+        s2 = s2 + F.when(
+            F.lit(k) <= l,
+            F.lit(2.0)
+            * (F.lit(1.0) - F.lit(float(k)) / (l + F.lit(1.0)))
+            * F.col(f"_g{k}")
+            / n,
+        ).otherwise(F.lit(0.0))
+    out = agg.withColumn("_s2", s2).withColumn(
+        "kpss_stat", F.col("_ss") / (n * n * F.col("_s2"))
+    )
+    # clamped piecewise-linear interp of (0.347,0.463,0.574,0.739) ->
+    # (0.10,0.05,0.025,0.01), identical expression tree in the oracle
+    st = F.col("kpss_stat")
+    pv = (
+        F.when(st <= 0.347, F.lit(0.10))
+        .when(st <= 0.463, 0.10 + (st - 0.347) * (0.05 - 0.10) / (0.463 - 0.347))
+        .when(st <= 0.574, 0.05 + (st - 0.463) * (0.025 - 0.05) / (0.574 - 0.463))
+        .when(st <= 0.739, 0.025 + (st - 0.574) * (0.01 - 0.025) / (0.739 - 0.574))
+        .otherwise(F.lit(0.01))
+    )
+    return out.withColumn("kpss_pvalue", pv).select(
+        "series_key", "kpss_stat", "kpss_pvalue"
+    )
+
+
+def pacf12_df(
+    df: DataFrame, key_col: str, order_cols: list, value_col: str
+) -> DataFrame:
+    """PACF at lags 1 and 2 via the Durbin-Levinson closed forms.
+
+    phi_11 = rho_1 and phi_22 = (rho_2 - rho_1^2)/(1 - rho_1^2) — the
+    first two D-L steps are rational in the ACF (acf.R:124-141), so they
+    are SQL-expressible and DuckDB-oracle-able, unlike the general
+    recursion that pacf_table runs in the numpy kernel. rho_k uses R's
+    divisor-n ACF semantics.
+    """
+    wk = W.partitionBy(key_col)
+    wo = W.partitionBy(key_col).orderBy(*order_cols)
+    v = F.col(value_col)
+    s = (
+        df.withColumn("_m", F.avg(v).over(wk))
+        .withColumn("_xc", v - F.col("_m"))
+        .withColumn("_xc1", F.lead("_xc").over(wo))
+        .withColumn("_xc2", F.lead("_xc", 2).over(wo))
+    )
+    agg = s.groupBy(F.col(key_col).alias("series_key")).agg(
+        F.sum(F.col("_xc") * F.col("_xc")).alias("_c0"),
+        F.sum(F.col("_xc") * F.col("_xc1")).alias("_c1"),
+        F.sum(F.col("_xc") * F.col("_xc2")).alias("_c2"),
+    )
+    rho1 = F.col("_c1") / F.col("_c0")
+    rho2 = F.col("_c2") / F.col("_c0")
+    return agg.select(
+        "series_key",
+        rho1.alias("pacf1"),
+        ((rho2 - rho1 * rho1) / (F.lit(1.0) - rho1 * rho1)).alias("pacf2"),
+    )
+
+
+_DF_TAU_MU_KNOTS = (25.0, 50.0, 100.0, 250.0, 500.0, 100000.0)
+_DF_TAU_MU_VALS = {
+    0.01: (-3.75, -3.58, -3.51, -3.46, -3.44, -3.43),
+    0.05: (-3.00, -2.93, -2.89, -2.88, -2.87, -2.86),
+    0.10: (-2.63, -2.60, -2.58, -2.57, -2.57, -2.57),
+}
+
+
+def _interp_case(var: str, xs: tuple, ys: tuple) -> str:
+    """Clamped piecewise-linear interpolation as a CASE expression."""
+    parts = [f"CASE WHEN {var} <= CAST({xs[0]} AS DOUBLE) THEN CAST({ys[0]} AS DOUBLE)"]
+    for i in range(1, len(xs)):
+        parts.append(
+            f"WHEN {var} <= CAST({xs[i]} AS DOUBLE) THEN CAST({ys[i-1]} AS DOUBLE)"
+            f" + ({var} - CAST({xs[i-1]} AS DOUBLE))"
+            f" * (CAST({ys[i]} AS DOUBLE) - CAST({ys[i-1]} AS DOUBLE))"
+            f" / (CAST({xs[i]} AS DOUBLE) - CAST({xs[i-1]} AS DOUBLE))"
+        )
+    parts.append(f"ELSE CAST({ys[-1]} AS DOUBLE) END")
+    return "\n      ".join(parts)
+
+
+def pp_sql(
+    trunc: str = "day", min_points: int = 14, l_max: int = 8
+) -> str:
+    """Phillips-Perron Z-tau (constant model, short lags) as ONE SQL text.
+
+    urca::ur.pp semantics (features.R:152-159): OLS y_t ~ 1 + y_{t-1} in
+    closed form, Newey-West/Bartlett long-run variance of the residuals,
+    Z-tau correction, Dickey-Fuller constant-model critical values
+    interpolated first over n then over the statistic (both clamped).
+
+    The SAME string runs on Spark SQL (over a temp view `events`) and on
+    DuckDB as the oracle — dialect-neutral (CAST(), power(), floor(),
+    inline OVER clauses), so cross-engine parity is textual, not
+    hand-mirrored. Kernel parity vs kernels.extras.unitroot_pp is asserted
+    in tests.
+    """
+    lag_cols = ",\n         ".join(
+        f"lag(e, {j}) OVER (PARTITION BY k ORDER BY rn) AS el{j}"
+        for j in range(1, l_max + 1)
+    )
+    re_cols = ",\n         ".join(
+        f"sum(e * el{j}) AS re{j}" for j in range(1, l_max + 1)
+    )
+    lam_terms = "\n      ".join(
+        f"+ CASE WHEN {j} <= l THEN CAST(2 AS DOUBLE) * (CAST(1 AS DOUBLE)"
+        f" - CAST({j} AS DOUBLE) / (l + CAST(1 AS DOUBLE))) * re{j} / n"
+        f" ELSE CAST(0 AS DOUBLE) END"
+        for j in range(1, l_max + 1)
+    )
+    cv_cases = {
+        p: _interp_case("n", _DF_TAU_MU_KNOTS, _DF_TAU_MU_VALS[p])
+        for p in (0.01, 0.05, 0.10)
+    }
+    return f"""
+WITH r AS (
+  SELECT user_id, date_trunc('{trunc}', ts) AS bucket_ts, avg(value) AS v
+  FROM events GROUP BY user_id, date_trunc('{trunc}', ts)
+), keyed AS (
+  SELECT user_id FROM r GROUP BY user_id HAVING count(*) >= {min_points}
+), o AS (
+  SELECT r.user_id AS k, v,
+         row_number() OVER (PARTITION BY r.user_id ORDER BY bucket_ts) AS rn
+  FROM r JOIN keyed ON keyed.user_id = r.user_id
+), p AS (
+  SELECT k, rn, y, yl FROM (
+    SELECT k, rn, v AS y, lag(v) OVER (PARTITION BY k ORDER BY rn) AS yl
+    FROM o
+  ) q WHERE yl IS NOT NULL
+), sums AS (
+  SELECT k, CAST(count(*) AS DOUBLE) AS n,
+         sum(y) AS sy, sum(yl) AS syl, sum(y * yl) AS syyl,
+         sum(yl * yl) AS syl2
+  FROM p GROUP BY k
+), ols AS (
+  SELECT k, n, sy, syl, syl2,
+         n * syl2 - syl * syl AS det,
+         (n * syyl - sy * syl) / (n * syl2 - syl * syl) AS rho
+  FROM sums
+), ols2 AS (
+  SELECT k, n, rho, det, (sy - rho * syl) / n AS mu FROM ols
+), res AS (
+  SELECT p.k AS k, p.rn AS rn, ols2.n AS n, ols2.rho AS rho, ols2.det AS det,
+         p.y - ols2.mu - ols2.rho * p.yl AS e
+  FROM p JOIN ols2 ON ols2.k = p.k
+), resl AS (
+  SELECT k, rn, n, rho, det, e,
+         {lag_cols}
+  FROM res
+), agg AS (
+  SELECT k AS series_key, max(n) AS n, max(rho) AS rho, max(det) AS det,
+         sum(e * e) AS ree,
+         {re_cols}
+  FROM resl GROUP BY k
+), base AS (
+  SELECT *, ree / (n - CAST(2 AS DOUBLE)) AS s2,
+    floor(CAST(4 AS DOUBLE) * power(n / CAST(100 AS DOUBLE), CAST(0.25 AS DOUBLE))) AS l
+  FROM agg
+), lam AS (
+  SELECT series_key, n, rho, det, s2,
+    sqrt(s2 * n / det) AS se_rho,
+    ree / n AS g0,
+    ree / n
+      {lam_terms} AS lam2
+  FROM base
+), statc AS (
+  SELECT series_key, n,
+    sqrt(g0 / lam2) * ((rho - CAST(1 AS DOUBLE)) / se_rho)
+      - (lam2 - g0) / (CAST(2 AS DOUBLE) * sqrt(lam2))
+        * (n * se_rho / sqrt(s2)) AS pp_stat
+  FROM lam
+), cv AS (
+  SELECT series_key, pp_stat,
+    {cv_cases[0.01]} AS cv01,
+    {cv_cases[0.05]} AS cv05,
+    {cv_cases[0.10]} AS cv10
+  FROM statc
+)
+SELECT series_key,
+  floor(pp_stat * 1e4 + CAST(0.500001 AS DOUBLE)) / 1e4 AS pp_stat,
+  floor((CASE WHEN pp_stat <= cv01 THEN CAST(0.01 AS DOUBLE)
+    WHEN pp_stat <= cv05 THEN CAST(0.01 AS DOUBLE) + (pp_stat - cv01)
+      * (CAST(0.05 AS DOUBLE) - CAST(0.01 AS DOUBLE)) / (cv05 - cv01)
+    WHEN pp_stat <= cv10 THEN CAST(0.05 AS DOUBLE) + (pp_stat - cv05)
+      * (CAST(0.10 AS DOUBLE) - CAST(0.05 AS DOUBLE)) / (cv10 - cv05)
+    ELSE CAST(0.10 AS DOUBLE) END) * 1e4
+    + CAST(0.500001 AS DOUBLE)) / 1e4 AS pp_pvalue
+FROM cv
+"""
+
+
 def shift_var_df(
     df: DataFrame, key_col: str, order_cols: list, value_col: str, size: int = 10
 ) -> DataFrame:

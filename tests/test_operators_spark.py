@@ -211,3 +211,76 @@ class TestSkew:
         a = plain.orderBy("series_key", "bucket_ts").toPandas()
         b = salted.orderBy("series_key", "bucket_ts").toPandas()
         pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+class TestSqlFeatureTwins:
+    """SQL-native kpss_df / pacf12_df must match the numpy kernels."""
+
+    def test_kpss_sql_matches_kernel(self, spark, events):
+        import numpy as np
+
+        from feasts_spark.functions import kpss_df
+        from feasts_spark.kernels.stat_tests import unitroot_kpss
+
+        r = rollup_raw(events, "1d", "user_id", "ts", "value")
+        counts = r.groupBy("series_key").count().filter(F.col("count") >= 14)
+        r = r.join(counts.select("series_key"), "series_key")
+        got = (
+            kpss_df(r, "series_key", ["bucket_ts"], "val_avg")
+            .toPandas()
+            .set_index("series_key")
+            .sort_index()
+        )
+        local = r.orderBy("series_key", "bucket_ts").toPandas()
+        assert len(got) > 3
+        for key, grp in local.groupby("series_key"):
+            exp = unitroot_kpss(grp["val_avg"].to_numpy())
+            assert got.loc[key, "kpss_stat"] == pytest.approx(
+                exp["kpss_stat"], rel=1e-9
+            )
+            assert got.loc[key, "kpss_pvalue"] == pytest.approx(
+                exp["kpss_pvalue"], rel=1e-9
+            )
+
+    def test_pacf12_sql_matches_kernel(self, spark, events):
+        import numpy as np
+
+        from feasts_spark.functions import pacf12_df
+        from feasts_spark.kernels.acf import pacf_r
+
+        r = rollup_raw(events, "1h", "user_id", "ts", "value")
+        counts = r.groupBy("series_key").count().filter(F.col("count") > 11)
+        r = r.join(counts.select("series_key"), "series_key")
+        got = (
+            pacf12_df(r, "series_key", ["bucket_ts"], "val_avg")
+            .toPandas()
+            .set_index("series_key")
+            .sort_index()
+        )
+        local = r.orderBy("series_key", "bucket_ts").toPandas()
+        assert len(got) > 3
+        for key, grp in local.groupby("series_key"):
+            exp = pacf_r(grp["val_avg"].to_numpy(), lag_max=2)
+            assert got.loc[key, "pacf1"] == pytest.approx(exp[0], rel=1e-9)
+            assert got.loc[key, "pacf2"] == pytest.approx(exp[1], rel=1e-9)
+
+    def test_pp_sql_matches_kernel(self, spark, events):
+        from feasts_spark.functions.sql_features import pp_sql
+        from feasts_spark.kernels.extras import unitroot_pp
+
+        events.createOrReplaceTempView("events")
+        got = spark.sql(pp_sql()).toPandas().set_index("series_key").sort_index()
+        r = rollup_raw(events, "1d", "user_id", "ts", "value")
+        counts = r.groupBy("series_key").count().filter(F.col("count") >= 14)
+        r = r.join(counts.select("series_key"), "series_key")
+        local = r.orderBy("series_key", "bucket_ts").toPandas()
+        assert len(got) > 3
+        for key, grp in local.groupby("series_key"):
+            exp = unitroot_pp(grp["val_avg"].to_numpy())
+            # SQL output is 4dp-rounded; kernel is exact
+            assert got.loc[key, "pp_stat"] == pytest.approx(
+                exp["pp_stat"], abs=2e-4
+            )
+            assert got.loc[key, "pp_pvalue"] == pytest.approx(
+                exp["pp_pvalue"], abs=2e-4
+            )
