@@ -509,6 +509,24 @@ def q_feature_pack(spark, sf_dir):
     return out.select(*sel)
 
 
+def q_feature_pack_multi(spark, sf_dir):
+    """Multi-seasonality pack: per-period seasonal_strength_6/_24 +
+    peaks/troughs via MSTL (features.R:95-108) — rows-only (iterated
+    loess). Periods 6h/24h because the testdata spans only ~4 days of
+    hourly points per user."""
+    from feasts_spark.operators.features import features
+    from feasts_spark.operators.rollup import rollup_raw
+
+    _utc(spark)
+    r = rollup_raw(_events(spark, sf_dir), "1h", "user_id", "ts", "value")
+    counts = r.groupBy("series_key").count().filter(F.col("count") >= 50)
+    r = r.join(counts.select("series_key"), "series_key")
+    out = features(r, period=(6, 24))
+    ncols = [c for c in out.columns if c != "series_key"]
+    sel = [F.col("series_key")] + [F.round(c, 4).alias(c) for c in ncols]
+    return out.select(*sel)
+
+
 # ---------------------------------------------------------------------------
 # Training-data-pipeline operators: dedup / text stats / similarity
 # ---------------------------------------------------------------------------
@@ -1541,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classical_additive_1d": q_classical_additive_1d,
         "stl_components_1d": q_stl_components_1d,
         "feature_pack": q_feature_pack,
+        "feature_pack_multi": q_feature_pack_multi,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "ngram_jaccard": q_ngram_jaccard,

@@ -11,20 +11,33 @@ from feasts_spark.kernels.stl import estimate_stl
 NAN = float("nan")
 
 
-def feat_stl(x, period: int = 1, s_window: int = 11, period_name: str | None = None) -> dict:
+def feat_stl(x, period=1, s_window: int = 11, period_name: str | None = None) -> dict:
     """STL feature pack.
 
     Returns trend_strength, spikiness, linearity, curvature, stl_e_acf1,
     stl_e_acf10, plus seasonal_strength_<name>/seasonal_peak_<name>/
-    seasonal_trough_<name> when a seasonal component is estimated
-    (len(x) > 2*period and period > 1).
+    seasonal_trough_<name> PER seasonal period (features.R:95-108 emits
+    the <name>-suffixed triple for every entry of `seasonalities`).
+
+    `period` may be an int or a sequence of ints (multi-seasonality via
+    MSTL, e.g. (24, 168) for hourly data with daily + weekly cycles);
+    each period is kept only when len(x) > 2*period, mirroring the
+    reference's season.args gate (features.R:52-56). Peak/trough
+    positions are taken modulo each seasonality's OWN period.
     """
     x = np.asarray(x, dtype=np.float64)
-    name = period_name or str(period)
-    if x.size <= period * 2:
-        periods, names, windows = [], [], []
-    else:
-        periods, names, windows = [period], [name], [s_window]
+    period_list = (
+        [int(p) for p in period]
+        if isinstance(period, (list, tuple, np.ndarray))
+        else [int(period)]
+    )
+    primary = period_list[0]
+    periods, names, windows = [], [], []
+    for p in period_list:
+        if x.size > p * 2 and p > 0:
+            periods.append(p)
+            names.append(period_name if (period_name and len(period_list) == 1) else str(p))
+            windows.append(s_window)
 
     # trim to longest contiguous non-NA run (features.R:58-70)
     ok = ~np.isnan(x)
@@ -67,14 +80,18 @@ def feat_stl(x, period: int = 1, s_window: int = 11, period_name: str | None = N
         out[f"seasonal_strength_{nm}"] = max(
             0.0, min(1.0, 1.0 - var_e / r_var(remainder + seas))
         )
+    name_to_period = dict(zip(names, periods))
     for k in seas_keys:
         nm = k[len("season_"):]
         seas = dcmp[k]
+        p = name_to_period.get(nm, primary)
         # R: (which.max(seas) + rle_window[1] - 1) %% period, which.max 1-based
-        out[f"seasonal_peak_{nm}"] = float((int(np.argmax(seas)) + 1 + offset) % period)
-        out[f"seasonal_trough_{nm}"] = float((int(np.argmin(seas)) + 1 + offset) % period)
+        out[f"seasonal_peak_{nm}"] = float((int(np.argmax(seas)) + 1 + offset) % p)
+        out[f"seasonal_trough_{nm}"] = float((int(np.argmin(seas)) + 1 + offset) % p)
 
-    acf_resid = acf_r(remainder, lag_max=max(10, period), na_action="pass")
+    acf_resid = acf_r(
+        remainder, lag_max=max(10, *period_list), na_action="pass"
+    )
     out.update(
         spikiness=spikiness,
         linearity=linearity,

@@ -97,9 +97,46 @@ HURST_MAX_N = 512
 NAN = float("nan")
 
 
-def compute_feature_pack(x: np.ndarray, period: int = 1) -> dict:
-    """All features for one series; returns {col: float} over FEATURE_COLUMNS."""
-    out = dict.fromkeys(FEATURE_COLUMNS, NAN)
+def pack_columns(periods: tuple[int, ...] | None = None) -> list[str]:
+    """Static output columns for the pack.
+
+    Single-period (periods=None or one entry): the legacy unsuffixed
+    seasonal triple. Multi-seasonality: per-period suffixed columns
+    seasonal_strength_<p>/seasonal_peak_<p>/seasonal_trough_<p>, matching
+    the reference's <name>-suffixed output (features.R:95-108).
+    """
+    if not periods or len(periods) == 1:
+        return FEATURE_COLUMNS
+    per_season = [
+        f"{base}_{p}"
+        for p in periods
+        for base in ("seasonal_strength", "seasonal_peak", "seasonal_trough")
+    ]
+    rest = [
+        c
+        for c in FEATURE_COLUMNS
+        if c not in ("seasonal_strength", "seasonal_peak", "seasonal_trough")
+    ]
+    return rest[:1] + per_season + rest[1:]  # trend_strength first, as before
+
+
+def compute_feature_pack(x: np.ndarray, period=1) -> dict:
+    """All features for one series; returns {col: float} over pack_columns.
+
+    `period` may be an int or a tuple of ints. With multiple periods the
+    STL stage is MSTL and the seasonal triple is emitted per period; every
+    other period-parameterized kernel (ACF seasonal lag, tiling sizes,
+    guerrero, nsdiffs) uses the PRIMARY (first) period, as the reference
+    does when fabletools hands it a single .period.
+    """
+    period_list = (
+        tuple(int(p) for p in period)
+        if isinstance(period, (list, tuple))
+        else (int(period),)
+    )
+    primary = period_list[0]
+    multi = len(period_list) > 1
+    out = dict.fromkeys(pack_columns(period_list), NAN)
     n = x.size
 
     def safe(fn, *a, **kw):
@@ -108,17 +145,19 @@ def compute_feature_pack(x: np.ndarray, period: int = 1) -> dict:
         except Exception:
             return {}
 
-    stl = safe(feat_stl, x, period=period)
-    # normalize the <name>-suffixed seasonal columns to the static names
+    stl = safe(feat_stl, x, period=period_list if multi else primary)
+    # single period: normalize the <name>-suffixed seasonal columns to the
+    # legacy static names; multi: the suffixed names ARE the schema
     for k, v in stl.items():
-        if k.startswith("seasonal_strength_"):
+        if not multi and k.startswith("seasonal_strength_"):
             out["seasonal_strength"] = v
-        elif k.startswith("seasonal_peak_"):
+        elif not multi and k.startswith("seasonal_peak_"):
             out["seasonal_peak"] = v
-        elif k.startswith("seasonal_trough_"):
+        elif not multi and k.startswith("seasonal_trough_"):
             out["seasonal_trough"] = v
         elif k in out:
             out[k] = v
+    period = primary
     for fn, kwargs in (
         (feat_acf, {"period": period}),
         (feat_pacf, {"period": period}),
@@ -153,7 +192,8 @@ def features(
     key_col: str = "series_key",
     order_col: str = "bucket_ts",
     value_col: str = "val_avg",
-    period: int = 1,
+    period=1,
+    max_points: int = 2_000_000,
 ) -> DataFrame:
     """Wide feature row per key — features(tsibble, value, feature_set()).
 
@@ -167,15 +207,31 @@ def features(
     JVM-side secondary sort: AQE partition coalescing may destroy the
     (key, order) sort and the re-inserted key-only sort is not stable.
     """
+    period_list = (
+        tuple(int(p) for p in period)
+        if isinstance(period, (list, tuple))
+        else (int(period),)
+    )
+    cols = pack_columns(period_list)
     key_type = df.schema[key_col].dataType.simpleString()
     schema = ", ".join(
-        [f"{key_col} {key_type}"] + [f"{c} double" for c in FEATURE_COLUMNS]
+        [f"{key_col} {key_type}"] + [f"{c} double" for c in cols]
     )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_points:
+            # Whole-series features need the full history in one Arrow
+            # group; fail loudly instead of OOMing an executor. Downsample
+            # to a coarser tier (or raise max_points deliberately) first.
+            raise ValueError(
+                f"series {pdf[key_col].iloc[0]!r} has {len(pdf)} points > "
+                f"max_points={max_points}; feature extraction holds one "
+                "whole series per Arrow group — roll up to a coarser tier "
+                "or raise max_points explicitly"
+            )
         order = np.argsort(pdf[order_col].to_numpy(), kind="stable")
         x = pdf[value_col].to_numpy(dtype=np.float64)[order]
-        row = compute_feature_pack(x, period=period)
+        row = compute_feature_pack(x, period=period_list)
         return pd.DataFrame([{key_col: pdf[key_col].iloc[0], **row}])
 
     pruned = df.select(key_col, order_col, value_col)

@@ -46,3 +46,63 @@ def test_features_input_order_invariant(spark):
                 assert np.isnan(gv), col
             else:
                 np.testing.assert_allclose(gv, expect, rtol=1e-9, err_msg=col)
+
+
+class TestMultiSeasonPack:
+    """Per-season feature columns (features.R:95-108) through the pack."""
+
+    def test_two_season_synthetic_golden(self, spark):
+        # reference test-stl.R:47-80: y = rep(1:4) + rep(1:7) over 100 pts;
+        # season_4 ~ rep(1:4)-2.5 (peak idx 4 -> 4%%4=0, trough idx 1),
+        # season_7 ~ rep(1:7)-4 (peak 7%%7=0, trough 1), remainder ~ 0.
+        import numpy as np
+        import pandas as pd
+
+        y = (np.arange(100) % 4 + 1 + np.arange(100) % 7 + 1).astype(float)
+        pdf = pd.DataFrame({"series_key": "s", "t": np.arange(100), "v": y})
+        df = spark.createDataFrame(pdf)
+        out = features(
+            df, key_col="series_key", order_col="t", value_col="v",
+            period=(4, 7),
+        ).toPandas()
+        row = out.iloc[0]
+        for p in (4, 7):
+            assert row[f"seasonal_strength_{p}"] > 0.99
+            assert row[f"seasonal_peak_{p}"] == 0.0
+            assert row[f"seasonal_trough_{p}"] == 1.0
+        # legacy unsuffixed columns must NOT appear in the multi schema
+        assert "seasonal_strength" not in out.columns
+        assert "trend_strength" in out.columns
+
+    def test_single_period_schema_unchanged(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from feasts_spark.operators.features import FEATURE_COLUMNS
+
+        pdf = pd.DataFrame({
+            "series_key": "s", "t": np.arange(60),
+            "v": np.sin(np.arange(60) / 3.0),
+        })
+        out = features(
+            spark.createDataFrame(pdf), key_col="series_key", order_col="t",
+            value_col="v", period=12,
+        ).toPandas()
+        assert list(out.columns) == ["series_key"] + FEATURE_COLUMNS
+
+    def test_giant_series_guard(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pd.DataFrame({
+            "series_key": "whale", "t": np.arange(500),
+            "v": np.random.RandomState(0).standard_normal(500),
+        })
+        df = spark.createDataFrame(pdf)
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="max_points"):
+            features(
+                df, key_col="series_key", order_col="t", value_col="v",
+                period=1, max_points=100,
+            ).collect()
