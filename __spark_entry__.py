@@ -1471,6 +1471,40 @@ def q_johansen_1h(spark, sf_dir):
     return r.groupBy("series_key").applyInPandas(fn, schema=schema)
 
 
+def q_phillips_ouliaris_1h(spark, sf_dir):
+    """Phillips-Ouliaris Pu cointegration (features.R:268-335) of each
+    user's paired hourly series — rows-only (matrix OLS + long-run
+    covariance + Monte Carlo critical tables; pinned in
+    tests/test_cointegration.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from feasts_spark.kernels.cointegration import cointegration_phillips_ouliaris
+
+    _utc(spark)
+    r = _hourly_pair(spark, sf_dir).select(
+        "series_key", "bucket_ts",
+        F.col("val_avg").alias("y"),
+        F.col("n_points").cast("double").alias("x"),
+    )
+    cols = ["phillips_ouliaris_stat", "phillips_ouliaris_pvalue"]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_ts", kind="mergesort")
+        try:
+            res = cointegration_phillips_ouliaris(
+                pdf["y"].to_numpy(np.float64), pdf["x"].to_numpy(np.float64)
+            )
+        except Exception:
+            res = {}
+        row = {"series_key": pdf["series_key"].iloc[0]}
+        row.update({c: round(res[c], 4) if c in res else None for c in cols})
+        return pd.DataFrame([row])
+
+    schema = ", ".join(["series_key long"] + [f"{c} double" for c in cols])
+    return r.groupBy("series_key").applyInPandas(fn, schema=schema)
+
+
 def q_stl_generate_1d(spark, sf_dir):
     """generate.stl_decomposition (stl.R:171-197): 2 bootstrap replicates
     per user via seeded moving-block bootstrap of the STL remainder —
@@ -1589,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supsmu_trend_1d": q_supsmu_trend_1d,
         "stl_generate_1d": q_stl_generate_1d,
         "johansen_1h": q_johansen_1h,
+        "phillips_ouliaris_1h": q_phillips_ouliaris_1h,
         "multimodal_features": q_multimodal_features,
         "tacf_1h": q_tacf_1h,
     }

@@ -1,12 +1,22 @@
 """Johansen cointegration test (features.R:249-261 wraps urca::ca.jo).
 
 Implements the standard Johansen (1988, 1991) reduced-rank regression from
-the published algorithm — NOT a port of urca's GPL code. Defaults mirror
-the wrapper's effective defaults: K=2 lags, restricted constant
-(ecdet="const"), long-run specification; both max-eigenvalue and trace
-statistics are returned with p-values by linear interpolation of the
-Osterwald-Lenum (1992) asymptotic critical values (published statistical
-tables), rule=2 clamping like stats::approx in the reference wrapper.
+the published algorithm — NOT a port of urca's GPL code. K=2 lags,
+long-run specification, both max-eigenvalue and trace statistics with
+p-values by linear interpolation of the Osterwald-Lenum (1992) asymptotic
+critical values (published statistical tables), rule=2 clamping like
+stats::approx in the reference wrapper.
+
+DELIBERATE SPEC DEVIATION from the reference wrapper's backend defaults:
+urca::ca.jo defaults to ecdet="none" (unrestricted constant, O-L Table 1
+critical values, e.g. 6.50/8.18/11.65 for m-r=1 max-eigen); this kernel
+implements the restricted-constant specification (ecdet="const", Table 1*
+values 7.52/9.24/12.97). The restricted-constant spec is the standard
+recommendation for series without deterministic trends (our rollup
+tiers), but Johansen statistics and p-values on identical input will
+differ numerically from cointegration_johansen() run through urca's
+defaults — typically by a few units of the statistic and one
+interpolation band of the p-value.
 
 Only the bivariate/trivariate tables are embedded (m <= 3) — the feature
 use-case pairs two aligned series per key.
@@ -110,3 +120,143 @@ def cointegration_johansen(y: np.ndarray, x: np.ndarray, K: int = 2) -> dict:
         "johansen_trace_r0": float(res["trace_stats"][0]),
         "johansen_trace_pvalue_r0": float(res["trace_pvalues"][0]),
     }
+
+
+# ---------------------------------------------------------------------------
+# Phillips-Ouliaris residual-based cointegration tests (features.R:268-335
+# wraps urca::ca.po; reference defaults demean="none", lag="short",
+# type="Pu")
+# ---------------------------------------------------------------------------
+
+def _bartlett_lrcov(xi: np.ndarray, lmax: int) -> np.ndarray:
+    """Newey-West/Bartlett long-run covariance of the rows of xi (T, m)."""
+    T = xi.shape[0]
+    omega = xi.T @ xi / T
+    for s in range(1, lmax + 1):
+        w = 1.0 - s / (lmax + 1.0)
+        g = xi[s:].T @ xi[:-s] / T
+        omega = omega + w * (g + g.T)
+    return omega
+
+
+def _po_stats(z: np.ndarray, demean: str = "none", lags: str = "short") -> dict:
+    """Pu and Pz statistics per Phillips & Ouliaris (1990), §4-5.
+
+    z: (T, m) matrix, first column the regressand.
+      u_t     — residuals of the cointegrating regression of z1 on z2..zm
+                (no intercept for demean="none"; intercept for "constant";
+                intercept+trend for "trend"),
+      xi_t    — first differences of z (demeaned per spec),
+      Omega   — Bartlett long-run covariance of xi with
+                l = trunc(4*(T/100)^0.25) ("short") or 12*(...) ("long"),
+      Pu      = T * omega_{11.2} / (T^{-1} * sum(u_t^2))   [variance ratio]
+      Pz      = T * tr(Omega @ Mzz^{-1}),  Mzz = T^{-1} * ztilde' ztilde
+    where omega_{11.2} = w11 - w21' W22^{-1} w21 is the conditional
+    long-run variance. Under cointegration both diverge; reject the null
+    of NO cointegration for LARGE values.
+
+    Critical values in _PO_CVAL are seeded Monte Carlo quantiles of this
+    exact statistic under the null (tools/gen_po_tables.py: independent
+    random walks, T=1000, 20k reps) — consistent with the published
+    asymptotic tables to simulation error, and exactly consistent with
+    this implementation by construction.
+    """
+    z = np.asarray(z, dtype=np.float64)
+    T, m = z.shape
+    if m < 2:
+        raise ValueError("phillips_ouliaris needs >= 2 series")
+    lmax = int((4 if lags == "short" else 12) * (T / 100.0) ** 0.25)
+    if demean == "none":
+        reg = z[:, 1:]
+        ztil = z
+    elif demean == "constant":
+        reg = np.column_stack([np.ones(T), z[:, 1:]])
+        ztil = z - z.mean(axis=0)
+    elif demean == "trend":
+        t = np.arange(1.0, T + 1.0)
+        reg = np.column_stack([np.ones(T), t, z[:, 1:]])
+        dt = np.column_stack([np.ones(T), t])
+        beta, *_ = np.linalg.lstsq(dt, z, rcond=None)
+        ztil = z - dt @ beta
+    else:
+        raise ValueError(f"unknown demean {demean!r}")
+    beta, *_ = np.linalg.lstsq(reg, z[:, 0], rcond=None)
+    u = z[:, 0] - reg @ beta
+    xi = np.diff(z, axis=0)
+    if demean != "none":
+        xi = xi - xi.mean(axis=0)
+    omega = _bartlett_lrcov(xi, lmax)
+    w11 = omega[0, 0]
+    w21 = omega[1:, 0]
+    W22 = omega[1:, 1:]
+    omega112 = float(w11 - w21 @ np.linalg.solve(W22, w21))
+    pu = T * omega112 / (float(u @ u) / T)
+    mzz = ztil.T @ ztil / T
+    pz = T * float(np.trace(omega @ np.linalg.inv(mzz)))
+    return {"Pu": pu, "Pz": pz}
+
+
+# Seeded Monte Carlo 10/5/1% quantiles (tools/gen_po_tables.py, T=1000,
+# 20k reps, seed 20260817), keyed by (type, demean) then by m-1 regressors.
+_PO_CVAL: dict = {
+    ("Pu", "none"): {
+        1: (20.0, 25.32, 37.97),
+        2: (26.06, 31.77, 44.22),
+        3: (31.52, 38.07, 51.75),
+        4: (37.53, 44.27, 58.32),
+    },
+    ("Pz", "none"): {
+        1: (32.77, 38.85, 53.65),
+        2: (59.28, 66.68, 82.86),
+        3: (93.74, 102.88, 122.21),
+        4: (134.75, 145.08, 165.68),
+    },
+    ("Pu", "constant"): {
+        1: (26.77, 32.64, 46.06),
+        2: (32.23, 38.44, 51.38),
+        3: (37.58, 44.13, 58.36),
+        4: (42.81, 49.82, 64.3),
+    },
+    ("Pz", "constant"): {
+        1: (45.34, 52.42, 68.14),
+        2: (75.63, 83.92, 102.6),
+        3: (113.7, 123.31, 143.6),
+        4: (158.01, 169.05, 190.94),
+    },
+}
+
+
+def phillips_ouliaris(
+    z: np.ndarray,
+    type: str = "Pu",
+    demean: str = "none",
+    lags: str = "short",
+) -> dict:
+    """ca.po-style feature: statistic + interpolated p-value.
+
+    Mirrors the reference wrapper (features.R:331-335): p-value by linear
+    interpolation of the critical values at (0.10, 0.05, 0.01), clamped
+    (stats::approx rule=2). Reference defaults demean="none", lag="short",
+    type="Pu".
+    """
+    z = np.asarray(z, dtype=np.float64)
+    stats = _po_stats(z, demean=demean, lags=lags)
+    stat = stats[type]
+    nreg = z.shape[1] - 1
+    table = _PO_CVAL.get((type, demean), {})
+    if nreg not in table:
+        raise ValueError(
+            f"no Phillips-Ouliaris critical values for {type}/{demean} with "
+            f"{nreg} regressors"
+        )
+    pval = _interp_pvalue(table[nreg], stat)
+    return {
+        "phillips_ouliaris_stat": float(stat),
+        "phillips_ouliaris_pvalue": float(pval),
+    }
+
+
+def cointegration_phillips_ouliaris(y: np.ndarray, x: np.ndarray, **kw) -> dict:
+    """Two-series convenience wrapper (reference example:
+    cointegration_phillips_ouliaris(cbind(mdeaths, fdeaths)))."""
+    return phillips_ouliaris(np.column_stack([y, x]), **kw)
