@@ -1556,6 +1556,17 @@ def q_tacf_1h(spark, sf_dir):
     return out.select("series_key", "lag", F.round("acf", 4).alias("acf"))
 
 
+def q_pacf_tapered_1h(spark, sf_dir):
+    """Tapered PACF: Durbin-Levinson on the tacf estimate
+    (acf.R:118-138, PACF(tapered=TRUE)) — rows-only."""
+    from feasts_spark.operators.cf import pacf_table
+
+    _utc(spark)
+    r = _hourly_pair(spark, sf_dir)
+    out = pacf_table(r, lag_max=10, tapered=True)
+    return out.select("series_key", "lag", F.round("pacf", 4).alias("pacf"))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1626,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phillips_ouliaris_1h": q_phillips_ouliaris_1h,
         "multimodal_features": q_multimodal_features,
         "tacf_1h": q_tacf_1h,
+        "pacf_tapered_1h": q_pacf_tapered_1h,
     }
 
 

@@ -205,3 +205,21 @@ def tacf(x) -> np.ndarray:
     for i in range(1, m):
         out[i] = float(np.mean(np.diagonal(Gamma2, offset=i)))
     return out
+
+
+def pacf_tapered(x, lag_max: int | None = None) -> np.ndarray:
+    """Tapered PACF (reference acf.R:118-138, PACF(tapered=TRUE)).
+
+    Durbin-Levinson recursion applied to the tacf() banded/tapered
+    autocorrelation estimate instead of the sample ACF — the reference's
+    "LD-recursions" template with acvf = tacf(x).
+    """
+    from feasts_spark.kernels.acf import default_lag_max, durbin_levinson_pacf
+
+    x = np.asarray(x, dtype=np.float64)
+    n = x.size
+    if lag_max is None:
+        lag_max = default_lag_max(n)
+    lag_max = min(lag_max, n - 2)
+    acvf = tacf(x)
+    return durbin_levinson_pacf(acvf, lag_max)

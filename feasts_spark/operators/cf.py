@@ -67,13 +67,23 @@ def pacf_table(
     order_col: str = "bucket_ts",
     value_col: str = "val_avg",
     lag_max: int | None = None,
+    tapered: bool = False,
 ) -> DataFrame:
-    """PACF() — per-key partial autocorrelations (Durbin-Levinson)."""
+    """PACF() — per-key partial autocorrelations (Durbin-Levinson).
+
+    `tapered=True` runs the recursion on the tacf() banded/tapered
+    autocorrelation estimate instead of the sample ACF (reference
+    acf.R:118-138, PACF(tapered=TRUE))."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from feasts_spark.kernels.extras import pacf_tapered
+
         key = pdf[key_col].iloc[0]
         x = _ordered_values(pdf, order_col, value_col)
-        vals = pacf_r(x, lag_max=lag_max, na_action="contiguous")
+        if tapered:
+            vals = pacf_tapered(x, lag_max=lag_max)
+        else:
+            vals = pacf_r(x, lag_max=lag_max, na_action="contiguous")
         return pd.DataFrame(
             {key_col: key, "lag": np.arange(1, vals.size + 1, dtype=np.int32),
              "pacf": vals}

@@ -93,3 +93,35 @@ class TestCCF:
         # y_t = x_{t-3}: R convention (lag k pairs x[t+k] with y[t]) peaks
         # at k = -3
         assert lags[np.argmax(vals)] == -3
+
+
+class TestPacfTapered:
+    """Tapered PACF = D-L template on the tacf estimate (acf.R:118-138)."""
+
+    def test_matches_dl_template(self):
+        import numpy as np
+
+        from feasts_spark.kernels.acf import durbin_levinson_pacf
+        from feasts_spark.kernels.extras import pacf_tapered, tacf
+
+        rng = np.random.RandomState(3)
+        x = np.cumsum(rng.standard_normal(150)) + np.sin(np.arange(150) / 5)
+        got = pacf_tapered(x, lag_max=8)
+        # independent replay of the reference's R template, 1-based ported
+        acvf = tacf(x)
+        exp = durbin_levinson_pacf(acvf, 8)
+        np.testing.assert_allclose(got, exp, rtol=1e-14)
+        assert got[0] == acvf[1] / acvf[0]
+
+    def test_white_noise_near_plain_pacf(self):
+        import numpy as np
+
+        from feasts_spark.kernels.acf import pacf_r
+        from feasts_spark.kernels.extras import pacf_tapered
+
+        rng = np.random.RandomState(4)
+        x = rng.standard_normal(400)
+        t = pacf_tapered(x, lag_max=5)
+        p = pacf_r(x, lag_max=5)
+        # taper shrinks noise lags toward 0; both stay small on white noise
+        assert np.abs(t).max() < 0.2 and np.abs(p).max() < 0.2
