@@ -23,8 +23,9 @@ def count_nodes(plan: str, name: str) -> int:
 
     `formatted` prints every node twice (tree line `Op (N)` and detail
     header `(N) Op`); counting only detail headers gives the true count.
-    Matches by prefix so `Exchange` also counts `BroadcastExchange` detail
-    lines when asked for explicitly, not implicitly.
+    Matching is EXACT-prefix-anchored immediately after the header number:
+    `count_nodes(plan, "Exchange")` does NOT count `BroadcastExchange`
+    lines — count those separately by name.
     """
     return len(re.findall(rf"^\(\d+\) {re.escape(name)}\b", plan, re.MULTILINE))
 
@@ -45,7 +46,15 @@ def plan_summary(df: DataFrame) -> dict:
         "pushed_filters": "PushedFilters: [" in plan
         and "PushedFilters: []" not in plan,
         "n_scans": count_nodes(plan, "Scan parquet"),
-        "n_python": len(re.findall(r"InPandas|ArrowEvalPython|BatchEvalPython", plan)),
+        # same detail-header anchoring as count_nodes, so each Python
+        # boundary is counted once (tree + detail lines would double it)
+        "n_python": len(
+            re.findall(
+                r"^\(\d+\) (?:\w*InPandas|ArrowEvalPython|BatchEvalPython)",
+                plan,
+                re.MULTILINE,
+            )
+        ),
         "read_schema_cols": _read_schema_width(plan),
         "plan": plan,
     }

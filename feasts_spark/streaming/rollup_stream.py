@@ -74,24 +74,39 @@ def run_stream_once(
     append a max-timestamp sentinel row or read the complete output for
     bounded fixtures (tests use complete mode via this helper's sink)."""
     import os
+    import shutil
     import tempfile
 
     # FileStreamSource requires a directory basePath; stage a single-file
     # input behind a symlink dir (production inputs are table directories).
+    # The link target must be absolute — a relative input_path would
+    # resolve relative to the staged temp dir, i.e. a broken link and a
+    # silently empty stream.
+    staged = None
     if os.path.isfile(input_path):
         staged = tempfile.mkdtemp(prefix="feasts_stream_")
-        os.symlink(input_path, os.path.join(staged, os.path.basename(input_path)))
+        os.symlink(
+            os.path.abspath(input_path),
+            os.path.join(staged, os.path.basename(input_path)),
+        )
         input_path = staged
-    stream = (
-        spark.readStream.schema(schema).parquet(input_path)
-    )
-    rolled = stream_rollup(stream, tier, **kwargs)
-    q = (
-        rolled.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.sql(f"SELECT * FROM {query_name}")
+    try:
+        stream = (
+            spark.readStream.schema(schema).parquet(input_path)
+        )
+        rolled = stream_rollup(stream, tier, **kwargs)
+        q = (
+            rolled.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # materialize before the staged dir disappears
+        out = spark.sql(f"SELECT * FROM {query_name}")
+        out.count()
+        return out
+    finally:
+        if staged is not None:
+            shutil.rmtree(staged, ignore_errors=True)
