@@ -197,6 +197,36 @@ def run_bench(cores: str, sf_dir: str) -> dict:
     )
 
     total = round(sum(queries.values()), 3)
+
+    # --- micro-kernels (reported separately, NOT in the headline total,
+    # so round-over-round totals stay comparable) ------------------------
+    micro: dict[str, float] = {}
+
+    import numpy as _np
+
+    from feasts_spark.operators.compression import gorilla_decode, gorilla_encode
+
+    rng = _np.random.RandomState(3)
+    n_pts = 200_000
+    ts_us = (_np.cumsum(rng.randint(55, 65, n_pts)) * 1_000_000).astype(_np.int64)
+    vals = _np.round(_np.cumsum(rng.standard_normal(n_pts)) * 10, 2)
+    gorilla_encode(ts_us[:1000], vals[:1000])  # warm
+    t0 = time.time()
+    payload = gorilla_encode(ts_us, vals)
+    micro["gorilla_encode_pts_per_sec"] = round(n_pts / (time.time() - t0))
+    t0 = time.time()
+    gorilla_decode(payload)
+    micro["gorilla_decode_pts_per_sec"] = round(n_pts / (time.time() - t0))
+
+    from feasts_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    materialize(minhash_signatures(docs))  # warm python workers
+    t0 = time.time()
+    materialize(minhash_signatures(docs))
+    micro["minhash_docs_per_sec"] = round(n_docs / (time.time() - t0))
+
     spark.stop()
     return {
         "metric": "headline_queries_total",
@@ -208,6 +238,7 @@ def run_bench(cores: str, sf_dir: str) -> dict:
         "n_transcript_turns": n_turns,
         "n_events": n_events,
         "throughput": thr,
+        "micro": micro,
     }
 
 
