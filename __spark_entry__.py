@@ -1352,6 +1352,16 @@ FROM agg
 """
 
 
+def q_acf_features_1h(spark, sf_dir):
+    """feat_acf feature pack (acf1/acf10, diff1/diff2 variants,
+    season_acf1) in pure SQL — same text as the DuckDB oracle."""
+    from feasts_spark.functions.sql_features import acf_features_sql
+
+    _utc(spark)
+    _events(spark, sf_dir).createOrReplaceTempView("events")
+    return spark.sql(acf_features_sql())
+
+
 def q_pp_sql_1d(spark, sf_dir):
     """Phillips-Perron Z-tau in pure SQL — the SAME SQL text is the DuckDB
     oracle (pp_sql), so cross-engine parity is textual."""
@@ -1630,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kpss_sql_1d": q_kpss_sql_1d,
         "pacf12_1h": q_pacf12_1h,
         "pp_sql_1d": q_pp_sql_1d,
+        "acf_features_1h": q_acf_features_1h,
         "stl_multi_1h": q_stl_multi_1h,
         "supsmu_trend_1d": q_supsmu_trend_1d,
         "stl_generate_1d": q_stl_generate_1d,
@@ -1675,6 +1686,9 @@ def oracle_sql() -> dict[str, str]:
         "pp_sql_1d": __import__(
             "feasts_spark.functions.sql_features", fromlist=["pp_sql"]
         ).pp_sql(),
+        "acf_features_1h": __import__(
+            "feasts_spark.functions.sql_features", fromlist=["acf_features_sql"]
+        ).acf_features_sql(),
         # pacf_table_1h, stl_components_1d, feature_pack, ann_topk,
         # ann_lsh_topk, guerrero_1d, unitroot_1d, stl_multi_1h,
         # supsmu_trend_1d, tacf_1h: non-SQL-expressible (D-L recursion,

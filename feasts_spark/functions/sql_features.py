@@ -363,6 +363,86 @@ FROM cv
 """
 
 
+def acf_features_sql(
+    trunc: str = "hour", min_points: int = 30, period: int = 24
+) -> str:
+    """feat_acf (features.R:616-653) as ONE dialect-neutral SQL text.
+
+    acf1/acf10 on the series, diff1_acf1/diff1_acf10 and
+    diff2_acf1/diff2_acf10 on its first and second differences, plus
+    season_acf1 at the seasonal lag. R's divisor-n ACF reduces to ratios
+    of centered lag-product sums (the divisor cancels), the differenced
+    series are demeaned by their own means, and null rows at the series
+    head drop the exact pairs numpy's diff-then-acf drops — so the whole
+    pack is window functions + one aggregate. The SAME string runs on
+    Spark SQL (temp view `events`) and DuckDB (the oracle).
+    """
+    lags = sorted(set(range(1, 11)) | {period})
+    lead_x = ",\n         ".join(
+        f"lead(xc, {k}) OVER (PARTITION BY k ORDER BY rn) AS xc{k}" for k in lags
+    )
+    lead_d = ",\n         ".join(
+        f"lead(y1, {k}) OVER (PARTITION BY k ORDER BY rn) AS y1_{k},\n"
+        f"         lead(y2, {k}) OVER (PARTITION BY k ORDER BY rn) AS y2_{k}"
+        for k in range(1, 11)
+    )
+    sums_x = ",\n         ".join(
+        f"sum(xc * xc{k}) AS s{k}" for k in lags
+    )
+    sums_d = ",\n         ".join(
+        f"sum(y1 * y1_{k}) AS t{k},\n         sum(y2 * y2_{k}) AS u{k}"
+        for k in range(1, 11)
+    )
+    sq = lambda terms: " + ".join(f"({t}) * ({t})" for t in terms)  # noqa: E731
+    acf10 = sq([f"s{k} / s0" for k in range(1, 11)])
+    d1_acf10 = sq([f"t{k} / t0" for k in range(1, 11)])
+    d2_acf10 = sq([f"u{k} / u0" for k in range(1, 11)])
+    r4 = lambda e, name: (  # noqa: E731
+        f"floor(({e}) * 1e4 + CAST(0.500001 AS DOUBLE)) / 1e4 AS {name}"
+    )
+    return f"""
+WITH r AS (
+  SELECT user_id, date_trunc('{trunc}', ts) AS bucket_ts, avg(value) AS v
+  FROM events GROUP BY user_id, date_trunc('{trunc}', ts)
+), keyed AS (
+  SELECT user_id FROM r GROUP BY user_id HAVING count(*) >= {min_points}
+), o AS (
+  SELECT r.user_id AS k, v,
+         row_number() OVER (PARTITION BY r.user_id ORDER BY bucket_ts) AS rn,
+         v - lag(v) OVER (PARTITION BY r.user_id ORDER BY bucket_ts) AS d1,
+         v - CAST(2 AS DOUBLE) * lag(v) OVER (PARTITION BY r.user_id ORDER BY bucket_ts)
+           + lag(v, 2) OVER (PARTITION BY r.user_id ORDER BY bucket_ts) AS d2
+  FROM r JOIN keyed ON keyed.user_id = r.user_id
+), c AS (
+  SELECT k, rn,
+         v - avg(v) OVER (PARTITION BY k) AS xc,
+         d1 - avg(d1) OVER (PARTITION BY k) AS y1,
+         d2 - avg(d2) OVER (PARTITION BY k) AS y2
+  FROM o
+), l AS (
+  SELECT k, rn, xc, y1, y2,
+         {lead_x},
+         {lead_d}
+  FROM c
+), agg AS (
+  SELECT k AS series_key,
+         sum(xc * xc) AS s0, sum(y1 * y1) AS t0, sum(y2 * y2) AS u0,
+         {sums_x},
+         {sums_d}
+  FROM l GROUP BY k
+)
+SELECT series_key,
+  {r4("s1 / s0", "acf1")},
+  {r4(acf10, "acf10")},
+  {r4("t1 / t0", "diff1_acf1")},
+  {r4(d1_acf10, "diff1_acf10")},
+  {r4("u1 / u0", "diff2_acf1")},
+  {r4(d2_acf10, "diff2_acf10")},
+  {r4(f"s{period} / s0", "season_acf1")}
+FROM agg
+"""
+
+
 def shift_var_df(
     df: DataFrame, key_col: str, order_cols: list, value_col: str, size: int = 10
 ) -> DataFrame:

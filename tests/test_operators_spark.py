@@ -284,3 +284,26 @@ class TestSqlFeatureTwins:
             assert got.loc[key, "pp_pvalue"] == pytest.approx(
                 exp["pp_pvalue"], abs=2e-4
             )
+
+    def test_acf_features_sql_matches_kernel(self, spark, events):
+        from feasts_spark.functions.sql_features import acf_features_sql
+        from feasts_spark.kernels.feat_cf import feat_acf
+
+        events.createOrReplaceTempView("events")
+        got = (
+            spark.sql(acf_features_sql())
+            .toPandas()
+            .set_index("series_key")
+            .sort_index()
+        )
+        r = rollup_raw(events, "1h", "user_id", "ts", "value")
+        counts = r.groupBy("series_key").count().filter(F.col("count") >= 30)
+        r = r.join(counts.select("series_key"), "series_key")
+        local = r.orderBy("series_key", "bucket_ts").toPandas()
+        assert len(got) > 3
+        cols = ["acf1", "acf10", "diff1_acf1", "diff1_acf10", "diff2_acf1",
+                "diff2_acf10", "season_acf1"]
+        for key, grp in local.groupby("series_key"):
+            exp = feat_acf(grp["val_avg"].to_numpy(), period=24)
+            for c in cols:
+                assert got.loc[key, c] == pytest.approx(exp[c], abs=2e-4), c
