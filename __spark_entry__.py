@@ -221,9 +221,9 @@ def q_acf_table_1h(spark, sf_dir):
 
     _utc(spark)
     r = rollup_raw(_events(spark, sf_dir), "1h", "user_id", "ts", "value")
-    counts = r.groupBy("series_key").count().filter(F.col("count") > 11)
-    r = r.join(counts.select("series_key"), "series_key")
-    out = acf_table(r, lag_max=10)
+    # short-series filter INSIDE the UDF group: same semantics as a
+    # count semi-join (count > 11) without its aggregate + join shuffles
+    out = acf_table(r, lag_max=10, min_points=12)
     return out.select("series_key", "lag", F.round("acf", 4).alias("acf"))
 
 
@@ -262,9 +262,7 @@ def q_pacf_table_1h(spark, sf_dir):
 
     _utc(spark)
     r = rollup_raw(_events(spark, sf_dir), "1h", "user_id", "ts", "value")
-    counts = r.groupBy("series_key").count().filter(F.col("count") > 11)
-    r = r.join(counts.select("series_key"), "series_key")
-    return pacf_table(r, lag_max=10).select(
+    return pacf_table(r, lag_max=10, min_points=12).select(
         "series_key", "lag", F.round("pacf", 4).alias("pacf")
     )
 
@@ -501,9 +499,7 @@ def q_feature_pack(spark, sf_dir):
 
     _utc(spark)
     r = rollup_raw(_events(spark, sf_dir), "1h", "user_id", "ts", "value")
-    counts = r.groupBy("series_key").count().filter(F.col("count") >= 20)
-    r = r.join(counts.select("series_key"), "series_key")
-    out = features(r, period=24)
+    out = features(r, period=24, min_points=20)
     ncols = [c for c in out.columns if c != "series_key"]
     sel = [F.col("series_key")] + [F.round(c, 4).alias(c) for c in ncols]
     return out.select(*sel)
@@ -519,9 +515,7 @@ def q_feature_pack_multi(spark, sf_dir):
 
     _utc(spark)
     r = rollup_raw(_events(spark, sf_dir), "1h", "user_id", "ts", "value")
-    counts = r.groupBy("series_key").count().filter(F.col("count") >= 50)
-    r = r.join(counts.select("series_key"), "series_key")
-    out = features(r, period=(6, 24))
+    out = features(r, period=(6, 24), min_points=50)
     ncols = [c for c in out.columns if c != "series_key"]
     sel = [F.col("series_key")] + [F.round(c, 4).alias(c) for c in ncols]
     return out.select(*sel)

@@ -146,11 +146,9 @@ def run_bench(cores: str, sf_dir: str) -> dict:
     def tr_features():
         # the flagship shape: full feature pack per conversation over the
         # RAW turn stream (value = len(text)), Zipf-skewed series lengths
-        counts = series.groupBy("conv_id").count().filter(F.col("count") >= 100)
-        keyed = series.join(counts.select("conv_id"), "conv_id")
         materialize(
-            features(keyed, key_col="conv_id", order_col="turn_idx",
-                     value_col="value", period=24)
+            features(series, key_col="conv_id", order_col="turn_idx",
+                     value_col="value", period=24, min_points=100)
         )
 
     timed("transcripts_feature_pack", tr_features, points=n_turns)
@@ -246,7 +244,11 @@ SCALING_REPEATS = int(os.environ.get("BENCH_SCALING_REPEATS", "3"))
 # larger corpus for the scaling evidence: fixed per-query overhead (~5s of
 # session/scan setup) must be small against compute for the N-vs-4N
 # comparison to measure the ENGINE rather than the floor
-SCALING_CONVS = os.environ.get("BENCH_SCALING_CONVS", "8000")
+SCALING_CONVS = os.environ.get("BENCH_SCALING_CONVS", "20000")
+# 20000 convs (~24M turns): at 8000 the faster round-2 kernels finish the
+# local[8] leg in ~36 s, where ~5 s of fixed session/scan setup deflates
+# measured efficiency to ~0.74; the bigger corpus keeps fixed costs <5%
+# at both levels so the ratio measures the ENGINE.
 # N vs 4N parallelism levels. Default 2 vs 8 on the 32-core sandbox:
 # BOTH levels must sit inside the machine's linear-scaling envelope.
 # Measured on the real feature-pack UDF (in-worker process_time totals):

@@ -34,14 +34,21 @@ def acf_table(
     type: str = "correlation",
     demean: bool = True,
     tapered: bool = False,
+    min_points: int = 0,
 ) -> DataFrame:
     """ACF() — per-key autocorrelations, lag 0 dropped (acf.R:75-77).
 
     tapered=True uses the banded/tapered estimate with eigenvalue shrinkage
-    (acf.R:69-71 -> tacf, acf.R:252-300)."""
+    (acf.R:69-71 -> tacf, acf.R:252-300).
+
+    `min_points` drops short series INSIDE the UDF — equivalent to a
+    count-filter semi-join upstream, but without the extra aggregate +
+    join shuffles (the group is already in hand)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf[key_col].iloc[0]
+        if len(pdf) < min_points:
+            return pd.DataFrame({key_col: [], "lag": [], "acf": []})
         x = _ordered_values(pdf, order_col, value_col)
         if tapered:
             from feasts_spark.kernels.extras import tacf
@@ -68,17 +75,21 @@ def pacf_table(
     value_col: str = "val_avg",
     lag_max: int | None = None,
     tapered: bool = False,
+    min_points: int = 0,
 ) -> DataFrame:
     """PACF() — per-key partial autocorrelations (Durbin-Levinson).
 
     `tapered=True` runs the recursion on the tacf() banded/tapered
     autocorrelation estimate instead of the sample ACF (reference
-    acf.R:118-138, PACF(tapered=TRUE))."""
+    acf.R:118-138, PACF(tapered=TRUE)). `min_points` filters short series
+    inside the UDF (see acf_table)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         from feasts_spark.kernels.extras import pacf_tapered
 
         key = pdf[key_col].iloc[0]
+        if len(pdf) < min_points:
+            return pd.DataFrame({key_col: [], "lag": [], "pacf": []})
         x = _ordered_values(pdf, order_col, value_col)
         if tapered:
             vals = pacf_tapered(x, lag_max=lag_max)

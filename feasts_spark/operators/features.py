@@ -194,6 +194,7 @@ def features(
     value_col: str = "val_avg",
     period=1,
     max_points: int = 2_000_000,
+    min_points: int = 0,
 ) -> DataFrame:
     """Wide feature row per key — features(tsibble, value, feature_set()).
 
@@ -219,6 +220,10 @@ def features(
     )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < min_points:
+            # in-group short-series filter: same semantics as an upstream
+            # count semi-join without its aggregate + join shuffles
+            return pd.DataFrame({c: [] for c in [key_col] + cols})
         if len(pdf) > max_points:
             # Whole-series features need the full history in one Arrow
             # group; fail loudly instead of OOMing an executor. Downsample
