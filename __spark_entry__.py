@@ -1175,9 +1175,8 @@ def q_guerrero_1d(spark, sf_dir):
 
     _utc(spark)
     r = rollup_raw(_events(spark, sf_dir), "1d", "user_id", "ts", "value")
-    counts = r.groupBy("series_key").count().filter(F.col("count") >= 14)
-    r = r.join(counts.select("series_key"), "series_key")
-    out = series_stats(r, guerrero, ["lambda_guerrero"], period=7)
+    out = series_stats(r, guerrero, ["lambda_guerrero"], period=7,
+                       min_points=14)
     return out.select(
         "series_key", F.round("lambda_guerrero", 4).alias("lambda_guerrero")
     )
@@ -1193,14 +1192,13 @@ def q_unitroot_1d(spark, sf_dir):
 
     _utc(spark)
     r = rollup_raw(_events(spark, sf_dir), "1d", "user_id", "ts", "value")
-    counts = r.groupBy("series_key").count().filter(F.col("count") >= 14)
-    r = r.join(counts.select("series_key"), "series_key")
 
     def kernel(x):
         return {**unitroot_kpss(x), **unitroot_pp(x), **unitroot_ndiffs(x)}
 
     out = series_stats(
-        r, kernel, ["kpss_stat", "kpss_pvalue", "pp_stat", "pp_pvalue", "ndiffs"]
+        r, kernel, ["kpss_stat", "kpss_pvalue", "pp_stat", "pp_pvalue", "ndiffs"],
+        min_points=14,
     )
     return out.select(
         "series_key",

@@ -27,15 +27,20 @@ def series_stats(
     key_col: str = "series_key",
     order_col: str = "bucket_ts",
     value_col: str = "val_avg",
+    min_points: int = 0,
     **kwargs,
 ) -> DataFrame:
     """One output row per key: (key, *out_cols) = kernel(ordered values).
 
     kernel receives the float64 series in `order_col` order and must return
-    a dict; missing/NaN entries are emitted as nulls (double).
+    a dict; missing/NaN entries are emitted as nulls (double). Series
+    shorter than `min_points` are dropped inside the group — equivalent
+    to an upstream count semi-join without its extra shuffles.
     """
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < min_points:
+            return pd.DataFrame({c: [] for c in [key_col] + list(out_cols)})
         pdf = pdf.sort_values(order_col, kind="mergesort")
         x = pdf[value_col].to_numpy(dtype=np.float64)
         try:
