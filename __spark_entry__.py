@@ -124,6 +124,45 @@ def _cascade_oracle(trunc: str) -> str:
 # Gap-fill (locf + linear)
 # ---------------------------------------------------------------------------
 
+def q_retention_1m(spark, sf_dir):
+    """Tiered retention window on the 1m rollup: only buckets within the
+    last 2 days of the corpus survive. The filter is a pushed-down scan
+    predicate (partition-pruned on dt-partitioned tables at scale)."""
+    import datetime as dt
+
+    from feasts_spark.operators.retention import enforce_retention
+    from feasts_spark.operators.rollup import rollup_raw
+
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    # deterministic "now": corpus max ts (driver-side scalar, O(1) agg)
+    now = ev.agg(F.max("ts")).collect()[0][0]
+    r = rollup_raw(ev, "1m", "user_id", "ts", "value")
+    kept = enforce_retention(
+        r, "1m", now, policy={"1m": "2 days"}, ts_col="bucket_ts"
+    )
+    return _round_cols(
+        kept.select("series_key", "bucket_ts", "n_points", "val_sum",
+                    "val_min", "val_max", "val_avg"),
+        ["val_sum", "val_avg"],
+    )
+
+
+ORACLE_RETENTION_1M = """
+WITH now_t AS (SELECT max(ts) AS now FROM events),
+r AS (
+  SELECT user_id AS series_key, date_trunc('minute', ts) AS bucket_ts,
+         count(*) AS n_points,
+         floor(sum(value) * 1e4 + 0.500001::DOUBLE) / 1e4 AS val_sum,
+         min(value) AS val_min, max(value) AS val_max,
+         floor(avg(value) * 1e4 + 0.500001::DOUBLE) / 1e4 AS val_avg
+  FROM events GROUP BY 1, 2
+)
+SELECT r.* FROM r, now_t
+WHERE r.bucket_ts >= now_t.now - INTERVAL 2 DAY
+"""
+
+
 def q_gapfill_locf_1d(spark, sf_dir):
     from feasts_spark.operators.gapfill import gapfill_locf
     from feasts_spark.operators.rollup import rollup_raw
@@ -1593,6 +1632,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
+        "retention_1m": q_retention_1m,
         "rollup_1h_cascade": q_rollup_1h_cascade,
         "rollup_1d_cascade": q_rollup_1d_cascade,
         "gapfill_locf_1d": q_gapfill_locf_1d,
@@ -1647,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "rollup_1m": _rollup_oracle("minute"),
+        "retention_1m": ORACLE_RETENTION_1M,
         "rollup_1h_cascade": _cascade_oracle("hour"),
         "rollup_1d_cascade": _cascade_oracle("day"),
         "gapfill_locf_1d": ORACLE_LOCF_1D,

@@ -33,6 +33,9 @@ def main() -> None:
                     help="also write the per-conversation feature table")
     ap.add_argument("--feature-period", type=int, default=24)
     ap.add_argument("--min-series-len", type=int, default=20)
+    ap.add_argument("--retention", action="store_true",
+                    help="drop aged-out day partitions per tier policy "
+                         "after the rollup units complete")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -106,6 +109,18 @@ def main() -> None:
 
         fm = run.run(["__features__"], feat_unit)
         metrics["features"] = fm
+
+    if args.retention:
+        import datetime as dt
+
+        from feasts_spark.operators.retention import expire_partitions
+
+        now = dt.datetime.fromisoformat(days[-1]) + dt.timedelta(days=1)
+        removed = {
+            tier: expire_partitions(io, f"rollup_{tier}", tier, now)
+            for tier in tiers
+        }
+        metrics["retention_removed"] = removed
 
     print(json.dumps(metrics))
 

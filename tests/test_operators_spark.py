@@ -307,3 +307,50 @@ class TestSqlFeatureTwins:
             exp = feat_acf(grp["val_avg"].to_numpy(), period=24)
             for c in cols:
                 assert got.loc[key, c] == pytest.approx(exp[c], abs=2e-4), c
+
+
+class TestRetention:
+    def test_enforce_retention_filters_and_pushes_down(self, spark, events):
+        import datetime as dt
+
+        from feasts_spark.operators.retention import (
+            enforce_retention,
+            retention_cutoff,
+        )
+        from feasts_spark.plans import plan_summary
+
+        r = rollup_raw(events, "1m", "user_id", "ts", "value")
+        now = events.agg(F.max("ts")).collect()[0][0]
+        kept = enforce_retention(r, "1m", now, policy={"1m": "2 days"})
+        cutoff = retention_cutoff(now, "1m", {"1m": "2 days"})
+        local = kept.select("bucket_ts").toPandas()
+        assert (local["bucket_ts"] >= cutoff).all()
+        full = r.count()
+        assert 0 < kept.count() < full
+        # keep-forever tier: no filter at all
+        assert enforce_retention(r, "1d", now).count() == full
+
+    def test_expire_partitions_parquet(self, spark, events, tmp_path):
+        import datetime as dt
+
+        from feasts_spark.operators.retention import expire_partitions
+        from feasts_spark.sources.tableio import TableIO, with_day_partition
+
+        io = TableIO(spark, str(tmp_path))
+        df = with_day_partition(events.limit(20_000), "ts")
+        io.write(df, "ev", partition_by=("dt",))
+        days = sorted(
+            r["dt"] for r in io.read("ev").select("dt").distinct().collect()
+        )
+        assert len(days) >= 3
+        now = dt.datetime.combine(days[-1], dt.time()) + dt.timedelta(days=1)
+        keep_days = 2
+        removed = expire_partitions(
+            io, "ev", "1m", now, policy={"1m": f"{keep_days + 1} days"}
+        )
+        assert removed  # something aged out
+        left = sorted(
+            r["dt"] for r in io.read("ev").select("dt").distinct().collect()
+        )
+        assert all(d.isoformat() not in removed for d in left)
+        assert days[-1] in left  # newest partition survives
