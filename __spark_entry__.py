@@ -163,6 +163,50 @@ WHERE r.bucket_ts >= now_t.now - INTERVAL 2 DAY
 """
 
 
+def q_sessionize_1h(spark, sf_dir):
+    """Gap-based sessionization (1h inactivity gap) + per-session stats —
+    pure window SQL, one shuffle on the key."""
+    from feasts_spark.operators.sessionize import session_stats
+
+    _utc(spark)
+    out = session_stats(
+        _events(spark, sf_dir), gap_seconds=3600, key_col="user_id",
+        ts_col="ts", value_col="value", order_cols=["ts", "event_id"],
+    )
+    return out.select(
+        "series_key", "session_id", "n_events", "session_start",
+        "session_end", "duration_s",
+        (F.floor(F.col("val_sum") * 1e4 + F.lit(0.500001)) / 1e4).alias(
+            "val_sum"
+        ),
+    )
+
+
+ORACLE_SESSIONIZE_1H = """
+WITH s AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 3600
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+           AS session_id
+  FROM s
+)
+SELECT user_id AS series_key, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       max(CAST(floor(epoch(ts)) AS BIGINT))
+         - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_s,
+       floor(sum(value) * 1e4 + 0.500001::DOUBLE) / 1e4 AS val_sum
+FROM sess GROUP BY 1, 2
+"""
+
+
 def q_gapfill_locf_1d(spark, sf_dir):
     from feasts_spark.operators.gapfill import gapfill_locf
     from feasts_spark.operators.rollup import rollup_raw
@@ -1633,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
         "retention_1m": q_retention_1m,
+        "sessionize_1h": q_sessionize_1h,
         "rollup_1h_cascade": q_rollup_1h_cascade,
         "rollup_1d_cascade": q_rollup_1d_cascade,
         "gapfill_locf_1d": q_gapfill_locf_1d,
@@ -1688,6 +1733,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "rollup_1m": _rollup_oracle("minute"),
         "retention_1m": ORACLE_RETENTION_1M,
+        "sessionize_1h": ORACLE_SESSIONIZE_1H,
         "rollup_1h_cascade": _cascade_oracle("hour"),
         "rollup_1d_cascade": _cascade_oracle("day"),
         "gapfill_locf_1d": ORACLE_LOCF_1D,

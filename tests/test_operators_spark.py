@@ -354,3 +354,33 @@ class TestRetention:
         )
         assert all(d.isoformat() not in removed for d in left)
         assert days[-1] in left  # newest partition survives
+
+
+class TestSessionize:
+    def test_gap_splits(self, spark):
+        import datetime as dt
+
+        import pandas as pd
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        # key 1: gaps 10s,10s | 2h | 5s  -> sessions [0,0,0,1,1]
+        offs = [0, 10, 20, 7220, 7225]
+        rows += [(1, base + dt.timedelta(seconds=o), float(i))
+                 for i, o in enumerate(offs)]
+        # key 2: single event
+        rows += [(2, base, 9.0)]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+        )
+        from feasts_spark.operators.sessionize import session_stats, sessionize
+
+        s = sessionize(df, gap_seconds=3600).orderBy("user_id", "ts").toPandas()
+        assert list(s[s.user_id == 1]["session_id"]) == [0, 0, 0, 1, 1]
+        assert list(s[s.user_id == 2]["session_id"]) == [0]
+        st = session_stats(df, 3600, value_col="value").toPandas()
+        st = st.set_index(["series_key", "session_id"]).sort_index()
+        assert st.loc[(1, 0), "n_events"] == 3
+        assert st.loc[(1, 0), "duration_s"] == 20
+        assert st.loc[(1, 1), "duration_s"] == 5
+        assert st.loc[(2, 0), "n_events"] == 1
