@@ -144,3 +144,83 @@ def test_stream_rollup_late_data_within_watermark(spark, tmp_path):
     assert h0["val_sum"] == 11.0
     assert h0["val_first"] == 1.0 and h0["val_last"] == 10.0
     assert list(got["n_points"]) == [2, 1, 1, 1]
+
+
+def test_stream_dedup_stateful_matches_batch(spark, tmp_path):
+    """Stateful streaming exact dedup over 2 micro-batches: final per-hash
+    counts equal the batch exact_dedup, duplicates spanning the batch
+    boundary are detected from carried state."""
+    from feasts_spark.operators.dedup import exact_dedup
+    from feasts_spark.streaming.dedup_stream import stream_dedup_stateful
+
+    rows = [
+        (0, "alpha"), (1, "beta"), (2, "alpha"),          # batch 0
+        (3, "gamma"), (4, "alpha"), (5, "beta"), (6, "delta"),  # batch 1
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    d = tmp_path / "dedup_in"
+    d.mkdir()
+    pdf.iloc[:3].to_parquet(d / "b0.parquet", index=False)
+    pdf.iloc[3:].to_parquet(d / "b1.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        stream_dedup_stateful(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM t_dedup_stream").toPandas()
+    # last emission per hash carries the final running count
+    final = (
+        got.sort_values("n_dups").groupby("text_hash").last().reset_index()
+    )
+    batch = exact_dedup(spark.createDataFrame(pdf)).toPandas()
+    merged = final.merge(batch, on="text_hash", suffixes=("_s", "_b"))
+    assert len(merged) == len(batch) == 4
+    assert (merged["n_dups_s"] == merged["n_dups_b"]).all()
+    # first-seen id wins in the stream; with ordered ids that's min id too
+    assert (merged["rep_id_s"] == merged["rep_id_b"]).all()
+    # the cross-boundary duplicate (doc 4, "alpha") produced a non-first
+    # update row with the original representative
+    alpha = got[got["rep_id"] == 0].sort_values("n_dups")
+    assert list(alpha["n_dups"]) == [2, 3]
+    assert list(alpha["is_first"]) == [True, False]
+
+
+def test_stream_dedup_watermark_drops_dupes(spark, tmp_path):
+    from feasts_spark.streaming.dedup_stream import stream_dedup_exact
+
+    base = pd.Timestamp("2024-05-01")
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["x", "x", "y", "x"],
+        "ts": [base, base + pd.Timedelta(minutes=1),
+               base + pd.Timedelta(minutes=2), base + pd.Timedelta(minutes=3)],
+    })
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    d = tmp_path / "dedup_wm"
+    d.mkdir()
+    pdf.to_parquet(d / "b0.parquet", index=False)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .parquet(str(d))
+    )
+    q = (
+        stream_dedup_exact(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup_wm")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM t_dedup_wm").toPandas()
+    assert sorted(got["text"]) == ["x", "y"]  # within-watermark dupes dropped
