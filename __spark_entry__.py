@@ -163,6 +163,25 @@ WHERE r.bucket_ts >= now_t.now - INTERVAL 2 DAY
 """
 
 
+def q_lttb_1h(spark, sf_dir):
+    """LTTB visual downsampling of each hourly series to <= 24 points —
+    rows-only (argmax triangle selection is not SQL-expressible;
+    shape/extrema properties pinned in tests)."""
+    from feasts_spark.operators.downsample import lttb_downsample
+    from feasts_spark.operators.rollup import rollup_raw
+
+    _utc(spark)
+    r = rollup_raw(_events(spark, sf_dir), "1h", "user_id", "ts", "value")
+    out = lttb_downsample(r, n_out=24)
+    return out.select(
+        "series_key", "bucket_ts",
+        (F.floor(F.col("val_avg") * 1e4 + F.lit(0.500001)) / 1e4).alias(
+            "val_avg"
+        ),
+        "orig_n",
+    )
+
+
 def q_sessionize_1h(spark, sf_dir):
     """Gap-based sessionization (1h inactivity gap) + per-session stats —
     pure window SQL, one shuffle on the key."""
@@ -1678,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1m": q_rollup_1m,
         "retention_1m": q_retention_1m,
         "sessionize_1h": q_sessionize_1h,
+        "lttb_1h": q_lttb_1h,
         "rollup_1h_cascade": q_rollup_1h_cascade,
         "rollup_1d_cascade": q_rollup_1d_cascade,
         "gapfill_locf_1d": q_gapfill_locf_1d,

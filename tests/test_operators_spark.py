@@ -384,3 +384,32 @@ class TestSessionize:
         assert st.loc[(1, 0), "duration_s"] == 20
         assert st.loc[(1, 1), "duration_s"] == 5
         assert st.loc[(2, 0), "n_events"] == 1
+
+
+class TestLttb:
+    def test_kernel_properties(self):
+        import numpy as np
+
+        from feasts_spark.operators.downsample import lttb_kernel
+
+        rng = np.random.RandomState(0)
+        n = 5000
+        ts = np.cumsum(rng.randint(1, 10, n)).astype(np.int64)
+        vals = np.sin(np.arange(n) / 50.0) * 100
+        vals[1234] = 1e5  # spike must survive
+        idx = lttb_kernel(ts, vals, 200)
+        assert idx.size == 200
+        assert idx[0] == 0 and idx[-1] == n - 1
+        assert (np.diff(idx) > 0).all()
+        assert 1234 in idx  # extremum preserved
+        # short series pass through unchanged
+        assert lttb_kernel(ts[:50], vals[:50], 200).size == 50
+
+    def test_spark_downsample(self, spark, events):
+        from feasts_spark.operators.downsample import lttb_downsample
+
+        r = rollup_raw(events, "1h", "user_id", "ts", "value")
+        out = lttb_downsample(r, n_out=20).toPandas()
+        sizes = out.groupby("series_key").size()
+        orig = out.groupby("series_key")["orig_n"].first()
+        assert (sizes == orig.clip(upper=20)).all()
