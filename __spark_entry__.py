@@ -163,6 +163,82 @@ WHERE r.bucket_ts >= now_t.now - INTERVAL 2 DAY
 """
 
 
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 350.0, 64
+
+
+def q_hist_quantile_1d(spark, sf_dir):
+    """Mergeable histogram-sketch rollup: 1m histograms cascaded to 1d
+    (array sums — never rescanning raw), then q50/q95 from the merged
+    sketch. The oracle recomputes the identical sketch math directly from
+    raw rows, so it verifies the cascade end to end."""
+    from feasts_spark.operators.sketch import (
+        hist_cascade,
+        hist_quantile,
+        hist_rollup,
+    )
+
+    _utc(spark)
+    h1m = hist_rollup(
+        _events(spark, sf_dir), "1m", _HIST_LO, _HIST_HI, _HIST_BINS,
+        key_col="user_id",
+    )
+    h1d = hist_cascade(hist_cascade(h1m, "1h", _HIST_BINS), "1d", _HIST_BINS)
+    out = hist_quantile(h1d, 0.5, _HIST_LO, _HIST_HI, out_col="q50")
+    out = hist_quantile(out, 0.95, _HIST_LO, _HIST_HI, out_col="q95")
+    r4 = lambda c: (F.floor(F.col(c) * 1e4 + F.lit(0.500001)) / 1e4).alias(c)  # noqa: E731
+    return out.select(
+        "series_key", "bucket_ts", "n_points", r4("q50"), r4("q95")
+    )
+
+
+def _hist_oracle() -> str:
+    lo, hi, nb = _HIST_LO, _HIST_HI, _HIST_BINS
+    width_lit = repr((hi - lo) / nb)  # same double literal Spark bins with
+    width_sql = f"((CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE)) / {nb})"
+
+    def qsel(q: float, name: str) -> str:
+        rank = f"CAST(ceil(CAST({q} AS DOUBLE) * n) AS BIGINT)"
+        return f"""
+  SELECT user_id, d, {rank} AS rank, bin, c, cm,
+         row_number() OVER (PARTITION BY user_id, d ORDER BY bin) AS rn
+  FROM cum WHERE cm >= {rank}
+"""
+
+    def qval(name: str) -> str:
+        # value = lo + width * (bin + (rank - cum_before)/in_bin)
+        return f"""CAST({lo} AS DOUBLE) + {width_sql} *
+      (CAST(bin AS DOUBLE) + (CAST(rank AS DOUBLE) - CAST(cm - c AS DOUBLE))
+                             / CAST(greatest(c, 1) AS DOUBLE))"""
+
+    return f"""
+WITH binned AS (
+  SELECT user_id, date_trunc('day', ts) AS d,
+         least(greatest(CAST(floor((value - CAST({lo} AS DOUBLE)) / {width_lit}) AS INT), 0), {nb - 1}) AS bin
+  FROM events
+), pb AS (
+  SELECT user_id, d, bin, count(*) AS c FROM binned GROUP BY 1, 2, 3
+), cum AS (
+  SELECT user_id, d, bin, c,
+         sum(c) OVER (PARTITION BY user_id, d ORDER BY bin) AS cm,
+         sum(c) OVER (PARTITION BY user_id, d) AS n
+  FROM pb
+), s50 AS ({qsel(0.5, "q50")}), s95 AS ({qsel(0.95, "q95")}),
+p50 AS (
+  SELECT user_id, d, {qval("q50")} AS q50 FROM s50 WHERE rn = 1
+), p95 AS (
+  SELECT user_id, d, {qval("q95")} AS q95 FROM s95 WHERE rn = 1
+), np AS (
+  SELECT user_id, d, sum(c) AS n_points FROM pb GROUP BY 1, 2
+)
+SELECT np.user_id AS series_key, np.d AS bucket_ts, np.n_points,
+       floor(p50.q50 * 1e4 + 0.500001::DOUBLE) / 1e4 AS q50,
+       floor(p95.q95 * 1e4 + 0.500001::DOUBLE) / 1e4 AS q95
+FROM np
+JOIN p50 ON p50.user_id = np.user_id AND p50.d = np.d
+JOIN p95 ON p95.user_id = np.user_id AND p95.d = np.d
+"""
+
+
 def q_lttb_1h(spark, sf_dir):
     """LTTB visual downsampling of each hourly series to <= 24 points —
     rows-only (argmax triangle selection is not SQL-expressible;
@@ -1698,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_1m": q_retention_1m,
         "sessionize_1h": q_sessionize_1h,
         "lttb_1h": q_lttb_1h,
+        "hist_quantile_1d": q_hist_quantile_1d,
         "rollup_1h_cascade": q_rollup_1h_cascade,
         "rollup_1d_cascade": q_rollup_1d_cascade,
         "gapfill_locf_1d": q_gapfill_locf_1d,
@@ -1754,6 +1831,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1m": _rollup_oracle("minute"),
         "retention_1m": ORACLE_RETENTION_1M,
         "sessionize_1h": ORACLE_SESSIONIZE_1H,
+        "hist_quantile_1d": _hist_oracle(),
         "rollup_1h_cascade": _cascade_oracle("hour"),
         "rollup_1d_cascade": _cascade_oracle("day"),
         "gapfill_locf_1d": ORACLE_LOCF_1D,

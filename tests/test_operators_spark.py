@@ -413,3 +413,41 @@ class TestLttb:
         sizes = out.groupby("series_key").size()
         orig = out.groupby("series_key")["orig_n"].first()
         assert (sizes == orig.clip(upper=20)).all()
+
+
+class TestHistSketch:
+    def test_cascade_equals_direct(self, spark, events):
+        from feasts_spark.operators.sketch import hist_cascade, hist_rollup
+
+        h1m = hist_rollup(events, "1m", 0.0, 350.0, 64, key_col="user_id")
+        h1d = hist_cascade(hist_cascade(h1m, "1h"), "1d")
+        direct = hist_rollup(events, "1d", 0.0, 350.0, 64, key_col="user_id")
+        a = h1d.orderBy("series_key", "bucket_ts").toPandas()
+        b = direct.orderBy("series_key", "bucket_ts").toPandas()
+        assert len(a) == len(b) > 0
+        assert all(list(x) == list(y) for x, y in zip(a["hist"], b["hist"]))
+        assert (a["n_points"].to_numpy() == b["n_points"].to_numpy()).all()
+
+    def test_quantile_within_bin_width(self, spark, events):
+        import numpy as np
+        import pandas as pd
+
+        from feasts_spark.operators.sketch import hist_quantile, hist_rollup
+
+        lo, hi, nb = 0.0, 350.0, 64
+        h1d = hist_rollup(events, "1d", lo, hi, nb, key_col="user_id")
+        q = (
+            hist_quantile(h1d, 0.5, lo, hi)
+            .toPandas()
+            .set_index(["series_key", "bucket_ts"])["q50"]
+        )
+        pdf = events.toPandas()
+        pdf["day"] = pdf["ts"].dt.floor("D")
+        exact = pdf.groupby(["user_id", "day"])["value"].quantile(0.5, interpolation="lower")
+        width = (hi - lo) / nb
+        errs = [
+            abs(q.loc[(k, pd.Timestamp(d))] - m)
+            for (k, d), m in exact.items()
+            if lo <= m < hi  # clamp contract only holds inside the range
+        ]
+        assert np.max(errs) <= width + 1e-9
