@@ -799,6 +799,24 @@ def q_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_minhash_oph_lsh(spark, sf_dir):
+    """Same LSH pipeline over one-permutation (O(S)-hash) signatures —
+    the 10^9-document scale path; rows-only like minhash_lsh."""
+    from feasts_spark.operators.dedup import (
+        minhash_estimate,
+        minhash_lsh_candidates,
+        minhash_signatures_oph,
+    )
+
+    _utc(spark)
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    sigs = minhash_signatures_oph(d)
+    cands = minhash_lsh_candidates(sigs)
+    return minhash_estimate(sigs, cands).select(
+        "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
 def q_simhash_pairs(spark, sf_dir):
     """ALL SimHash near-dup pairs with Hamming <= 16 (of 60 bits).
 
@@ -1793,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_oph_lsh": q_minhash_oph_lsh,
         "simhash_pairs": q_simhash_pairs,
         "cosine_pairs": q_cosine_pairs,
         "ann_topk": q_ann_topk,

@@ -216,7 +216,10 @@ def run_bench(cores: str, sf_dir: str) -> dict:
     gorilla_decode(payload)
     micro["gorilla_decode_pts_per_sec"] = round(n_pts / (time.time() - t0))
 
-    from feasts_spark.operators.dedup import minhash_signatures
+    from feasts_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_oph,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
@@ -224,6 +227,9 @@ def run_bench(cores: str, sf_dir: str) -> dict:
     t0 = time.time()
     materialize(minhash_signatures(docs))
     micro["minhash_docs_per_sec"] = round(n_docs / (time.time() - t0))
+    t0 = time.time()
+    materialize(minhash_signatures_oph(docs))
+    micro["minhash_oph_docs_per_sec"] = round(n_docs / (time.time() - t0))
 
     spark.stop()
     return {

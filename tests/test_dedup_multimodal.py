@@ -159,3 +159,53 @@ class TestMultimodal:
         media = synthesize_media(spark, n=3)
         with pytest.raises(NotImplementedError):
             extract_features(media, decoder=None)
+
+
+class TestOnePermMinhash:
+    """OPH signatures: same contract as the classical pass, O(S) hashing."""
+
+    def test_deterministic_and_schema(self, spark, doc_df):
+        from feasts_spark.operators.dedup import minhash_signatures_oph
+
+        a = minhash_signatures_oph(doc_df).orderBy("id").toPandas()
+        b = minhash_signatures_oph(doc_df).orderBy("id").toPandas()
+        assert len(a) == 6
+        for s1, s2 in zip(a["signature"], b["signature"]):
+            assert list(s1) == list(s2) and len(s1) == 128
+
+    def test_estimates_track_true_jaccard(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from feasts_spark.operators.dedup import (
+            minhash_estimate,
+            minhash_signatures_oph,
+        )
+
+        rng = np.random.RandomState(1)
+        vocab = [f"w{i}" for i in range(2000)]
+        base = list(rng.choice(vocab, 300))
+        rows = [(0, " ".join(base))]
+        # doc 1: ~30% token churn; doc 2: unrelated
+        alt = base.copy()
+        for i in rng.choice(300, 90, replace=False):
+            alt[i] = str(rng.choice(vocab))
+        rows.append((1, " ".join(alt)))
+        rows.append((2, " ".join(rng.choice(vocab, 300))))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sigs = minhash_signatures_oph(df)
+        cands = spark.createDataFrame(
+            [(0, 1), (0, 2)], "id_a long, id_b long"
+        )
+        est = minhash_estimate(sigs, cands).toPandas().set_index(["id_a", "id_b"])
+        true_near = _jaccard(rows[0][1], rows[1][1])
+        assert abs(est.loc[(0, 1), "est_jaccard"] - true_near) < 0.2
+        assert est.loc[(0, 2), "est_jaccard"] < 0.15
+
+    def test_exact_dup_identical_signature(self, spark, doc_df):
+        from feasts_spark.operators.dedup import minhash_signatures_oph
+
+        sigs = minhash_signatures_oph(doc_df).orderBy("id").toPandas()
+        s = {r.id: list(r.signature) for r in sigs.itertuples()}
+        assert s[0] == s[1]  # identical text
+        assert s[0] != s[3]
