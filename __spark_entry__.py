@@ -239,6 +239,98 @@ JOIN p95 ON p95.user_id = np.user_id AND p95.d = np.d
 """
 
 
+def q_anomaly_1d(spark, sf_dir):
+    """Tukey-fence anomaly flags on classical-decomposition remainders
+    (median ± 2*IQR, exact type-7 quantiles) — all SQL, oracle-replayed."""
+    from feasts_spark.operators.anomaly import anomaly_flags
+    from feasts_spark.operators.rollup import rollup_raw
+
+    _utc(spark)
+    r = rollup_raw(_events(spark, sf_dir), "1d", "user_id", "ts", "value")
+    out = anomaly_flags(r, period=7, k=2.0)
+    r4 = lambda c: (F.floor(F.col(c) * 1e4 + F.lit(0.500001)) / 1e4).alias(c)  # noqa: E731
+    # int flag (-1 = MA-edge row with no remainder): nullable booleans
+    # round-trip differently through Arrow in the two engines
+    flag = (
+        F.when(F.col("is_anomaly").isNull(), F.lit(-1))
+        .when(F.col("is_anomaly"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_anomaly")
+    )
+    return out.select(
+        "series_key", "bucket_ts", r4("value"), r4("remainder"),
+        r4("fence_lo"), r4("fence_hi"), flag,
+    )
+
+
+def _anomaly_oracle() -> str:
+    def t7(q: str, pre: str) -> tuple[str, str]:
+        """(aggregate columns, final value expr) for a type-7 quantile."""
+        rank = f"(qn - 1) * {q}::DOUBLE + 1"
+        aggs = (
+            f"min(CASE WHEN qrn = floor({rank}) THEN remainder END) AS {pre}lo,\n"
+            f"    min(CASE WHEN qrn = floor({rank}) + 1 THEN remainder END) AS {pre}hi"
+        )
+        val = (
+            f"({pre}lo + ((qn - 1) * {q}::DOUBLE + 1 - floor((qn - 1) * {q}::DOUBLE + 1))"
+            f" * (coalesce({pre}hi, {pre}lo) - {pre}lo))"
+        )
+        return aggs, val
+
+    a1, v1 = t7("0.25", "a")
+    a2, v2 = t7("0.5", "b")
+    a3, v3 = t7("0.75", "c")
+    return f"""
+WITH r AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket_ts, avg(value) AS v
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT user_id, bucket_ts, v,
+         row_number() OVER w AS rn,
+         CASE WHEN count(v) OVER (w ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) = 7
+              THEN avg(v) OVER (w ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) END
+           AS trend
+  FROM r WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts)
+), d AS (
+  SELECT *, v - trend AS detr, (rn - 1) % 7 AS pos FROM s
+), fig0 AS (
+  SELECT user_id, pos, avg(detr) AS fr FROM d GROUP BY 1, 2
+), fig AS (
+  SELECT user_id, pos, fr - avg(fr) OVER (PARTITION BY user_id) AS figure
+  FROM fig0
+), rem AS (
+  SELECT d.user_id, d.bucket_ts, d.v AS value,
+         d.v - d.trend - fig.figure AS remainder
+  FROM d JOIN fig ON fig.user_id = d.user_id AND fig.pos = d.pos
+), nn AS (
+  SELECT user_id, remainder,
+         row_number() OVER (PARTITION BY user_id ORDER BY remainder) AS qrn,
+         count(*) OVER (PARTITION BY user_id) AS qn
+  FROM rem WHERE remainder IS NOT NULL
+), qa AS (
+  SELECT user_id, max(qn) AS qn,
+    {a1},
+    {a2},
+    {a3}
+  FROM nn GROUP BY user_id
+), fences AS (
+  SELECT user_id,
+    ({v2} - 2.0::DOUBLE * ({v3} - {v1})) AS fence_lo,
+    ({v2} + 2.0::DOUBLE * ({v3} - {v1})) AS fence_hi
+  FROM qa
+)
+SELECT rem.user_id AS series_key, rem.bucket_ts,
+  floor(rem.value * 1e4 + 0.500001::DOUBLE) / 1e4 AS value,
+  floor(rem.remainder * 1e4 + 0.500001::DOUBLE) / 1e4 AS remainder,
+  floor(f.fence_lo * 1e4 + 0.500001::DOUBLE) / 1e4 AS fence_lo,
+  floor(f.fence_hi * 1e4 + 0.500001::DOUBLE) / 1e4 AS fence_hi,
+  CASE WHEN rem.remainder IS NULL THEN -1
+       WHEN rem.remainder < f.fence_lo OR rem.remainder > f.fence_hi THEN 1
+       ELSE 0 END AS is_anomaly
+FROM rem JOIN fences f ON f.user_id = rem.user_id
+"""
+
+
 def q_lttb_1h(spark, sf_dir):
     """LTTB visual downsampling of each hourly series to <= 24 points —
     rows-only (argmax triangle selection is not SQL-expressible;
@@ -1793,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_1h": q_sessionize_1h,
         "lttb_1h": q_lttb_1h,
         "hist_quantile_1d": q_hist_quantile_1d,
+        "anomaly_1d": q_anomaly_1d,
         "rollup_1h_cascade": q_rollup_1h_cascade,
         "rollup_1d_cascade": q_rollup_1d_cascade,
         "gapfill_locf_1d": q_gapfill_locf_1d,
@@ -1851,6 +1944,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_1m": ORACLE_RETENTION_1M,
         "sessionize_1h": ORACLE_SESSIONIZE_1H,
         "hist_quantile_1d": _hist_oracle(),
+        "anomaly_1d": _anomaly_oracle(),
         "rollup_1h_cascade": _cascade_oracle("hour"),
         "rollup_1d_cascade": _cascade_oracle("day"),
         "gapfill_locf_1d": ORACLE_LOCF_1D,

@@ -451,3 +451,50 @@ class TestHistSketch:
             if lo <= m < hi  # clamp contract only holds inside the range
         ]
         assert np.max(errs) <= width + 1e-9
+
+
+class TestAnomaly:
+    def test_flags_match_pandas_type7(self, spark, events):
+        import numpy as np
+
+        from feasts_spark.operators.anomaly import anomaly_flags
+
+        r = rollup_raw(events, "1d", "user_id", "ts", "value")
+        out = anomaly_flags(r, period=7, k=2.0).toPandas()
+        assert out["is_anomaly"].notna().sum() > 0
+        for key, sub in out.groupby("series_key"):
+            rem = sub["remainder"].dropna()
+            if len(rem) < 4:
+                continue
+            q1, med, q3 = np.quantile(rem, [0.25, 0.5, 0.75])  # type 7
+            lo, hi = med - 2 * (q3 - q1), med + 2 * (q3 - q1)
+            exp = (rem < lo) | (rem > hi)
+            got = sub.loc[rem.index, "is_anomaly"].astype(bool)
+            assert (exp.to_numpy() == got.to_numpy()).all(), key
+
+    def test_injected_spike_flagged(self, spark):
+        import datetime as dt
+
+        import numpy as np
+        import pandas as pd
+
+        base = dt.datetime(2024, 1, 1)
+        n = 56
+        vals = 10 + np.sin(np.arange(n) * 2 * np.pi / 7)
+        vals[30] = 500.0  # spike
+        pdf = pd.DataFrame({
+            "series_key": 1,
+            "bucket_ts": [base + dt.timedelta(days=i) for i in range(n)],
+            "val_avg": vals,
+        })
+        from feasts_spark.operators.anomaly import anomaly_flags
+
+        out = anomaly_flags(spark.createDataFrame(pdf), period=7).toPandas()
+        flagged = out[out["is_anomaly"] == True]  # noqa: E712
+        assert (flagged["bucket_ts"].dt.day == 31).any()  # day index 30
+        # classical decomposition spreads an outlier into (a) its +-3-day
+        # MA trend window and (b) its cycle position's seasonal figure —
+        # every flag must be explained by one of the two
+        d = (flagged["bucket_ts"] - pdf.loc[30, "bucket_ts"]).dt.days
+        day_idx = (flagged["bucket_ts"] - pdf.loc[0, "bucket_ts"]).dt.days
+        assert ((abs(d) <= 3) | (day_idx % 7 == 30 % 7)).all()
