@@ -909,6 +909,55 @@ def q_minhash_oph_lsh(spark, sf_dir):
     )
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Connected-components duplicate clustering over exact 3-gram Jaccard
+    pairs (threshold 0.01): each doc labeled with its group's minimum id.
+    The oracle replays the clustering with a recursive CTE — an
+    independent fixpoint computation over the same pair set."""
+    from feasts_spark.operators.dedup import dup_clusters, ngram_jaccard_pairs
+
+    _utc(spark)
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 80)
+    # threshold 0.01: this synthetic corpus has no strong near-dups below
+    # doc 80 (max J ~ 0.03) — the low bar yields a multi-hop pair graph
+    # that actually exercises label propagation; the threshold compare is
+    # a ratio of integers, identical in both engines
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.01)
+    return dup_clusters(pairs).select("id", "label")
+
+
+ORACLE_DUP_CLUSTERS = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE doc_id < 80
+), dims AS (
+  SELECT unnest(generate_series(1, (SELECT max(len(t)) FROM toks))) AS k
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[k:k+2], ' ') AS gram
+  FROM toks CROSS JOIN dims
+  WHERE k <= greatest(len(t) - 2, 1)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ni / (sa.n + sb.n - ni) >= 0.01
+), reach(id, r) AS (
+  SELECT v, v FROM (SELECT id_a FROM pairs UNION SELECT id_b FROM pairs) t(v)
+  UNION
+  SELECT reach.id,
+         CASE WHEN reach.r = pairs.id_a THEN pairs.id_b ELSE pairs.id_a END
+  FROM reach JOIN pairs ON reach.r = pairs.id_a OR reach.r = pairs.id_b
+)
+SELECT id, min(r) AS label FROM reach GROUP BY id
+"""
+
+
 def q_simhash_pairs(spark, sf_dir):
     """ALL SimHash near-dup pairs with Hamming <= 16 (of 60 bits).
 
@@ -1905,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "minhash_oph_lsh": q_minhash_oph_lsh,
+        "dup_clusters": q_dup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "cosine_pairs": q_cosine_pairs,
         "ann_topk": q_ann_topk,
@@ -1958,6 +2008,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "text_stats": ORACLE_TEXT_STATS,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        "dup_clusters": ORACLE_DUP_CLUSTERS,
         "cosine_pairs": ORACLE_COSINE_PAIRS,
         "ccf_table_1h": ORACLE_CCF_1H,
         "portmanteau_1h": ORACLE_PORTMANTEAU_1H,

@@ -405,6 +405,60 @@ def minhash_estimate(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over duplicate pairs: (id, label) with label =
+    the minimum id reachable through the pair graph — the canonical
+    representative each duplicate group collapses to.
+
+    Iterative min-label propagation: each round every vertex takes the
+    minimum label among itself and its neighbors; rounds needed = graph
+    diameter, and near-dup clusters are shallow (pairs all touch a few
+    hub documents), so convergence is fast. Each round is one join + one
+    aggregate, labels are localCheckpoint()ed to keep the lineage flat,
+    and convergence is detected with a count — O(rounds) driver actions,
+    never a collect of the graph. (At extreme diameters use the
+    large-star/small-star CC variant; for dedup graphs plain propagation
+    converges in a handful of rounds.)
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+    )
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym["a"] == labels["id"]).select(
+            F.col("b").alias("id"), F.col("label")
+        )
+        new = (
+            labels.union(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

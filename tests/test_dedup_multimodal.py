@@ -209,3 +209,27 @@ class TestOnePermMinhash:
         s = {r.id: list(r.signature) for r in sigs.itertuples()}
         assert s[0] == s[1]  # identical text
         assert s[0] != s[3]
+
+
+class TestDupClusters:
+    def test_known_graph(self, spark):
+        from feasts_spark.operators.dedup import dup_clusters
+
+        # chain 1-2-3-4 (diameter 3), pair 10-11, singleton via self-pair 20
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)],
+            "id_a long, id_b long",
+        )
+        out = dup_clusters(pairs).toPandas().set_index("id")["label"]
+        assert out.loc[1] == out.loc[2] == out.loc[3] == out.loc[4] == 1
+        assert out.loc[10] == out.loc[11] == 10
+        assert out.loc[20] == 20
+
+    def test_cluster_of_near_dups(self, spark, doc_df):
+        from feasts_spark.operators.dedup import dup_clusters, ngram_jaccard_pairs
+
+        pairs = ngram_jaccard_pairs(doc_df, threshold=0.3)
+        out = dup_clusters(pairs).toPandas().set_index("id")["label"]
+        # docs 0,1,2 form one group (exact+near dup); 3,4 another
+        assert out.loc[0] == out.loc[1] == out.loc[2] == 0
+        assert out.loc[3] == out.loc[4] == 3
