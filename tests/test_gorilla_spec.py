@@ -129,3 +129,31 @@ def test_roundtrip_bitwise(idx):
     assert np.array_equal(
         np.asarray(vals, np.float64).view(np.uint64), v2.view(np.uint64)
     )
+
+
+# hypothesis: random series must stay byte-identical to the spec encoder
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=300),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        grid=st.booleans(),
+        decimals=st.integers(min_value=0, max_value=3),
+    )
+    def test_vectorized_matches_spec_random(n, seed, grid, decimals):
+        rng = np.random.RandomState(seed)
+        if grid:
+            ts = np.arange(n, dtype=np.int64) * 60_000_000 + 1_700_000_000_000_000
+        else:
+            ts = np.cumsum(rng.randint(1, 10**7, n)).astype(np.int64)
+        vals = np.round(rng.standard_normal(n) * 10.0**rng.randint(0, 6), decimals)
+        if n and rng.rand() < 0.5:
+            vals[:: max(1, n // 5)] = vals[0]  # repeated values
+        assert gorilla_encode(ts, vals) == _spec_encode(ts, vals)
+        ts2, v2 = gorilla_decode(gorilla_encode(ts, vals))
+        np.testing.assert_array_equal(ts, ts2)
+        assert np.array_equal(vals.view(np.uint64), v2.view(np.uint64))
+except ImportError:  # pragma: no cover
+    pass
