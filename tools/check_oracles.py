@@ -7,6 +7,7 @@ checks. Run: python tools/check_oracles.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -47,7 +48,7 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from feasts_spark.session import get_spark
 
-    spark = get_spark(cores=8, app_name="oracle_check")
+    spark = get_spark(cores=int(os.environ.get("SPARK_GRAFT_CPUS", "8")), app_name="oracle_check")
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
