@@ -1701,6 +1701,17 @@ def q_pp_sql_1d(spark, sf_dir):
     return spark.sql(pp_sql())
 
 
+def q_guerrero_profile_1d(spark, sf_dir):
+    """Guerrero CV objective at a fixed lambda grid — oracles the inner
+    math the guerrero kernel Brent-minimizes (same SQL text both
+    engines); the optimizer itself stays kernel-side (guerrero_1d)."""
+    from feasts_spark.functions.sql_features import guerrero_profile_sql
+
+    _utc(spark)
+    _events(spark, sf_dir).createOrReplaceTempView("events")
+    return spark.sql(guerrero_profile_sql())
+
+
 def q_stl_multi_1h(spark, sf_dir):
     """MSTL with daily + weekly seasons over the 1h tier (stl.R:63-78) —
     rows-only (iterated loess)."""
@@ -1977,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pacf12_1h": q_pacf12_1h,
         "pp_sql_1d": q_pp_sql_1d,
         "acf_features_1h": q_acf_features_1h,
+        "guerrero_profile_1d": q_guerrero_profile_1d,
         "stl_multi_1h": q_stl_multi_1h,
         "supsmu_trend_1d": q_supsmu_trend_1d,
         "stl_generate_1d": q_stl_generate_1d,
@@ -2030,6 +2042,9 @@ def oracle_sql() -> dict[str, str]:
         "acf_features_1h": __import__(
             "feasts_spark.functions.sql_features", fromlist=["acf_features_sql"]
         ).acf_features_sql(),
+        "guerrero_profile_1d": __import__(
+            "feasts_spark.functions.sql_features", fromlist=["guerrero_profile_sql"]
+        ).guerrero_profile_sql(),
         # pacf_table_1h, stl_components_1d, feature_pack, ann_topk,
         # ann_lsh_topk, guerrero_1d, unitroot_1d, stl_multi_1h,
         # supsmu_trend_1d, tacf_1h: non-SQL-expressible (D-L recursion,

@@ -443,6 +443,67 @@ FROM agg
 """
 
 
+def guerrero_profile_sql(
+    trunc: str = "day",
+    period: int = 7,
+    lambdas: tuple = (-0.9, -0.5, 0.0, 0.5, 1.0, 2.0),
+) -> str:
+    """Guerrero coefficient-of-variation profile at a fixed lambda grid —
+    ONE dialect-neutral SQL text for Spark and DuckDB.
+
+    The guerrero feature Brent-minimizes cv(lambda) = sd_h(rat)/mean_h(rat)
+    with rat_h = sd_h / mean_h^(1-lambda) over length-`period` subseries of
+    the series tail (guerrero.R:30-60). The optimizer is not
+    SQL-expressible, but the OBJECTIVE is pure windows/aggregates — this
+    profile oracles the inner math the kernel minimizes, at several
+    lambdas. Keys are restricted to positive subseries means (fractional
+    powers of negative bases are NaN in every engine) and >= 2 subseries.
+    """
+    rat_cols = ",\n    ".join(
+        f"stddev_samp(sig / power(mu, CAST(1 AS DOUBLE) - CAST({lam} AS DOUBLE)))"
+        f" / avg(sig / power(mu, CAST(1 AS DOUBLE) - CAST({lam} AS DOUBLE)))"
+        f" AS cv_raw_{i}"
+        for i, lam in enumerate(lambdas)
+    )
+    out_cols = ",\n  ".join(
+        f"floor(cv_raw_{i} * 1e4 + CAST(0.500001 AS DOUBLE)) / 1e4"
+        f" AS cv_lambda_{str(lam).replace('-', 'm').replace('.', '_')}"
+        for i, lam in enumerate(lambdas)
+    )
+    return f"""
+WITH r AS (
+  SELECT user_id, date_trunc('{trunc}', ts) AS bucket_ts, avg(value) AS v
+  FROM events GROUP BY user_id, date_trunc('{trunc}', ts)
+), o AS (
+  SELECT user_id AS k, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY bucket_ts) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM r
+), tail AS (
+  -- nsub = floor(n/period); start = n - nsub*period; sub = floor((rn-start-1)/period)
+  SELECT k, v,
+         CAST(floor((rn - (n - CAST(floor(n / CAST({period} AS DOUBLE)) AS BIGINT) * {period}) - 1)
+                    / CAST({period} AS DOUBLE)) AS BIGINT) AS sub
+  FROM o
+  WHERE rn > n - CAST(floor(n / CAST({period} AS DOUBLE)) AS BIGINT) * {period}
+    AND n >= {2 * period}
+), subs AS (
+  SELECT k, sub, avg(v) AS mu, stddev_samp(v) AS sig
+  FROM tail GROUP BY k, sub
+), keys_ok AS (
+  SELECT k FROM subs GROUP BY k HAVING min(mu) > 0 AND count(*) >= 2
+), prof AS (
+  SELECT subs.k AS series_key,
+    {rat_cols}
+  FROM subs JOIN keys_ok ON keys_ok.k = subs.k
+  GROUP BY subs.k
+)
+SELECT series_key,
+  {out_cols}
+FROM prof
+"""
+
+
 def shift_var_df(
     df: DataFrame, key_col: str, order_cols: list, value_col: str, size: int = 10
 ) -> DataFrame:

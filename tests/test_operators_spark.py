@@ -498,3 +498,48 @@ class TestAnomaly:
         d = (flagged["bucket_ts"] - pdf.loc[30, "bucket_ts"]).dt.days
         day_idx = (flagged["bucket_ts"] - pdf.loc[0, "bucket_ts"]).dt.days
         assert ((abs(d) <= 3) | (day_idx % 7 == 30 % 7)).all()
+
+
+class TestGuerreroProfile:
+    def test_sql_matches_kernel_objective(self, spark, events):
+        import numpy as np
+
+        from feasts_spark.functions.sql_features import guerrero_profile_sql
+        from feasts_spark.kernels.rmath import r_sd
+
+        events.createOrReplaceTempView("events")
+        got = (
+            spark.sql(guerrero_profile_sql())
+            .toPandas()
+            .set_index("series_key")
+            .sort_index()
+        )
+        local = (
+            rollup_raw(events, "1d", "user_id", "ts", "value")
+            .orderBy("series_key", "bucket_ts")
+            .toPandas()
+        )
+        lambdas = (-0.9, -0.5, 0.0, 0.5, 1.0, 2.0)
+        names = [
+            f"cv_lambda_{str(l).replace('-', 'm').replace('.', '_')}"
+            for l in lambdas
+        ]
+        checked = 0
+        for key, grp in local.groupby("series_key"):
+            if key not in got.index:
+                continue
+            x = grp["val_avg"].to_numpy()
+            n = x.size
+            n_sub = n // 7
+            tail = x[n - n_sub * 7:]
+            mat = tail.reshape(n_sub, 7).T
+            mu = mat.mean(axis=0)
+            sig = np.array([r_sd(mat[:, j]) for j in range(n_sub)])
+            for lam, cname in zip(lambdas, names):
+                rat = sig / mu ** (1.0 - lam)
+                cv = r_sd(rat) / rat.mean()
+                assert got.loc[key, cname] == pytest.approx(cv, abs=2e-4), (
+                    key, lam
+                )
+            checked += 1
+        assert checked > 3
