@@ -55,6 +55,13 @@ def _sql_r4(expr: str) -> str:
     return f"floor(({expr}) * 1e4 + 0.500001::DOUBLE) / 1e4"
 
 
+def _r4(col: str):
+    """Spark-side tie-stable 4dp rounding — THE single definition (twin of
+    _sql_r4); every query must use this rather than re-inlining the
+    expression so the 0.500001 nudge stays identical everywhere."""
+    return F.floor(F.col(col) * 1e4 + F.lit(0.500001)) / 1e4
+
+
 # ---------------------------------------------------------------------------
 # Rollups (SURVEY.md §2.5)
 # ---------------------------------------------------------------------------
@@ -185,9 +192,9 @@ def q_hist_quantile_1d(spark, sf_dir):
     h1d = hist_cascade(hist_cascade(h1m, "1h", _HIST_BINS), "1d", _HIST_BINS)
     out = hist_quantile(h1d, 0.5, _HIST_LO, _HIST_HI, out_col="q50")
     out = hist_quantile(out, 0.95, _HIST_LO, _HIST_HI, out_col="q95")
-    r4 = lambda c: (F.floor(F.col(c) * 1e4 + F.lit(0.500001)) / 1e4).alias(c)  # noqa: E731
     return out.select(
-        "series_key", "bucket_ts", "n_points", r4("q50"), r4("q95")
+        "series_key", "bucket_ts", "n_points", _r4("q50").alias("q50"),
+        _r4("q95").alias("q95")
     )
 
 
@@ -248,7 +255,6 @@ def q_anomaly_1d(spark, sf_dir):
     _utc(spark)
     r = rollup_raw(_events(spark, sf_dir), "1d", "user_id", "ts", "value")
     out = anomaly_flags(r, period=7, k=2.0)
-    r4 = lambda c: (F.floor(F.col(c) * 1e4 + F.lit(0.500001)) / 1e4).alias(c)  # noqa: E731
     # int flag (-1 = MA-edge row with no remainder): nullable booleans
     # round-trip differently through Arrow in the two engines
     flag = (
@@ -258,8 +264,10 @@ def q_anomaly_1d(spark, sf_dir):
         .alias("is_anomaly")
     )
     return out.select(
-        "series_key", "bucket_ts", r4("value"), r4("remainder"),
-        r4("fence_lo"), r4("fence_hi"), flag,
+        "series_key", "bucket_ts",
+        _r4("value").alias("value"), _r4("remainder").alias("remainder"),
+        _r4("fence_lo").alias("fence_lo"), _r4("fence_hi").alias("fence_hi"),
+        flag,
     )
 
 
@@ -343,9 +351,7 @@ def q_lttb_1h(spark, sf_dir):
     out = lttb_downsample(r, n_out=24)
     return out.select(
         "series_key", "bucket_ts",
-        (F.floor(F.col("val_avg") * 1e4 + F.lit(0.500001)) / 1e4).alias(
-            "val_avg"
-        ),
+        _r4("val_avg").alias("val_avg"),
         "orig_n",
     )
 
@@ -363,9 +369,7 @@ def q_sessionize_1h(spark, sf_dir):
     return out.select(
         "series_key", "session_id", "n_events", "session_start",
         "session_end", "duration_s",
-        (F.floor(F.col("val_sum") * 1e4 + F.lit(0.500001)) / 1e4).alias(
-            "val_sum"
-        ),
+        _r4("val_sum").alias("val_sum"),
     )
 
 
@@ -403,9 +407,7 @@ def q_gapfill_locf_1d(spark, sf_dir):
     g = gapfill_locf(r, "1d", value_cols=("val_avg",))
     return g.select(
         "series_key", "bucket_ts", "is_gap",
-        (F.floor(F.col("val_avg_filled") * 1e4 + F.lit(0.500001)) / 1e4).alias(
-            "val_filled"
-        ),
+        _r4("val_avg_filled").alias("val_filled"),
     )
 
 
@@ -441,9 +443,7 @@ def q_gapfill_linear_1d(spark, sf_dir):
     # shortest decimal repr, flipping .xxxx5 ties (see quality_scores).
     return g.select(
         "series_key", "bucket_ts", "is_gap",
-        (F.floor(F.col("val_avg_interp") * 1e4 + F.lit(0.500001)) / 1e4).alias(
-            "val_interp"
-        ),
+        _r4("val_avg_interp").alias("val_interp"),
     )
 
 
@@ -621,9 +621,7 @@ def q_shift_var_max(spark, sf_dir):
     # vs DuckDB shortest-repr flips .xxxx5 ties, e.g. 3533.76495).
     return out.select(
         "series_key",
-        (F.floor(F.col("shift_var_max") * 1e4 + F.lit(0.500001)) / 1e4).alias(
-            "shift_var_max"
-        ),
+        _r4("shift_var_max").alias("shift_var_max"),
         "shift_var_index",
     )
 
@@ -1319,7 +1317,7 @@ def q_gorilla_roundtrip_1h(spark, sf_dir):
     back = decompress_chunks(chunks)
     return back.select(
         "series_key", "bucket_ts",
-        (F.floor(F.col("value") * 1e4 + F.lit(0.500001)) / 1e4).alias("val_avg"),
+        _r4("value").alias("val_avg"),
     )
 
 
@@ -1561,16 +1559,12 @@ def q_kpss_sql_1d(spark, sf_dir):
     out = kpss_df(r, "series_key", ["bucket_ts"], "val_avg")
     return out.select(
         "series_key",
-        (F.floor(F.col("kpss_stat") * 1e4 + F.lit(0.500001)) / 1e4).alias(
-            "kpss_stat"
-        ),
-        (F.floor(F.col("kpss_pvalue") * 1e4 + F.lit(0.500001)) / 1e4).alias(
-            "kpss_pvalue"
-        ),
+        _r4("kpss_stat").alias("kpss_stat"),
+        _r4("kpss_pvalue").alias("kpss_pvalue"),
     )
 
 
-def _kpss_oracle(l_max: int = 8) -> str:
+def _kpss_oracle(l_max: int = 12) -> str:
     lag_cols = ",\n         ".join(
         f"lag(e, {k}) OVER (PARTITION BY k ORDER BY rn) AS el{k}"
         for k in range(1, l_max + 1)
@@ -1578,6 +1572,7 @@ def _kpss_oracle(l_max: int = 8) -> str:
     g_cols = ",\n         ".join(
         f"sum(e * el{k}) AS g{k}" for k in range(1, l_max + 1)
     )
+    g_pass = ", ".join(f"g{k}" for k in range(1, l_max + 1))
     s2_terms = "\n      ".join(
         f"+ CASE WHEN {k} <= l THEN 2.0::DOUBLE * (1.0::DOUBLE - "
         f"{k}.0::DOUBLE / (l + 1.0::DOUBLE)) * g{k} / n ELSE 0.0::DOUBLE END"
@@ -1608,7 +1603,7 @@ WITH r AS (
 ), st AS (
   SELECT series_key, n, ss,
     floor(4.0::DOUBLE * power(n / 100.0::DOUBLE, 0.25::DOUBLE)) AS l,
-    g0, g1, g2, g3, g4, g5, g6, g7, g8
+    g0, {g_pass}
   FROM agg
 ), lr AS (
   SELECT series_key, n, ss,
@@ -1646,8 +1641,8 @@ def q_pacf12_1h(spark, sf_dir):
     out = pacf12_df(r, "series_key", ["bucket_ts"], "val_avg")
     return out.select(
         "series_key",
-        (F.floor(F.col("pacf1") * 1e4 + F.lit(0.500001)) / 1e4).alias("pacf1"),
-        (F.floor(F.col("pacf2") * 1e4 + F.lit(0.500001)) / 1e4).alias("pacf2"),
+        _r4("pacf1").alias("pacf1"),
+        _r4("pacf2").alias("pacf2"),
     )
 
 

@@ -133,7 +133,7 @@ def kpss_df(
     key_col: str,
     order_cols: list,
     value_col: str,
-    l_max: int = 8,
+    l_max: int = 12,
 ) -> DataFrame:
     """KPSS level-stationarity statistic + p-value in pure SQL.
 
@@ -142,9 +142,12 @@ def kpss_df(
     s2(l) with l = trunc(4*(n/100)^0.25), stat = sum(S_t^2)/(n^2*s2),
     p-value by clamped linear interpolation of the Kwiatkowski et al.
     critical-value table — every step windows/aggregates + scalar math,
-    no Python. `l_max` bounds the materialized lag columns; it covers
-    series up to n = 100*((l_max+1)/4)^4 points (l_max=8 -> ~65 years of
-    daily data), and the conditional weights zero out unused lags.
+    no Python. `l_max` bounds the materialized lag columns: the statistic
+    is exact only while l = trunc(4*(n/100)^0.25) <= l_max, i.e. for
+    n < 100*((l_max+1)/4)^4 points (l_max=12 -> 11,156 points, ~30 years
+    of daily data); beyond that the Bartlett sum would silently truncate,
+    so raise l_max for longer series. Conditional weights zero out unused
+    lag columns for short series.
 
     Mirrored verbatim by the DuckDB oracle in __spark_entry__ — golden
     parity with the numpy kernel is asserted in tests.
@@ -254,7 +257,7 @@ def _interp_case(var: str, xs: tuple, ys: tuple) -> str:
 
 
 def pp_sql(
-    trunc: str = "day", min_points: int = 14, l_max: int = 8
+    trunc: str = "day", min_points: int = 14, l_max: int = 12
 ) -> str:
     """Phillips-Perron Z-tau (constant model, short lags) as ONE SQL text.
 
@@ -267,7 +270,8 @@ def pp_sql(
     DuckDB as the oracle — dialect-neutral (CAST(), power(), floor(),
     inline OVER clauses), so cross-engine parity is textual, not
     hand-mirrored. Kernel parity vs kernels.extras.unitroot_pp is asserted
-    in tests.
+    in tests. As in kpss_df, the Newey-West sum is exact only while
+    l = trunc(4*(n/100)^0.25) <= l_max (l_max=12 -> n < 11,156 points).
     """
     lag_cols = ",\n         ".join(
         f"lag(e, {j}) OVER (PARTITION BY k ORDER BY rn) AS el{j}"

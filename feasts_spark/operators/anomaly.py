@@ -22,8 +22,12 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 from feasts_spark.operators.decompose import classical_decomposition
 
 
-def _type7_quantile(df: DataFrame, key_col: str, value_col: str, q: float, out: str):
-    """Per-key R type-7 quantile via exact order statistics."""
+def _type7_quantiles(
+    df: DataFrame, key_col: str, value_col: str, qs: dict[str, float]
+) -> DataFrame:
+    """Per-key R type-7 quantiles at several probabilities in ONE ranked
+    pass + ONE conditional aggregate (the same shape the DuckDB oracle
+    uses), instead of a window/aggregate/join pipeline per quantile."""
     wv = W.partitionBy(key_col).orderBy(value_col)
     wk = W.partitionBy(key_col)
     ranked = (
@@ -31,25 +35,28 @@ def _type7_quantile(df: DataFrame, key_col: str, value_col: str, q: float, out: 
         .withColumn("_qrn", F.row_number().over(wv))
         .withColumn("_qn", F.count(F.lit(1)).over(wk))
     )
-    # rank = (n-1)*q + 1 ; lo = floor(rank), hi = ceil(rank), frac = rank-lo
-    rank = (F.col("_qn") - 1) * F.lit(q) + 1
-    lo = F.floor(rank)
-    sel = ranked.filter(
-        (F.col("_qrn") == lo) | (F.col("_qrn") == lo + 1)
-    ).groupBy(key_col).agg(
-        F.min(F.when(F.col("_qrn") == F.floor((F.col("_qn") - 1) * F.lit(q) + 1),
-                     F.col(value_col))).alias("_vlo"),
-        F.min(F.when(F.col("_qrn") == F.floor((F.col("_qn") - 1) * F.lit(q) + 1) + 1,
-                     F.col(value_col))).alias("_vhi"),
-        F.max("_qn").alias("_qn"),
-    )
-    frac = (F.col("_qn") - 1) * F.lit(q) + 1 - F.floor((F.col("_qn") - 1) * F.lit(q) + 1)
-    return sel.select(
-        key_col,
-        (F.col("_vlo")
-         + frac * (F.coalesce(F.col("_vhi"), F.col("_vlo")) - F.col("_vlo"))
-         ).alias(out),
-    )
+    aggs = [F.max("_qn").alias("_qn")]
+    for name, q in qs.items():
+        # rank = (n-1)*q + 1 ; lo = floor(rank), hi = lo + 1
+        lo = F.floor((F.col("_qn") - 1) * F.lit(q) + 1)
+        aggs += [
+            F.min(F.when(F.col("_qrn") == lo, F.col(value_col))).alias(
+                f"{name}_lo"
+            ),
+            F.min(F.when(F.col("_qrn") == lo + 1, F.col(value_col))).alias(
+                f"{name}_hi"
+            ),
+        ]
+    agg = ranked.groupBy(key_col).agg(*aggs)
+    sel = [F.col(key_col)]
+    for name, q in qs.items():
+        rank = (F.col("_qn") - 1) * F.lit(q) + 1
+        frac = rank - F.floor(rank)
+        vlo, vhi = F.col(f"{name}_lo"), F.col(f"{name}_hi")
+        sel.append(
+            (vlo + frac * (F.coalesce(vhi, vlo) - vlo)).alias(name)
+        )
+    return agg.select(*sel)
 
 
 def anomaly_flags(
@@ -73,12 +80,11 @@ def anomaly_flags(
     ).select(
         key_col, order_col, F.col(value_col).alias("value"), F.col("random")
     )
-    q1 = _type7_quantile(comp, key_col, "random", 0.25, "_q1")
-    q2 = _type7_quantile(comp, key_col, "random", 0.50, "_med")
-    q3 = _type7_quantile(comp, key_col, "random", 0.75, "_q3")
+    quart = _type7_quantiles(
+        comp, key_col, "random", {"_q1": 0.25, "_med": 0.50, "_q3": 0.75}
+    )
     fences = (
-        q1.join(q2, key_col).join(q3, key_col)
-        .withColumn("_iqr", F.col("_q3") - F.col("_q1"))
+        quart.withColumn("_iqr", F.col("_q3") - F.col("_q1"))
         .select(
             key_col,
             (F.col("_med") - F.lit(k) * F.col("_iqr")).alias("fence_lo"),

@@ -456,6 +456,12 @@ def dup_clusters(
         labels = new
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iter} rounds — the "
+            "pair graph has diameter > max_iter; raise max_iter or switch "
+            "to a large-star/small-star contraction for deep chains"
+        )
     return labels
 
 
@@ -575,7 +581,7 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame
             F.array(*[
                 F.shiftright(F.col("simhash"), off)
                 .bitwiseAND(F.lit((1 << w) - 1))
-                .cast("int")
+                .cast("long")  # a lone chunk can be 60 bits (max_hamming=0)
                 for off, w in _chunk_bounds(SIMHASH_BITS, n_chunks)
             ])
         ).alias("chunk_idx", "chunk_val"),

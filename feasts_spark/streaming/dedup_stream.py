@@ -54,19 +54,20 @@ def stream_dedup_stateful(
     """Exact unbounded dedup: one output row per (micro-batch, text-hash)
     carrying the representative id and the running duplicate count.
 
-    The final state after all batches matches exact_dedup's (rep_id =
-    first-seen id rather than min id — stream order is the tiebreak) and
-    the count matches exactly (asserted stream==batch in tests).
+    The representative is the minimum id of the FIRST micro-batch that
+    carries the hash (within-batch row order after the state shuffle is
+    nondeterministic, so min(id) is the deterministic tie-break); counts
+    match exact_dedup exactly (asserted stream==batch in tests).
     """
 
     def fn(key, pdfs, state: GroupState):
         n_new = 0
-        first_id = None
+        min_id = None
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            if first_id is None:
-                first_id = int(pdf[id_col].iloc[0])
+            m = int(pdf[id_col].min())
+            min_id = m if min_id is None else min(min_id, m)
             n_new += len(pdf)
         if n_new == 0:
             return
@@ -74,7 +75,11 @@ def stream_dedup_stateful(
             (rep, n) = state.get
             is_first = False
         else:
-            rep, n = first_id, 0
+            # row order within a state group is shuffle-read order, NOT
+            # arrival order — min(id) is the deterministic tie-break for
+            # duplicates landing in the same micro-batch (and matches
+            # exact_dedup's min-id representative when they do)
+            rep, n = min_id, 0
             is_first = True
         n += n_new
         state.update((rep, n))

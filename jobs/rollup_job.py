@@ -117,8 +117,9 @@ def main() -> None:
 
         now = dt.datetime.fromisoformat(days[-1]) + dt.timedelta(days=1)
         removed = {
-            tier: expire_partitions(io, f"rollup_{tier}", tier, now)
+            f"{table}_{tier}": expire_partitions(io, f"{table}_{tier}", tier, now)
             for tier in tiers
+            for table in ("rollup", "chunks")
         }
         metrics["retention_removed"] = removed
 

@@ -233,3 +233,29 @@ class TestDupClusters:
         # docs 0,1,2 form one group (exact+near dup); 3,4 another
         assert out.loc[0] == out.loc[1] == out.loc[2] == 0
         assert out.loc[3] == out.loc[4] == 3
+
+
+class TestReviewRegressions:
+    def test_simhash_max_hamming_zero(self, spark, doc_df):
+        # a lone 60-bit chunk must not overflow the int cast (ANSI mode)
+        from feasts_spark.operators.dedup import (
+            simhash_near_pairs,
+            simhash_signatures,
+        )
+
+        out = simhash_near_pairs(
+            simhash_signatures(doc_df), max_hamming=0
+        ).toPandas()
+        assert set(zip(out.id_a, out.id_b)) == {(0, 1)}  # exact dups only
+
+    def test_dup_clusters_nonconvergence_raises(self, spark):
+        from feasts_spark.operators.dedup import dup_clusters
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dup_clusters(chain, max_iter=2).collect()
+        # and converges fine with enough rounds
+        ok = dup_clusters(chain, max_iter=15).toPandas()
+        assert set(ok["label"]) == {0}
