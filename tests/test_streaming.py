@@ -224,3 +224,33 @@ def test_stream_dedup_watermark_drops_dupes(spark, tmp_path):
     q.awaitTermination()
     got = spark.sql("SELECT * FROM t_dedup_wm").toPandas()
     assert sorted(got["text"]) == ["x", "y"]  # within-watermark dupes dropped
+
+
+def test_stream_dedup_stateful_multipartition_batch(spark, tmp_path):
+    """Duplicates of one hash split across two files of the SAME
+    micro-batch: the representative must be the deterministic min id."""
+    from feasts_spark.streaming.dedup_stream import stream_dedup_stateful
+
+    d = tmp_path / "dedup_mp"
+    d.mkdir()
+    pd.DataFrame({"doc_id": [7], "text": ["alpha"]}).to_parquet(
+        d / "a.parquet", index=False
+    )
+    pd.DataFrame({"doc_id": [3], "text": ["alpha"]}).to_parquet(
+        d / "b.parquet", index=False
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(str(d))
+    )
+    q = (
+        stream_dedup_stateful(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup_mp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM t_dedup_mp").toPandas()
+    final = got.sort_values("n_dups").iloc[-1]
+    assert final["rep_id"] == 3 and final["n_dups"] == 2
