@@ -76,3 +76,29 @@ class TableIO:
 def with_day_partition(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Add the days(ts) partition column used by the at-rest layout."""
     return df.withColumn("dt", F.to_date(F.col(ts_col)))
+
+
+def write_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int = 32,
+    sort_cols: tuple[str, ...] = (),
+) -> None:
+    """Persist `df` as a bucketed (+ optionally sorted) managed table.
+
+    Bucketing pre-partitions the data by hash(bucket_cols) AT WRITE TIME,
+    so later joins/aggregations keyed on those columns read co-located
+    buckets and skip the shuffle entirely — the standard layout for a fat
+    table joined repeatedly on the same key (e.g. rollup tiers keyed by
+    series). tests/test_plans.py asserts the bucketed self-join plan has
+    ZERO Exchange nodes. Requires the session catalog (bucket metadata
+    lives in the metastore); plain parquet paths cannot carry it.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)

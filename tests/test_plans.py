@@ -111,3 +111,40 @@ def test_text_ops_stay_jvm_side(spark):
         s = plan_summary(op(docs))
         assert s["n_python"] == 0, f"{op.__name__} fell off the JVM path"
         assert s["n_wscg"] >= 1, f"{op.__name__} not in whole-stage codegen"
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same key join WITHOUT any Exchange —
+    the co-located layout repeated joins rely on at 100TB."""
+    import pandas as pd
+
+    from feasts_spark.plans import plan_summary
+    from feasts_spark.sources.tableio import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        pdf = pd.DataFrame({
+            "series_key": list(range(200)) * 5,
+            "v": range(1000),
+        })
+        df = spark.createDataFrame(pdf)
+        write_bucketed(spark, df, "t_bucket_a", ("series_key",), 8)
+        write_bucketed(spark, df, "t_bucket_b", ("series_key",), 8)
+        a = spark.table("t_bucket_a")
+        b = spark.table("t_bucket_b").withColumnRenamed("v", "v2")
+        joined = a.join(b, "series_key")
+        s = plan_summary(joined)
+        assert s["n_exchanges"] == 0, s["plan"]
+        assert joined.count() == 1000 * 5
+        # control: the same join on unbucketed views DOES shuffle
+        df.createOrReplaceTempView("t_plain")
+        p = spark.table("t_plain").join(
+            spark.table("t_plain").withColumnRenamed("v", "v2"), "series_key"
+        )
+        assert plan_summary(p)["n_exchanges"] >= 2
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
