@@ -1026,8 +1026,11 @@ FROM dots WHERE round(dot / sqrt(na * nb), 4) >= 0.2
 
 
 def q_ann_topk(spark, sf_dir):
-    """Brute-force cosine top-5 neighbors for the first 10 query vectors —
-    rows-only check (ranking ties make a cross-engine hash fragile)."""
+    """Brute-force cosine top-5 neighbors for the first 10 query vectors.
+
+    Ranking orders by the 6dp-rounded (tie-stable) cosine with cand_id as
+    the tie-break, so the cross-engine DuckDB oracle ranks identically
+    even when sequential double dot-products diverge in the last ULP."""
     _utc(spark)
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 10).select(
@@ -1042,12 +1045,38 @@ def q_ann_topk(spark, sf_dir):
         .filter(F.col("query_id") != F.col("cand_id"))
         .withColumn("cos", F.expr(f"{dot} / sqrt(({nq}) * ({nc}))"))
     )
-    wrank = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    wrank = W.partitionBy("query_id").orderBy(
+        F.desc(F.floor(F.col("cos") * 1e6 + F.lit(0.500001))), F.asc("cand_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(wrank))
         .filter(F.col("rank") <= 5)
-        .select("query_id", "cand_id", "rank", F.round("cos", 4).alias("cos"))
+        .select("query_id", "cand_id", "rank", _r4("cos").alias("cos"))
     )
+
+
+ORACLE_ANN_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS eq
+  FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS ec
+  FROM embeddings
+), s AS (
+  SELECT query_id, cand_id,
+    list_dot_product(eq, ec)
+      / sqrt(list_dot_product(eq, eq) * list_dot_product(ec, ec)) AS cos
+  FROM q, c WHERE query_id <> cand_id
+), r AS (
+  SELECT query_id, cand_id, cos,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY floor(cos * 1e6 + 0.500001::DOUBLE) DESC, cand_id) AS rank
+  FROM s
+)
+SELECT query_id, cand_id, rank,
+       floor(cos * 1e4 + 0.500001::DOUBLE) / 1e4 AS cos
+FROM r WHERE rank <= 5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2017,6 +2046,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "dup_clusters": ORACLE_DUP_CLUSTERS,
         "cosine_pairs": ORACLE_COSINE_PAIRS,
+        "ann_topk": ORACLE_ANN_TOPK,
         "ccf_table_1h": ORACLE_CCF_1H,
         "portmanteau_1h": ORACLE_PORTMANTEAU_1H,
         "longest_flat_spot": ORACLE_FLAT_SPOT,
