@@ -582,7 +582,7 @@ def q_shift_level_max(spark, sf_dir):
     )
     return out.select(
         "series_key",
-        F.round("shift_level_max", 4).alias("shift_level_max"),
+        _r4("shift_level_max").alias("shift_level_max"),
         "shift_level_index",
     )
 
@@ -604,7 +604,8 @@ WITH s AS (
                             ORDER BY round(diff, 6) DESC, rn ASC) AS rk
   FROM d WHERE diff IS NOT NULL
 )
-SELECT user_id AS series_key, round(diff, 4) AS shift_level_max,
+SELECT user_id AS series_key,
+       floor(diff * 1e4 + 0.500001::DOUBLE) / 1e4 AS shift_level_max,
        rn - 9 AS shift_level_index
 FROM ranked WHERE rk = 1
 """
@@ -705,10 +706,10 @@ def q_classical_additive_1d(spark, sf_dir):
     out = classical_decomposition(r, period=7, type="additive", value_col="val_avg")
     return out.select(
         "series_key", "bucket_ts",
-        F.round("trend", 4).alias("trend"),
-        F.round("seasonal", 4).alias("seasonal"),
-        F.round("random", 4).alias("random"),
-        F.round("season_adjust", 4).alias("season_adjust"),
+        _r4("trend").alias("trend"),
+        _r4("seasonal").alias("seasonal"),
+        _r4("random").alias("random"),
+        _r4("season_adjust").alias("season_adjust"),
     )
 
 
@@ -732,10 +733,10 @@ WITH r AS (
   FROM fig0
 )
 SELECT d.user_id AS series_key, d.bucket_ts,
-       round(d.trend, 4) AS trend,
-       round(fig.figure, 4) AS seasonal,
-       round(d.v - d.trend - fig.figure, 4) AS random,
-       round(d.v - fig.figure, 4) AS season_adjust
+       floor(d.trend * 1e4 + 0.500001::DOUBLE) / 1e4 AS trend,
+       floor(fig.figure * 1e4 + 0.500001::DOUBLE) / 1e4 AS seasonal,
+       floor((d.v - d.trend - fig.figure) * 1e4 + 0.500001::DOUBLE) / 1e4 AS random,
+       floor((d.v - fig.figure) * 1e4 + 0.500001::DOUBLE) / 1e4 AS season_adjust
 FROM d JOIN fig ON fig.user_id = d.user_id AND fig.pos = d.pos
 """
 
