@@ -494,7 +494,7 @@ def q_acf_table_1h(spark, sf_dir):
     # short-series filter INSIDE the UDF group: same semantics as a
     # count semi-join (count > 11) without its aggregate + join shuffles
     out = acf_table(r, lag_max=10, min_points=12)
-    return out.select("series_key", "lag", F.round("acf", 4).alias("acf"))
+    return out.select("series_key", "lag", _r4("acf").alias("acf"))
 
 
 ORACLE_ACF_1H = """
@@ -514,8 +514,8 @@ WITH r AS (
   FROM s GROUP BY user_id
 ), lags AS (SELECT unnest(generate_series(1, 10)) AS lag)
 SELECT a.user_id AS series_key, lags.lag AS lag,
-       round((sum((a.v - a.m) * (b.v - b.m)) / any_value(a.n))
-             / any_value(c0.acvf0), 4) AS acf
+       floor(((sum((a.v - a.m) * (b.v - b.m)) / any_value(a.n))
+              / any_value(c0.acvf0)) * 1e4 + 0.500001::DOUBLE) / 1e4 AS acf
 FROM s a
 CROSS JOIN lags
 JOIN s b ON b.user_id = a.user_id AND b.rn = a.rn + lags.lag
@@ -533,7 +533,7 @@ def q_pacf_table_1h(spark, sf_dir):
     _utc(spark)
     r = rollup_raw(_events(spark, sf_dir), "1h", "user_id", "ts", "value")
     return pacf_table(r, lag_max=10, min_points=12).select(
-        "series_key", "lag", F.round("pacf", 4).alias("pacf")
+        "series_key", "lag", _r4("pacf").alias("pacf")
     )
 
 
@@ -601,7 +601,7 @@ WITH s AS (
 ), ranked AS (
   SELECT user_id, rn, diff,
          row_number() OVER (PARTITION BY user_id
-                            ORDER BY round(diff, 6) DESC, rn ASC) AS rk
+                            ORDER BY floor(diff * 1e6 + 0.500001::DOUBLE) DESC, rn ASC) AS rk
   FROM d WHERE diff IS NOT NULL
 )
 SELECT user_id AS series_key,
@@ -642,7 +642,7 @@ WITH s AS (
 ), ranked AS (
   SELECT user_id, rn, diff,
          row_number() OVER (PARTITION BY user_id
-                            ORDER BY round(diff, 6) DESC, rn ASC) AS rk
+                            ORDER BY floor(diff * 1e6 + 0.500001::DOUBLE) DESC, rn ASC) AS rk
   FROM d WHERE diff IS NOT NULL
 )
 SELECT user_id AS series_key,
@@ -662,8 +662,8 @@ def q_var_tiled(spark, sf_dir):
     )
     return out.select(
         "series_key",
-        F.round("var_tiled_mean", 4).alias("var_tiled_mean"),
-        F.round("var_tiled_var", 4).alias("var_tiled_var"),
+        _r4("var_tiled_mean").alias("var_tiled_mean"),
+        _r4("var_tiled_var").alias("var_tiled_var"),
     )
 
 
@@ -684,10 +684,10 @@ WITH s AS (
   FROM z GROUP BY 1, 2
 )
 SELECT user_id AS series_key,
-       round(CASE WHEN max(n) < 20 THEN 0.0 ELSE var_samp(tmean) END, 4)
+       floor((CASE WHEN max(n) < 20 THEN 0.0 ELSE var_samp(tmean) END) * 1e4 + 0.500001::DOUBLE) / 1e4
          AS var_tiled_mean,
-       round(CASE WHEN max(n) < 20 THEN 0.0
-                  ELSE var_samp(CASE WHEN tn = 10 THEN tvar END) END, 4)
+       floor((CASE WHEN max(n) < 20 THEN 0.0
+                  ELSE var_samp(CASE WHEN tn = 10 THEN tvar END) END) * 1e4 + 0.500001::DOUBLE) / 1e4
          AS var_tiled_var
 FROM tiles GROUP BY 1
 """
@@ -754,10 +754,10 @@ def q_stl_components_1d(spark, sf_dir):
     out = stl_components(r, periods=(7,), value_col="val_avg")
     return out.select(
         "series_key", "bucket_ts",
-        F.round("trend", 4).alias("trend"),
-        F.round("season_7", 4).alias("season_7"),
-        F.round("remainder", 4).alias("remainder"),
-        F.round("season_adjust", 4).alias("season_adjust"),
+        _r4("trend").alias("trend"),
+        _r4("season_7").alias("season_7"),
+        _r4("remainder").alias("remainder"),
+        _r4("season_adjust").alias("season_adjust"),
     )
 
 
@@ -770,7 +770,7 @@ def q_feature_pack(spark, sf_dir):
     r = rollup_raw(_events(spark, sf_dir), "1h", "user_id", "ts", "value")
     out = features(r, period=24, min_points=20)
     ncols = [c for c in out.columns if c != "series_key"]
-    sel = [F.col("series_key")] + [F.round(c, 4).alias(c) for c in ncols]
+    sel = [F.col("series_key")] + [_r4(c).alias(c) for c in ncols]
     return out.select(*sel)
 
 
@@ -786,7 +786,7 @@ def q_feature_pack_multi(spark, sf_dir):
     r = rollup_raw(_events(spark, sf_dir), "1h", "user_id", "ts", "value")
     out = features(r, period=(6, 24), min_points=50)
     ncols = [c for c in out.columns if c != "series_key"]
-    sel = [F.col("series_key")] + [F.round(c, 4).alias(c) for c in ncols]
+    sel = [F.col("series_key")] + [_r4(c).alias(c) for c in ncols]
     return out.select(*sel)
 
 
@@ -817,11 +817,10 @@ def q_text_stats(spark, sf_dir):
         F.length("text").alias("n_chars_calc"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
-        F.round(
+        (F.floor(
             F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z ]", ""))
-            / F.length("text"),
-            4,
-        ).alias("non_alpha_ratio"),
+            / F.length("text") * 1e4 + F.lit(0.500001)
+        ) / 1e4).alias("non_alpha_ratio"),
     )
 
 
@@ -830,8 +829,8 @@ SELECT doc_id, length(text) AS n_chars_calc,
        len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
        len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
          AS n_uniq_tokens,
-       round(length(regexp_replace(text, '[a-zA-Z ]', '', 'g'))
-             / length(text), 4) AS non_alpha_ratio
+       floor((length(regexp_replace(text, '[a-zA-Z ]', '', 'g'))
+             / length(text)) * 1e4 + 0.500001::DOUBLE) / 1e4 AS non_alpha_ratio
 FROM documents
 """
 
@@ -843,7 +842,7 @@ def q_ngram_jaccard(spark, sf_dir):
     _utc(spark)
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 80)
     out = ngram_jaccard_pairs(d, n=3, threshold=0.0)
-    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    return out.select("id_a", "id_b", _r4("jaccard").alias("jaccard"))
 
 
 ORACLE_NGRAM_JACCARD = r"""
@@ -864,7 +863,7 @@ WITH toks AS (
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
-       round(ni / (sa.n + sb.n - ni), 4) AS jaccard
+       floor((ni / (sa.n + sb.n - ni)) * 1e4 + 0.500001::DOUBLE) / 1e4 AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
@@ -886,7 +885,7 @@ def q_minhash_lsh(spark, sf_dir):
     sigs = minhash_signatures(d)
     cands = minhash_lsh_candidates(sigs)
     return minhash_estimate(sigs, cands).select(
-        "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
+        "id_a", "id_b", _r4("est_jaccard").alias("est_jaccard")
     )
 
 
@@ -904,7 +903,7 @@ def q_minhash_oph_lsh(spark, sf_dir):
     sigs = minhash_signatures_oph(d)
     cands = minhash_lsh_candidates(sigs)
     return minhash_estimate(sigs, cands).select(
-        "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
+        "id_a", "id_b", _r4("est_jaccard").alias("est_jaccard")
     )
 
 
@@ -999,7 +998,7 @@ def q_cosine_pairs(spark, sf_dir):
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos", F.expr(f"{dot} / sqrt(({na}) * ({nb}))"))
-        .withColumn("cos", F.round("cos", 4))
+        .withColumn("cos", _r4("cos"))
         .filter(F.col("cos") >= 0.2)
         .select("id_a", "id_b", "cos")
     )
@@ -1021,8 +1020,8 @@ WITH dims AS (
   FROM flat a JOIN flat b ON a.k = b.k AND a.vec_id < b.vec_id
   GROUP BY 1, 2
 )
-SELECT id_a, id_b, round(dot / sqrt(na * nb), 4) AS cos
-FROM dots WHERE round(dot / sqrt(na * nb), 4) >= 0.2
+SELECT id_a, id_b, floor((dot / sqrt(na * nb)) * 1e4 + 0.500001::DOUBLE) / 1e4 AS cos
+FROM dots WHERE floor((dot / sqrt(na * nb)) * 1e4 + 0.500001::DOUBLE) / 1e4 >= 0.2
 """
 
 
@@ -1105,7 +1104,7 @@ def q_ccf_table_1h(spark, sf_dir):
         F.col("n_points").cast("double").alias("x"),
     )
     out = ccf_table(r, lag_max=10)
-    return out.select("series_key", "lag", F.round("ccf", 4).alias("ccf"))
+    return out.select("series_key", "lag", _r4("ccf").alias("ccf"))
 
 
 ORACLE_CCF_1H = """
@@ -1129,8 +1128,9 @@ WITH r AS (
   FROM s GROUP BY user_id
 ), lags AS (SELECT unnest(generate_series(-10, 10)) AS lag)
 SELECT a.user_id AS series_key, lags.lag AS lag,
-       round((sum((a.x - a.mx) * (b.y - b.my)) / any_value(a.n))
-             / sqrt(any_value(c0.cxx0) * any_value(c0.cyy0)), 4) AS ccf
+       floor(((sum((a.x - a.mx) * (b.y - b.my)) / any_value(a.n))
+              / sqrt(any_value(c0.cxx0) * any_value(c0.cyy0))) * 1e4
+             + 0.500001::DOUBLE) / 1e4 AS ccf
 FROM s a
 CROSS JOIN lags
 JOIN s b ON b.user_id = a.user_id AND a.rn = b.rn + lags.lag
@@ -1156,8 +1156,8 @@ def q_portmanteau_1h(spark, sf_dir):
     out = series_stats(r, kernel, ["lb_stat", "bp_stat"])
     return out.select(
         "series_key",
-        F.round("lb_stat", 4).alias("lb_stat"),
-        F.round("bp_stat", 4).alias("bp_stat"),
+        _r4("lb_stat").alias("lb_stat"),
+        _r4("bp_stat").alias("bp_stat"),
     )
 
 
@@ -1188,9 +1188,9 @@ rk AS (
   GROUP BY a.user_id, lags.lag
 )
 SELECT rk.user_id AS series_key,
-       round(any_value(c0.n) * (any_value(c0.n) + 2)
-             * sum(r * r / (c0.n - lag)), 4) AS lb_stat,
-       round(any_value(c0.n) * sum(r * r), 4) AS bp_stat
+       floor((any_value(c0.n) * (any_value(c0.n) + 2)
+             * sum(r * r / (c0.n - lag))) * 1e4 + 0.500001::DOUBLE) / 1e4 AS lb_stat,
+       floor((any_value(c0.n) * sum(r * r)) * 1e4 + 0.500001::DOUBLE) / 1e4 AS bp_stat
 FROM rk JOIN c0 ON c0.user_id = rk.user_id
 GROUP BY rk.user_id
 """
@@ -1278,10 +1278,10 @@ def q_intermittent_daily(spark, sf_dir):
     )
     return out.select(
         "series_key",
-        F.round("zero_run_mean", 4).alias("zero_run_mean"),
-        F.round("nonzero_squared_cv", 4).alias("nonzero_squared_cv"),
-        F.round("zero_start_prop", 4).alias("zero_start_prop"),
-        F.round("zero_end_prop", 4).alias("zero_end_prop"),
+        _r4("zero_run_mean").alias("zero_run_mean"),
+        _r4("nonzero_squared_cv").alias("nonzero_squared_cv"),
+        _r4("zero_start_prop").alias("zero_start_prop"),
+        _r4("zero_end_prop").alias("zero_end_prop"),
     )
 
 
@@ -1322,10 +1322,10 @@ WITH r AS (
   FROM daily WHERE cnt <> 0 GROUP BY 1
 )
 SELECT zr.user_id AS series_key,
-       round(zr.zero_run_mean, 4) AS zero_run_mean,
-       round(nz.nonzero_squared_cv, 4) AS nonzero_squared_cv,
-       round(zr.zero_start_prop, 4) AS zero_start_prop,
-       round(zr.zero_end_prop, 4) AS zero_end_prop
+       floor((zr.zero_run_mean) * 1e4 + 0.500001::DOUBLE) / 1e4 AS zero_run_mean,
+       floor((nz.nonzero_squared_cv) * 1e4 + 0.500001::DOUBLE) / 1e4 AS nonzero_squared_cv,
+       floor((zr.zero_start_prop) * 1e4 + 0.500001::DOUBLE) / 1e4 AS zero_start_prop,
+       floor((zr.zero_end_prop) * 1e4 + 0.500001::DOUBLE) / 1e4 AS zero_end_prop
 FROM zr JOIN nz USING (user_id)
 """
 
@@ -1466,9 +1466,9 @@ WITH b AS (
   FROM b
 )
 SELECT doc_id, n_tok AS n_tokens,
-       round(mean_word_len, 4) AS mean_word_len,
-       round(stop_ratio, 4) AS stopword_ratio,
-       round(punct_ratio, 4) AS punct_ratio,
+       floor((mean_word_len) * 1e4 + 0.500001::DOUBLE) / 1e4 AS mean_word_len,
+       floor((stop_ratio) * 1e4 + 0.500001::DOUBLE) / 1e4 AS stopword_ratio,
+       floor((punct_ratio) * 1e4 + 0.500001::DOUBLE) / 1e4 AS punct_ratio,
        floor((0.4::DOUBLE * length_score
               + 0.3::DOUBLE * least(stop_ratio * 5, 1.0::DOUBLE)
               + 0.3::DOUBLE * (1.0::DOUBLE - least(punct_ratio * 4, 1.0::DOUBLE)))
@@ -1514,7 +1514,7 @@ def q_ann_lsh_topk(spark, sf_dir):
         _emb(spark, sf_dir), k=5, n_planes=4,
         query_filter=lambda c: c < 10,
     )
-    return out.select("query_id", "cand_id", "rank", F.round("cos", 4).alias("cos"))
+    return out.select("query_id", "cand_id", "rank", _r4("cos").alias("cos"))
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -1528,7 +1528,7 @@ def q_ann_ivf_topk(spark, sf_dir):
         _emb(spark, sf_dir), k=5, n_cells=8, nprobe=3,
         query_filter=lambda c: c < 10,
     )
-    return out.select("query_id", "cand_id", "rank", F.round("cos", 4).alias("cos"))
+    return out.select("query_id", "cand_id", "rank", _r4("cos").alias("cos"))
 
 
 def q_guerrero_1d(spark, sf_dir):
@@ -1543,7 +1543,7 @@ def q_guerrero_1d(spark, sf_dir):
     out = series_stats(r, guerrero, ["lambda_guerrero"], period=7,
                        min_points=14)
     return out.select(
-        "series_key", F.round("lambda_guerrero", 4).alias("lambda_guerrero")
+        "series_key", _r4("lambda_guerrero").alias("lambda_guerrero")
     )
 
 
@@ -1567,10 +1567,10 @@ def q_unitroot_1d(spark, sf_dir):
     )
     return out.select(
         "series_key",
-        F.round("kpss_stat", 4).alias("kpss_stat"),
-        F.round("kpss_pvalue", 4).alias("kpss_pvalue"),
-        F.round("pp_stat", 4).alias("pp_stat"),
-        F.round("pp_pvalue", 4).alias("pp_pvalue"),
+        _r4("kpss_stat").alias("kpss_stat"),
+        _r4("kpss_pvalue").alias("kpss_pvalue"),
+        _r4("pp_stat").alias("pp_stat"),
+        _r4("pp_pvalue").alias("pp_pvalue"),
         "ndiffs",
     )
 
@@ -1752,10 +1752,10 @@ def q_stl_multi_1h(spark, sf_dir):
     out = stl_components(filled, periods=(24, 168), value_col="val_avg_filled")
     return out.select(
         "series_key", "bucket_ts",
-        F.round("trend", 4).alias("trend"),
-        F.round("season_24", 4).alias("season_24"),
-        F.round("season_168", 4).alias("season_168"),
-        F.round("remainder", 4).alias("remainder"),
+        _r4("trend").alias("trend"),
+        _r4("season_24").alias("season_24"),
+        _r4("season_168").alias("season_168"),
+        _r4("remainder").alias("remainder"),
     )
 
 
@@ -1772,8 +1772,8 @@ def q_supsmu_trend_1d(spark, sf_dir):
     out = stl_components(r, periods=(), value_col="val_avg")
     return out.select(
         "series_key", "bucket_ts",
-        F.round("trend", 4).alias("trend"),
-        F.round("remainder", 4).alias("remainder"),
+        _r4("trend").alias("trend"),
+        _r4("remainder").alias("remainder"),
     )
 
 
@@ -1804,9 +1804,10 @@ def q_multimodal_features(spark, sf_dir):
     out = extract_features(media)
     return out.select(
         "media_id", "kind", "feat_dim",
-        F.round(F.expr("aggregate(feature, 0D, (a, x) -> a + x)"), 4).alias(
-            "feat_sum"
-        ),
+        (F.floor(
+            F.expr("aggregate(feature, 0D, (a, x) -> a + x)") * 1e4
+            + F.lit(0.500001)
+        ) / 1e4).alias("feat_sum"),
     )
 
 
@@ -1928,7 +1929,7 @@ def q_tacf_1h(spark, sf_dir):
     _utc(spark)
     r = _hourly_pair(spark, sf_dir)
     out = acf_table(r, lag_max=10, tapered=True)
-    return out.select("series_key", "lag", F.round("acf", 4).alias("acf"))
+    return out.select("series_key", "lag", _r4("acf").alias("acf"))
 
 
 def q_pacf_tapered_1h(spark, sf_dir):
@@ -1939,7 +1940,7 @@ def q_pacf_tapered_1h(spark, sf_dir):
     _utc(spark)
     r = _hourly_pair(spark, sf_dir)
     out = pacf_table(r, lag_max=10, tapered=True)
-    return out.select("series_key", "lag", F.round("pacf", 4).alias("pacf"))
+    return out.select("series_key", "lag", _r4("pacf").alias("pacf"))
 
 
 # ---------------------------------------------------------------------------

@@ -85,7 +85,7 @@ def shift_level_df(
         .filter(F.col("_diff").isNotNull())
     )
     wrank = W.partitionBy(key_col).orderBy(
-        F.desc(F.round("_diff", 6)), F.asc("_rn")
+        F.desc(F.floor(F.col("_diff") * 1e6 + F.lit(0.500001))), F.asc("_rn")
     )
     return (
         s.withColumn("_rk", F.row_number().over(wrank))
@@ -524,7 +524,7 @@ def shift_var_df(
         .filter(F.col("_diff").isNotNull())
     )
     wrank = W.partitionBy(key_col).orderBy(
-        F.desc(F.round("_diff", 6)), F.asc("_rn")
+        F.desc(F.floor(F.col("_diff") * 1e6 + F.lit(0.500001))), F.asc("_rn")
     )
     return (
         s.withColumn("_rk", F.row_number().over(wrank))

@@ -114,9 +114,9 @@ def quality_scores(
     return df.select(
         id_col,
         n_tok.alias("n_tokens"),
-        F.round(mean_word_len, 4).alias("mean_word_len"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
+        (F.floor(mean_word_len * 1e4 + F.lit(0.500001)) / 1e4).alias("mean_word_len"),
+        (F.floor(stop_ratio * 1e4 + F.lit(0.500001)) / 1e4).alias("stopword_ratio"),
+        (F.floor(punct_ratio * 1e4 + F.lit(0.500001)) / 1e4).alias("punct_ratio"),
         q4.alias("quality_score"),
     )
 
