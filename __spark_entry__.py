@@ -1517,6 +1517,43 @@ def q_ann_lsh_topk(spark, sf_dir):
     return out.select("query_id", "cand_id", "rank", _r4("cos").alias("cos"))
 
 
+def q_ann_recall(spark, sf_dir):
+    """Recall@5 of both approximate ANN paths against the brute-force
+    top-5, computed in-Spark per method — the accuracy/scan trade-off as
+    a first-class per-round metric (rows-only: the approximate methods
+    are probabilistic by design; the brute baseline itself is oracled
+    via ann_topk)."""
+    from feasts_spark.operators.similarity import ann_ivf_topk, ann_lsh_topk
+
+    _utc(spark)
+    e = _emb(spark, sf_dir)
+    qf = lambda c: c < 10  # noqa: E731
+    brute = q_ann_topk(spark, sf_dir).select("query_id", "cand_id")
+    results = []
+    for method, df in (
+        ("lsh", ann_lsh_topk(e, k=5, n_planes=4, query_filter=qf)),
+        ("ivf", ann_ivf_topk(e, k=5, n_cells=8, nprobe=2, query_filter=qf)),
+    ):
+        hits = df.select("query_id", "cand_id").join(
+            brute, ["query_id", "cand_id"]
+        )
+        results.append((method, hits, brute))
+    out = None
+    for method, hits, base in results:
+        row = hits.agg(F.count(F.lit(1)).alias("n_hits")).withColumn(
+            "method", F.lit(method)
+        )
+        out = row if out is None else out.unionByName(row)
+    n_brute = F.lit(50)  # 10 queries x top-5
+    return out.select(
+        "method",
+        "n_hits",
+        (F.floor(F.col("n_hits") / n_brute * 1e4 + F.lit(0.500001)) / 1e4).alias(
+            "recall_at_5"
+        ),
+    )
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-cell approximate cosine top-5 (the coarse-quantizer scale path,
     complementing LSH) — rows-only; recall vs brute force asserted in
@@ -2008,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_recall": q_ann_recall,
         "guerrero_1d": q_guerrero_1d,
         "unitroot_1d": q_unitroot_1d,
         "kpss_sql_1d": q_kpss_sql_1d,
