@@ -235,7 +235,7 @@ p50 AS (
 ), p95 AS (
   SELECT user_id, d, {qval("q95")} AS q95 FROM s95 WHERE rn = 1
 ), np AS (
-  SELECT user_id, d, sum(c) AS n_points FROM pb GROUP BY 1, 2
+  SELECT user_id, d, CAST(sum(c) AS BIGINT) AS n_points FROM pb GROUP BY 1, 2
 )
 SELECT np.user_id AS series_key, np.d AS bucket_ts, np.n_points,
        floor(p50.q50 * 1e4 + 0.500001::DOUBLE) / 1e4 AS q50,
@@ -384,9 +384,9 @@ WITH s AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
   SELECT user_id, ts, value,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-           AS session_id
+           AS BIGINT) AS session_id
   FROM s
 )
 SELECT user_id AS series_key, session_id, count(*) AS n_events,
@@ -568,7 +568,8 @@ WITH v AS (
   FROM events e JOIN m USING (user_id)
 )
 SELECT user_id AS series_key,
-       sum(CASE WHEN ab <> ab_next THEN 1 ELSE 0 END) AS n_crossing_points
+       CAST(sum(CASE WHEN ab <> ab_next THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_crossing_points
 FROM s WHERE ab_next IS NOT NULL GROUP BY 1
 """
 

@@ -28,6 +28,31 @@ TABLES = [
 ]
 
 
+def dtype_classes(df: pd.DataFrame) -> dict[str, str]:
+    """Engine-neutral dtype class per column, BEFORE normalization.
+
+    The round driver's value-hash is typed: a DuckDB HUGEINT sum that
+    fetchdf() materializes as float64 hashes differently from Spark's
+    bigint even when every value is equal (round-2 false-red root cause).
+    normalize() used to erase exactly that difference — so compare the
+    classes first and fail loudly on int-vs-float skew.
+    """
+    out = {}
+    for c in df.columns:
+        d = df[c]
+        if pd.api.types.is_datetime64_any_dtype(d):
+            out[c] = "datetime"
+        elif pd.api.types.is_bool_dtype(d):
+            out[c] = "bool"
+        elif pd.api.types.is_integer_dtype(d):
+            out[c] = "int"
+        elif pd.api.types.is_float_dtype(d):
+            out[c] = "float"
+        else:
+            out[c] = "object"
+    return out
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.copy()
     for c in df.columns:
@@ -80,6 +105,16 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error {exc}")
+            continue
+        dg, de = dtype_classes(got), dtype_classes(exp)
+        dmis = {
+            c: (dg.get(c), de.get(c))
+            for c in set(dg) | set(de)
+            if dg.get(c) != de.get(c)
+        }
+        if dmis:
+            failures.append(name)
+            print(f"FAIL {name}: dtype-class mismatch (spark, oracle): {dmis}")
             continue
         g, e = normalize(got), normalize(exp)
         if list(g.columns) != list(e.columns):
