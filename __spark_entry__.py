@@ -339,10 +339,82 @@ FROM rem JOIN fences f ON f.user_id = rem.user_id
 """
 
 
+ORACLE_LTTB_1H = """
+WITH RECURSIVE base AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts, avg(value) AS v
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT user_id, bucket_ts, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY bucket_ts) - 1 AS idx,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         -- the Spark kernel sees datetime64[ns].astype(float64): ns ticks
+         -- rounded to the nearest representable double
+         CAST(epoch_ns(bucket_ts) AS DOUBLE) AS tf
+  FROM base
+), small AS (
+  SELECT user_id, bucket_ts, v, n FROM o WHERE n <= 24
+), big AS (
+  SELECT * FROM o WHERE n > 24
+), edges AS (
+  -- numpy linspace(1, n-1, 23).astype(int64): interior = trunc(start+i*step)
+  -- in float64, endpoint pinned EXACTLY to stop (linspace sets y[-1] = stop)
+  SELECT b.user_id, i.i,
+         CASE WHEN i.i = 22 THEN b.n - 1
+              ELSE CAST(trunc(CAST(i.i AS DOUBLE)
+                   * ((CAST(b.n AS DOUBLE) - 2) / 22.0) + 1) AS BIGINT) END AS e
+  FROM (SELECT DISTINCT user_id, n FROM big) b
+  CROSS JOIN (SELECT unnest(generate_series(0, 22)) AS i) i
+), bkt AS (
+  SELECT e0.user_id, e0.i AS b, e0.e AS lo, e1.e AS hi,
+         e1.e AS nlo, coalesce(e2.e, bn.n) AS nhi
+  FROM edges e0
+  JOIN edges e1 ON e1.user_id = e0.user_id AND e1.i = e0.i + 1
+  LEFT JOIN edges e2 ON e2.user_id = e0.user_id AND e2.i = e0.i + 2
+  JOIN (SELECT DISTINCT user_id, n FROM big) bn ON bn.user_id = e0.user_id
+  WHERE e0.i <= 21
+), nbavg AS (
+  SELECT bkt.user_id, bkt.b, avg(big.tf) AS avg_t, avg(big.v) AS avg_v
+  FROM bkt JOIN big ON big.user_id = bkt.user_id
+                   AND big.idx >= bkt.nlo AND big.idx < bkt.nhi
+  GROUP BY bkt.user_id, bkt.b
+), sel AS (
+  -- sequential LTTB walk: bucket b's pick depends on bucket b-1's pick
+  SELECT user_id, -1 AS b, CAST(0 AS BIGINT) AS prev
+  FROM (SELECT DISTINCT user_id FROM big)
+  UNION ALL
+  SELECT s.user_id, s.b + 1 AS b,
+         first(c.idx ORDER BY abs((p.tf - nb.avg_t) * (c.v - p.v)
+                 - (p.tf - c.tf) * (nb.avg_v - p.v)) DESC, c.idx ASC) AS prev
+  FROM sel s
+  JOIN bkt ON bkt.user_id = s.user_id AND bkt.b = s.b + 1
+  JOIN big c ON c.user_id = s.user_id AND c.idx >= bkt.lo AND c.idx < bkt.hi
+  JOIN big p ON p.user_id = s.user_id AND p.idx = s.prev
+  JOIN nbavg nb ON nb.user_id = s.user_id AND nb.b = s.b + 1
+  WHERE s.b < 21
+  GROUP BY s.user_id, s.b
+), kept AS (
+  SELECT user_id, prev AS idx FROM sel WHERE b >= 0
+  UNION ALL
+  SELECT user_id, CAST(0 AS BIGINT) FROM (SELECT DISTINCT user_id FROM big)
+  UNION ALL
+  SELECT user_id, n - 1 FROM (SELECT DISTINCT user_id, n FROM big)
+)
+SELECT big.user_id AS series_key, big.bucket_ts,
+       floor(big.v * 1e4 + 0.500001::DOUBLE) / 1e4 AS val_avg,
+       big.n AS orig_n
+FROM kept JOIN big ON big.user_id = kept.user_id AND big.idx = kept.idx
+UNION ALL
+SELECT user_id, bucket_ts,
+       floor(v * 1e4 + 0.500001::DOUBLE) / 1e4 AS val_avg, n
+FROM small
+"""
+
+
 def q_lttb_1h(spark, sf_dir):
     """LTTB visual downsampling of each hourly series to <= 24 points —
-    rows-only (argmax triangle selection is not SQL-expressible;
-    shape/extrema properties pinned in tests)."""
+    oracled by ORACLE_LTTB_1H's recursive-CTE replay of the sequential
+    bucket walk (the argmax selection is deterministic, so DuckDB can
+    re-run it step by step)."""
     from feasts_spark.operators.downsample import lttb_downsample
     from feasts_spark.operators.rollup import rollup_raw
 
@@ -525,8 +597,9 @@ GROUP BY a.user_id, lags.lag
 
 
 def q_pacf_table_1h(spark, sf_dir):
-    # Durbin-Levinson is not SQL-expressible — rows-only driver check;
-    # exactness is covered by the golden kernel tests.
+    """Full-lag PACF table (Durbin-Levinson over the divisor-n ACF,
+    acf.R:111-170) — oracled by _pacf_oracle's UNROLLED D-L recursion in
+    DuckDB (pev-chain identical to kernels.acf.durbin_levinson_pacf)."""
     from feasts_spark.operators.cf import pacf_table
     from feasts_spark.operators.rollup import rollup_raw
 
@@ -535,6 +608,80 @@ def q_pacf_table_1h(spark, sf_dir):
     return pacf_table(r, lag_max=10, min_points=12).select(
         "series_key", "lag", _r4("pacf").alias("pacf")
     )
+
+
+def _pacf_oracle(lag_max: int = 10) -> str:
+    """Durbin-Levinson PACF unrolled to `lag_max` as plain (non-recursive)
+    SQL — an independent DuckDB replay of kernels/acf.py:durbin_levinson_pacf.
+
+    Mirrors the kernel exactly, including the prediction-error-variance
+    chain pev_k = pev_{k-1} * (1 - phi_kk^2) as the denominator (NOT the
+    algebraically-equal 1 - sum(phi*rho) form — same float op order) and
+    the dot-product order phi_{k-1,1}*rho_{k-1} + ... + phi_{k-1,k-1}*rho_1.
+    """
+    # rho pivot: one column per lag, raw (unrounded) divisor-n ACF
+    rho_cols = ",\n    ".join(
+        f"max(CASE WHEN lag = {k} THEN rho END) AS r{k}"
+        for k in range(1, lag_max + 1)
+    )
+    # unrolled D-L: a{k} computes phi_kk, b{k} the updated phi vector + pev
+    levels = []
+    for k in range(2, lag_max + 1):
+        dot = " + ".join(f"p{k-1}_{j} * r{k-j}" for j in range(1, k))
+        levels.append(
+            f"a{k} AS (\n  SELECT *, (r{k} - ({dot})) / pev{k-1} AS p{k}_{k}"
+            f" FROM b{k-1}\n)"
+        )
+        upd = ",\n    ".join(
+            f"p{k-1}_{j} - p{k}_{k} * p{k-1}_{k-j} AS p{k}_{j}"
+            for j in range(1, k)
+        )
+        levels.append(
+            f"b{k} AS (\n  SELECT *,\n    {upd},\n"
+            f"    pev{k-1} * (1.0::DOUBLE - p{k}_{k} * p{k}_{k}) AS pev{k}"
+            f" FROM a{k}\n)"
+        )
+    unroll = ", ".join(levels)
+    out = "\nUNION ALL\n".join(
+        f"SELECT user_id AS series_key, {k} AS lag,"
+        f" floor(p{k}_{k} * 1e4 + 0.500001::DOUBLE) / 1e4 AS pacf"
+        f" FROM b{lag_max}"
+        for k in range(1, lag_max + 1)
+    )
+    return f"""
+WITH r AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts, avg(value) AS v
+  FROM events GROUP BY 1, 2
+), keyed AS (
+  SELECT user_id FROM r GROUP BY 1 HAVING count(*) > 11
+), s AS (
+  SELECT r.user_id, v,
+         row_number() OVER (PARTITION BY r.user_id ORDER BY bucket_ts) AS rn,
+         avg(v) OVER (PARTITION BY r.user_id) AS m,
+         count(*) OVER (PARTITION BY r.user_id) AS n
+  FROM r JOIN keyed USING (user_id)
+), c0 AS (
+  SELECT user_id, sum((v - m) * (v - m)) / any_value(n) AS acvf0
+  FROM s GROUP BY user_id
+), lags AS (SELECT unnest(generate_series(1, {lag_max})) AS lag),
+lagd AS (
+  SELECT a.user_id, lags.lag AS lag,
+         (sum((a.v - a.m) * (b.v - b.m)) / any_value(a.n))
+           / any_value(c0.acvf0) AS rho
+  FROM s a
+  CROSS JOIN lags
+  JOIN s b ON b.user_id = a.user_id AND b.rn = a.rn + lags.lag
+  JOIN c0 ON c0.user_id = a.user_id
+  GROUP BY a.user_id, lags.lag
+), piv AS (
+  SELECT user_id,
+    {rho_cols}
+  FROM lagd GROUP BY user_id
+), b1 AS (
+  SELECT *, r1 AS p1_1, 1.0::DOUBLE - r1 * r1 AS pev1 FROM piv
+), {unroll}
+{out}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1571,46 +1718,27 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 def q_guerrero_1d(spark, sf_dir):
     """Box-Cox lambda (guerrero.R:30-60) per user over the 1d tier, weekly
-    subseries — rows-only (Brent optimizer); golden-tested on WWWusage."""
-    from feasts_spark.kernels.features_basic import guerrero
-    from feasts_spark.operators.rollup import rollup_raw
-    from feasts_spark.operators.series_stats import series_stats
+    subseries — grid-argmin over the Guerrero CV objective on a 0.1-step
+    lambda grid, SAME SQL text both engines (the continuous Brent
+    optimizer stays in the golden-tested numpy kernel / feature_pack)."""
+    from feasts_spark.functions.sql_features import guerrero_argmin_sql
 
     _utc(spark)
-    r = rollup_raw(_events(spark, sf_dir), "1d", "user_id", "ts", "value")
-    out = series_stats(r, guerrero, ["lambda_guerrero"], period=7,
-                       min_points=14)
-    return out.select(
-        "series_key", _r4("lambda_guerrero").alias("lambda_guerrero")
-    )
+    _events(spark, sf_dir).createOrReplaceTempView("events")
+    return spark.sql(guerrero_argmin_sql())
 
 
 def q_unitroot_1d(spark, sf_dir):
-    """KPSS + Phillips-Perron + ndiffs per user daily series — rows-only
-    (critical-value interpolation; features.R:139-203)."""
-    from feasts_spark.kernels.extras import unitroot_pp
-    from feasts_spark.kernels.stat_tests import unitroot_kpss, unitroot_ndiffs
-    from feasts_spark.operators.rollup import rollup_raw
-    from feasts_spark.operators.series_stats import series_stats
+    """unitroot_ndiffs (features.R:181-203) per user daily series — KPSS at
+    d=0 and d=1, ndiffs = max kept difference level; SAME SQL text both
+    engines. The kernel path (KPSS + PP + ndiffs via numpy, critical-value
+    interpolation) stays golden-tested in pytest; its kpss/pp stats are
+    driver-oracled separately by kpss_sql_1d / pp_sql_1d."""
+    from feasts_spark.functions.sql_features import ndiffs_sql
 
     _utc(spark)
-    r = rollup_raw(_events(spark, sf_dir), "1d", "user_id", "ts", "value")
-
-    def kernel(x):
-        return {**unitroot_kpss(x), **unitroot_pp(x), **unitroot_ndiffs(x)}
-
-    out = series_stats(
-        r, kernel, ["kpss_stat", "kpss_pvalue", "pp_stat", "pp_pvalue", "ndiffs"],
-        min_points=14,
-    )
-    return out.select(
-        "series_key",
-        _r4("kpss_stat").alias("kpss_stat"),
-        _r4("kpss_pvalue").alias("kpss_pvalue"),
-        _r4("pp_stat").alias("pp_stat"),
-        _r4("pp_pvalue").alias("pp_pvalue"),
-        "ndiffs",
-    )
+    _events(spark, sf_dir).createOrReplaceTempView("events")
+    return spark.sql(ndiffs_sql())
 
 
 def q_kpss_sql_1d(spark, sf_dir):
@@ -1674,16 +1802,22 @@ WITH r AS (
     g0, {g_pass}
   FROM agg
 ), lr AS (
-  SELECT series_key, n, ss,
+  SELECT series_key, n, ss, l,
     g0 / n
       {s2_terms} AS s2v
   FROM st
 ), stat AS (
-  SELECT series_key, ss / (n * n * s2v) AS kpss_stat FROM lr
+  -- mirrors kpss_df's l_max guard: NULL stat once l exceeds the
+  -- materialized lag columns, never a silently truncated Bartlett sum
+  SELECT series_key,
+         CASE WHEN l <= {l_max} THEN ss / (n * n * s2v) ELSE NULL END
+           AS kpss_stat
+  FROM lr
 )
 SELECT series_key,
   floor(kpss_stat * 1e4 + 0.500001::DOUBLE) / 1e4 AS kpss_stat,
   floor((CASE
+    WHEN kpss_stat IS NULL THEN NULL
     WHEN kpss_stat <= 0.347::DOUBLE THEN 0.10::DOUBLE
     WHEN kpss_stat <= 0.463::DOUBLE THEN 0.10::DOUBLE + (kpss_stat - 0.347::DOUBLE)
       * (0.05::DOUBLE - 0.10::DOUBLE) / (0.463::DOUBLE - 0.347::DOUBLE)
@@ -2075,8 +2209,10 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1h_cascade": _cascade_oracle("hour"),
         "rollup_1d_cascade": _cascade_oracle("day"),
         "gapfill_locf_1d": ORACLE_LOCF_1D,
+        "lttb_1h": ORACLE_LTTB_1H,
         "gapfill_linear_1d": ORACLE_LINEAR_1D,
         "acf_table_1h": ORACLE_ACF_1H,
+        "pacf_table_1h": _pacf_oracle(),
         "crossing_points": ORACLE_CROSSING,
         "shift_level_max": ORACLE_SHIFT_LEVEL,
         "shift_var_max": ORACLE_SHIFT_VAR,
@@ -2111,9 +2247,17 @@ def oracle_sql() -> dict[str, str]:
         "guerrero_profile_1d": __import__(
             "feasts_spark.functions.sql_features", fromlist=["guerrero_profile_sql"]
         ).guerrero_profile_sql(),
-        # pacf_table_1h, stl_components_1d, feature_pack, ann_topk,
-        # ann_lsh_topk, guerrero_1d, unitroot_1d, stl_multi_1h,
-        # supsmu_trend_1d, tacf_1h: non-SQL-expressible (D-L recursion,
-        # iterated loess, optimizers, LSH banding, critical-value interp,
-        # rank ties) — rows-only checks; exactness via golden pytest suite.
+        "guerrero_1d": __import__(
+            "feasts_spark.functions.sql_features", fromlist=["guerrero_argmin_sql"]
+        ).guerrero_argmin_sql(),
+        "unitroot_1d": __import__(
+            "feasts_spark.functions.sql_features", fromlist=["ndiffs_sql"]
+        ).ndiffs_sql(),
+        # stl_components_1d, feature_pack(_multi), stl_multi_1h,
+        # supsmu_trend_1d, stl_generate_1d, johansen_1h,
+        # phillips_ouliaris_1h, tacf_1h, pacf_tapered_1h: non-SQL-
+        # expressible (iterated loess, optimizers, eigen decompositions,
+        # seeded bootstrap) — rows-only checks; exactness via golden
+        # pytest suite. minhash/ann/multimodal: hash-banding + env-stubbed
+        # codecs — recall vs brute force asserted in tests + ann_recall.
     }

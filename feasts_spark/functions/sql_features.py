@@ -145,9 +145,10 @@ def kpss_df(
     no Python. `l_max` bounds the materialized lag columns: the statistic
     is exact only while l = trunc(4*(n/100)^0.25) <= l_max, i.e. for
     n < 100*((l_max+1)/4)^4 points (l_max=12 -> 11,156 points, ~30 years
-    of daily data); beyond that the Bartlett sum would silently truncate,
-    so raise l_max for longer series. Conditional weights zero out unused
-    lag columns for short series.
+    of daily data); beyond that BOTH stat and p-value are emitted as NULL
+    (never a silently truncated Bartlett sum) — raise l_max for longer
+    series. Conditional weights zero out unused lag columns for short
+    series.
 
     Mirrored verbatim by the DuckDB oracle in __spark_entry__ — golden
     parity with the numpy kernel is asserted in tests.
@@ -183,13 +184,17 @@ def kpss_df(
             / n,
         ).otherwise(F.lit(0.0))
     out = agg.withColumn("_s2", s2).withColumn(
-        "kpss_stat", F.col("_ss") / (n * n * F.col("_s2"))
+        "kpss_stat",
+        # NULL (never a silently truncated Bartlett sum) once the
+        # data-driven l exceeds the materialized lag columns
+        F.when(l <= F.lit(l_max), F.col("_ss") / (n * n * F.col("_s2"))),
     )
     # clamped piecewise-linear interp of (0.347,0.463,0.574,0.739) ->
     # (0.10,0.05,0.025,0.01), identical expression tree in the oracle
     st = F.col("kpss_stat")
     pv = (
-        F.when(st <= 0.347, F.lit(0.10))
+        F.when(st.isNull(), F.lit(None).cast("double"))
+        .when(st <= 0.347, F.lit(0.10))
         .when(st <= 0.463, 0.10 + (st - 0.347) * (0.05 - 0.10) / (0.463 - 0.347))
         .when(st <= 0.574, 0.05 + (st - 0.463) * (0.025 - 0.05) / (0.574 - 0.463))
         .when(st <= 0.739, 0.025 + (st - 0.574) * (0.01 - 0.025) / (0.739 - 0.574))
@@ -271,7 +276,9 @@ def pp_sql(
     inline OVER clauses), so cross-engine parity is textual, not
     hand-mirrored. Kernel parity vs kernels.extras.unitroot_pp is asserted
     in tests. As in kpss_df, the Newey-West sum is exact only while
-    l = trunc(4*(n/100)^0.25) <= l_max (l_max=12 -> n < 11,156 points).
+    l = trunc(4*(n/100)^0.25) <= l_max (l_max=12 -> n < 11,156 points);
+    longer series emit NULL stat + p-value rather than a silently
+    truncated statistic.
     """
     lag_cols = ",\n         ".join(
         f"lag(e, {j}) OVER (PARTITION BY k ORDER BY rn) AS el{j}"
@@ -335,7 +342,7 @@ WITH r AS (
     floor(CAST(4 AS DOUBLE) * power(n / CAST(100 AS DOUBLE), CAST(0.25 AS DOUBLE))) AS l
   FROM agg
 ), lam AS (
-  SELECT series_key, n, rho, det, s2,
+  SELECT series_key, n, rho, det, s2, l,
     sqrt(s2 * n / det) AS se_rho,
     ree / n AS g0,
     ree / n
@@ -343,9 +350,11 @@ WITH r AS (
   FROM base
 ), statc AS (
   SELECT series_key, n,
-    sqrt(g0 / lam2) * ((rho - CAST(1 AS DOUBLE)) / se_rho)
-      - (lam2 - g0) / (CAST(2 AS DOUBLE) * sqrt(lam2))
-        * (n * se_rho / sqrt(s2)) AS pp_stat
+    CASE WHEN l <= {l_max} THEN
+      sqrt(g0 / lam2) * ((rho - CAST(1 AS DOUBLE)) / se_rho)
+        - (lam2 - g0) / (CAST(2 AS DOUBLE) * sqrt(lam2))
+          * (n * se_rho / sqrt(s2))
+    ELSE NULL END AS pp_stat
   FROM lam
 ), cv AS (
   SELECT series_key, pp_stat,
@@ -356,7 +365,8 @@ WITH r AS (
 )
 SELECT series_key,
   floor(pp_stat * 1e4 + CAST(0.500001 AS DOUBLE)) / 1e4 AS pp_stat,
-  floor((CASE WHEN pp_stat <= cv01 THEN CAST(0.01 AS DOUBLE)
+  floor((CASE WHEN pp_stat IS NULL THEN NULL
+    WHEN pp_stat <= cv01 THEN CAST(0.01 AS DOUBLE)
     WHEN pp_stat <= cv05 THEN CAST(0.01 AS DOUBLE) + (pp_stat - cv01)
       * (CAST(0.05 AS DOUBLE) - CAST(0.01 AS DOUBLE)) / (cv05 - cv01)
     WHEN pp_stat <= cv10 THEN CAST(0.05 AS DOUBLE) + (pp_stat - cv05)
@@ -447,6 +457,35 @@ FROM agg
 """
 
 
+def _guerrero_core(trunc: str, period: int) -> str:
+    """Shared CTE chain (raw rollup -> tail subseries -> per-sub mu/sig ->
+    admissible keys) used verbatim by guerrero_profile_sql and
+    guerrero_argmin_sql so both texts stay byte-identical on the core."""
+    return f"""
+WITH r AS (
+  SELECT user_id, date_trunc('{trunc}', ts) AS bucket_ts, avg(value) AS v
+  FROM events GROUP BY user_id, date_trunc('{trunc}', ts)
+), o AS (
+  SELECT user_id AS k, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY bucket_ts) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM r
+), tail AS (
+  -- nsub = floor(n/period); start = n - nsub*period; sub = floor((rn-start-1)/period)
+  SELECT k, v,
+         CAST(floor((rn - (n - CAST(floor(n / CAST({period} AS DOUBLE)) AS BIGINT) * {period}) - 1)
+                    / CAST({period} AS DOUBLE)) AS BIGINT) AS sub
+  FROM o
+  WHERE rn > n - CAST(floor(n / CAST({period} AS DOUBLE)) AS BIGINT) * {period}
+    AND n >= {2 * period}
+), subs AS (
+  SELECT k, sub, avg(v) AS mu, stddev_samp(v) AS sig
+  FROM tail GROUP BY k, sub
+), keys_ok AS (
+  SELECT k FROM subs GROUP BY k HAVING min(mu) > 0 AND count(*) >= 2
+)"""
+
+
 def guerrero_profile_sql(
     trunc: str = "day",
     period: int = 7,
@@ -474,29 +513,7 @@ def guerrero_profile_sql(
         f" AS cv_lambda_{str(lam).replace('-', 'm').replace('.', '_')}"
         for i, lam in enumerate(lambdas)
     )
-    return f"""
-WITH r AS (
-  SELECT user_id, date_trunc('{trunc}', ts) AS bucket_ts, avg(value) AS v
-  FROM events GROUP BY user_id, date_trunc('{trunc}', ts)
-), o AS (
-  SELECT user_id AS k, v,
-         row_number() OVER (PARTITION BY user_id ORDER BY bucket_ts) AS rn,
-         count(*) OVER (PARTITION BY user_id) AS n
-  FROM r
-), tail AS (
-  -- nsub = floor(n/period); start = n - nsub*period; sub = floor((rn-start-1)/period)
-  SELECT k, v,
-         CAST(floor((rn - (n - CAST(floor(n / CAST({period} AS DOUBLE)) AS BIGINT) * {period}) - 1)
-                    / CAST({period} AS DOUBLE)) AS BIGINT) AS sub
-  FROM o
-  WHERE rn > n - CAST(floor(n / CAST({period} AS DOUBLE)) AS BIGINT) * {period}
-    AND n >= {2 * period}
-), subs AS (
-  SELECT k, sub, avg(v) AS mu, stddev_samp(v) AS sig
-  FROM tail GROUP BY k, sub
-), keys_ok AS (
-  SELECT k FROM subs GROUP BY k HAVING min(mu) > 0 AND count(*) >= 2
-), prof AS (
+    return f"""{_guerrero_core(trunc, period)}, prof AS (
   SELECT subs.k AS series_key,
     {rat_cols}
   FROM subs JOIN keys_ok ON keys_ok.k = subs.k
@@ -505,6 +522,172 @@ WITH r AS (
 SELECT series_key,
   {out_cols}
 FROM prof
+"""
+
+
+def guerrero_argmin_sql(
+    trunc: str = "day",
+    period: int = 7,
+    lambdas: tuple = tuple(round(-1.0 + 0.1 * i, 1) for i in range(31)),
+) -> str:
+    """Grid-argmin Box-Cox lambda over the Guerrero CV objective — ONE
+    dialect-neutral SQL text for Spark and DuckDB.
+
+    Evaluates cv(lambda) on a 0.1-step grid over [-1, 2] (the same
+    objective guerrero.R:42-45 Brent-minimizes; the continuous optimizer
+    stays in the golden-tested numpy kernel) and picks the grid lambda
+    with the smallest CV. One pass: the grid lives in columns of a single
+    aggregate row and the argmin is least() + a first-match CASE chain —
+    no unpivot/UNION (which would re-plan the whole aggregation per
+    branch in Spark). Tie-stable: CV is floored at 1e-6 resolution and
+    the CASE scans lambdas ascending, so ties break toward the smaller
+    lambda; NaN CVs (all-constant subseries) are NULLed out, which both
+    engines' least() skips.
+    """
+    cv_cols = ",\n    ".join(
+        f"stddev_samp(sig / power(mu, CAST(1 AS DOUBLE) - CAST({lam} AS DOUBLE)))"
+        f" / avg(sig / power(mu, CAST(1 AS DOUBLE) - CAST({lam} AS DOUBLE)))"
+        f" AS cv_{i}"
+        for i, lam in enumerate(lambdas)
+    )
+    f_cols = ",\n    ".join(
+        f"CASE WHEN cv_{i} IS NULL OR isnan(cv_{i}) THEN NULL"
+        f" ELSE floor(cv_{i} * 1e6 + CAST(0.500001 AS DOUBLE)) END AS f_{i}"
+        for i in range(len(lambdas))
+    )
+    least_args = ", ".join(f"f_{i}" for i in range(len(lambdas)))
+    pick = "\n    ".join(
+        f"WHEN f_{i} = fmin THEN CAST({lam} AS DOUBLE)"
+        for i, lam in enumerate(lambdas)
+    )
+    return f"""{_guerrero_core(trunc, period)}, cvg AS (
+  SELECT subs.k AS series_key,
+    {cv_cols}
+  FROM subs JOIN keys_ok ON keys_ok.k = subs.k
+  GROUP BY subs.k
+), fl AS (
+  SELECT series_key,
+    {f_cols}
+  FROM cvg
+), mm AS (
+  SELECT series_key, least({least_args}) AS fmin, {least_args} FROM fl
+)
+SELECT series_key,
+  CASE {pick}
+    END AS lambda_guerrero
+FROM mm WHERE fmin IS NOT NULL
+"""
+
+
+def ndiffs_sql(
+    trunc: str = "day",
+    min_points: int = 14,
+    l_max: int = 12,
+    alpha: float = 0.05,
+) -> str:
+    """unitroot_ndiffs (features.R:181-203) as ONE dialect-neutral SQL text.
+
+    Runs the KPSS level-stationarity test on the raw series (d=0) and the
+    once-differenced series (d=1), then ndiffs = max difference level kept:
+    2 if p(diff x) < alpha, else 1 if p(x) < alpha, else 0 — exactly the
+    kernel's max-of-kept-levels rule (stat_tests.unitroot_ndiffs). The
+    KPSS machinery mirrors kpss_df: demeaned residuals, Bartlett long-run
+    variance with l = trunc(4*(n/100)^0.25), clamped critical-value
+    interpolation. Series long enough that l would exceed `l_max` yield a
+    NULL p-value for that level (never a silently truncated statistic);
+    the CASE then falls through to the shallower level.
+    """
+    lag_cols = ",\n         ".join(
+        f"lag(e, {k}) OVER (PARTITION BY k, d ORDER BY rn) AS el{k}"
+        for k in range(1, l_max + 1)
+    )
+    g_cols = ",\n         ".join(
+        f"sum(e * el{k}) AS g{k}" for k in range(1, l_max + 1)
+    )
+    g_pass = ", ".join(f"g{k}" for k in range(1, l_max + 1))
+    s2_terms = "\n      ".join(
+        f"+ CASE WHEN {k} <= l THEN CAST(2 AS DOUBLE) * (CAST(1 AS DOUBLE) - "
+        f"CAST({k} AS DOUBLE) / (l + CAST(1 AS DOUBLE))) * g{k} / n"
+        f" ELSE CAST(0 AS DOUBLE) END"
+        for k in range(1, l_max + 1)
+    )
+    return f"""
+WITH r AS (
+  SELECT user_id, date_trunc('{trunc}', ts) AS bucket_ts, avg(value) AS v
+  FROM events GROUP BY user_id, date_trunc('{trunc}', ts)
+), keyed AS (
+  SELECT user_id FROM r GROUP BY user_id HAVING count(*) >= {min_points}
+), base0 AS (
+  SELECT r.user_id AS k, v,
+         row_number() OVER (PARTITION BY r.user_id ORDER BY bucket_ts) AS rn
+  FROM r JOIN keyed ON keyed.user_id = r.user_id
+), ser AS (
+  SELECT k, 0 AS d, v, rn FROM base0
+  UNION ALL
+  SELECT k, 1 AS d, dv AS v, rn FROM (
+    SELECT k, v - lag(v) OVER (PARTITION BY k ORDER BY rn) AS dv, rn
+    FROM base0
+  ) q WHERE dv IS NOT NULL
+), s AS (
+  SELECT k, d, v,
+         row_number() OVER (PARTITION BY k, d ORDER BY rn) AS rn,
+         v - avg(v) OVER (PARTITION BY k, d) AS e
+  FROM ser
+), s2 AS (
+  SELECT k, d, rn, e,
+         sum(e) OVER (PARTITION BY k, d ORDER BY rn
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS S,
+         {lag_cols}
+  FROM s
+), agg AS (
+  SELECT k, d, CAST(count(*) AS DOUBLE) AS n,
+         sum(e * e) AS g0, sum(S * S) AS ss,
+         {g_cols}
+  FROM s2 GROUP BY k, d
+), st AS (
+  SELECT k, d, n, ss,
+    floor(CAST(4 AS DOUBLE) * power(n / CAST(100 AS DOUBLE), CAST(0.25 AS DOUBLE))) AS l,
+    g0, {g_pass}
+  FROM agg
+), lr AS (
+  SELECT k, d, n, ss, l,
+    g0 / n
+      {s2_terms} AS s2v
+  FROM st
+), stat AS (
+  SELECT k, d,
+    CASE WHEN l <= {l_max} THEN ss / (n * n * s2v) ELSE NULL END AS kpss_stat
+  FROM lr
+), pv AS (
+  SELECT k, d,
+    CASE
+      WHEN kpss_stat IS NULL THEN NULL
+      WHEN kpss_stat <= CAST(0.347 AS DOUBLE) THEN CAST(0.10 AS DOUBLE)
+      WHEN kpss_stat <= CAST(0.463 AS DOUBLE) THEN CAST(0.10 AS DOUBLE)
+        + (kpss_stat - CAST(0.347 AS DOUBLE))
+        * (CAST(0.05 AS DOUBLE) - CAST(0.10 AS DOUBLE))
+        / (CAST(0.463 AS DOUBLE) - CAST(0.347 AS DOUBLE))
+      WHEN kpss_stat <= CAST(0.574 AS DOUBLE) THEN CAST(0.05 AS DOUBLE)
+        + (kpss_stat - CAST(0.463 AS DOUBLE))
+        * (CAST(0.025 AS DOUBLE) - CAST(0.05 AS DOUBLE))
+        / (CAST(0.574 AS DOUBLE) - CAST(0.463 AS DOUBLE))
+      WHEN kpss_stat <= CAST(0.739 AS DOUBLE) THEN CAST(0.025 AS DOUBLE)
+        + (kpss_stat - CAST(0.574 AS DOUBLE))
+        * (CAST(0.01 AS DOUBLE) - CAST(0.025 AS DOUBLE))
+        / (CAST(0.739 AS DOUBLE) - CAST(0.574 AS DOUBLE))
+      ELSE CAST(0.01 AS DOUBLE) END AS p
+  FROM stat
+), piv AS (
+  SELECT k AS series_key,
+         max(CASE WHEN d = 0 THEN p END) AS p0,
+         max(CASE WHEN d = 1 THEN p END) AS p1
+  FROM pv GROUP BY k
+)
+SELECT series_key,
+  CAST(CASE WHEN p1 < CAST({alpha} AS DOUBLE) THEN 2
+            WHEN p0 < CAST({alpha} AS DOUBLE) THEN 1
+            ELSE 0 END AS BIGINT) AS ndiffs
+FROM piv
 """
 
 
