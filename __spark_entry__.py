@@ -943,16 +943,31 @@ def q_feature_pack_multi(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
+    """exact_dedup operator: per distinct text, representative id, exact
+    dup count, and a BOUNDED sorted member sample (max_members=32) —
+    joined to a comma string so the value-hash sees a scalar column."""
+    from feasts_spark.operators.dedup import exact_dedup
+
     _utc(spark)
-    d = _docs(spark, sf_dir)
-    return d.groupBy(F.md5(F.col("text")).alias("text_hash")).agg(
-        F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_dups")
+    out = exact_dedup(_docs(spark, sf_dir), id_col="doc_id")
+    return out.select(
+        "text_hash",
+        F.col("rep_id").alias("rep_doc_id"),
+        "n_dups",
+        F.array_join("member_ids", ",").alias("member_sample"),
     )
 
 
 ORACLE_DEDUP_EXACT = """
-SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS n_dups
-FROM documents GROUP BY 1
+WITH s AS (
+  SELECT md5(text) AS text_hash, doc_id,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT text_hash, min(doc_id) AS rep_doc_id, count(*) AS n_dups,
+       array_to_string(list_sort(list(doc_id) FILTER (WHERE rn <= 32)), ',')
+         AS member_sample
+FROM s GROUP BY 1
 """
 
 
@@ -1692,13 +1707,18 @@ def q_ann_recall(spark, sf_dir):
             "method", F.lit(method)
         )
         out = row if out is None else out.unionByName(row)
-    n_brute = F.lit(50)  # 10 queries x top-5
-    return out.select(
+    # denominator from the data, not a literal: if the corpus yields fewer
+    # than 10 queries or fewer than 5 candidates per query, recall@5 must
+    # reflect the actual brute-force row count (one-row crossJoin, no
+    # driver collect)
+    n_brute = brute.agg(F.count(F.lit(1)).alias("n_brute"))
+    return out.crossJoin(n_brute).select(
         "method",
         "n_hits",
-        (F.floor(F.col("n_hits") / n_brute * 1e4 + F.lit(0.500001)) / 1e4).alias(
-            "recall_at_5"
-        ),
+        (
+            F.floor(F.col("n_hits") / F.col("n_brute") * 1e4 + F.lit(0.500001))
+            / 1e4
+        ).alias("recall_at_5"),
     )
 
 
@@ -2137,7 +2157,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order is deliberate (the round driver checks a prefix):
+    the 42 DuckDB-oracled queries come first, then the rows-only queries
+    whose only driver evidence is this round (cointegration, MSTL,
+    supsmu, bootstrap, tapered ACF/PACF, multimodal), and last the
+    rows-only queries that already have r01+r02 driver rows AND stronger
+    independent evidence elsewhere (feature_pack is smoke-run by entry()
+    every round; minhash/ann recall is asserted vs brute force in pytest
+    and summarized by ann_recall)."""
     return {
+        # --- DuckDB-oracled (value-exact at sf0.01, strict) ---
         "rollup_1m": q_rollup_1m,
         "retention_1m": q_retention_1m,
         "sessionize_1h": q_sessionize_1h,
@@ -2155,14 +2184,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shift_var_max": q_shift_var_max,
         "var_tiled": q_var_tiled,
         "classical_additive_1d": q_classical_additive_1d,
-        "stl_components_1d": q_stl_components_1d,
-        "feature_pack": q_feature_pack,
-        "feature_pack_multi": q_feature_pack_multi,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
-        "minhash_oph_lsh": q_minhash_oph_lsh,
         "dup_clusters": q_dup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "cosine_pairs": q_cosine_pairs,
@@ -2178,9 +2202,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "quality_scores": q_quality_scores,
         "fingerprints": q_fingerprints,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_recall": q_ann_recall,
         "guerrero_1d": q_guerrero_1d,
         "unitroot_1d": q_unitroot_1d,
         "kpss_sql_1d": q_kpss_sql_1d,
@@ -2188,14 +2209,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pp_sql_1d": q_pp_sql_1d,
         "acf_features_1h": q_acf_features_1h,
         "guerrero_profile_1d": q_guerrero_profile_1d,
+        # --- rows-only, first driver evidence this round ---
+        "johansen_1h": q_johansen_1h,
+        "phillips_ouliaris_1h": q_phillips_ouliaris_1h,
         "stl_multi_1h": q_stl_multi_1h,
         "supsmu_trend_1d": q_supsmu_trend_1d,
         "stl_generate_1d": q_stl_generate_1d,
-        "johansen_1h": q_johansen_1h,
-        "phillips_ouliaris_1h": q_phillips_ouliaris_1h,
-        "multimodal_features": q_multimodal_features,
         "tacf_1h": q_tacf_1h,
         "pacf_tapered_1h": q_pacf_tapered_1h,
+        "multimodal_features": q_multimodal_features,
+        # --- rows-only with r01+r02 driver rows + independent evidence ---
+        "stl_components_1d": q_stl_components_1d,
+        "feature_pack": q_feature_pack,
+        "feature_pack_multi": q_feature_pack_multi,
+        "minhash_lsh": q_minhash_lsh,
+        "minhash_oph_lsh": q_minhash_oph_lsh,
+        "ann_recall": q_ann_recall,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 

@@ -31,6 +31,10 @@ def feat_stl(x, period=1, s_window: int = 11, period_name: str | None = None) ->
         if isinstance(period, (list, tuple, np.ndarray))
         else [int(period)]
     )
+    if len(set(period_list)) != len(period_list):
+        # duplicate periods would produce duplicate component names and
+        # silently collapse in the name->period map below
+        raise ValueError(f"duplicate seasonal periods: {period_list}")
     primary = period_list[0]
     periods, names, windows = [], [], []
     for p in period_list:
@@ -84,7 +88,9 @@ def feat_stl(x, period=1, s_window: int = 11, period_name: str | None = None) ->
     for k in seas_keys:
         nm = k[len("season_"):]
         seas = dcmp[k]
-        p = name_to_period.get(nm, primary)
+        # hard lookup: an unexpected component name must raise, not fall
+        # back to the primary period (wrong-modulus peak/trough)
+        p = name_to_period[nm]
         # R: (which.max(seas) + rle_window[1] - 1) %% period, which.max 1-based
         out[f"seasonal_peak_{nm}"] = float((int(np.argmax(seas)) + 1 + offset) % p)
         out[f"seasonal_trough_{nm}"] = float((int(np.argmin(seas)) + 1 + offset) % p)

@@ -38,13 +38,44 @@ from pyspark.sql import DataFrame, functions as F
 
 SIMHASH_BITS = 60  # md5 15-hex-char prefix: parseable to int64 in both engines
 
+# Pinned SipHash key for token hashing (pandas hash_array). Passing it
+# explicitly makes MinHash signatures a FORMAT: determinism no longer rests
+# on pandas' default-key internals being identical across executor builds.
+# Changing this value changes every signature — treat it like a codec
+# version constant.
+MINHASH_HASH_KEY = "feasts-spark-mh1"  # exactly 16 bytes, as pandas requires
 
-def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Hash-groupBy exact dedup: one row per distinct text."""
-    return df.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+
+def exact_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_members: int = 32,
+) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text.
+
+    Row width is BOUNDED: `member_ids` carries only the `max_members`
+    smallest ids per duplicate group (plus the exact `n_dups` count), so a
+    boilerplate string duplicated 10^8 times cannot make one aggregation
+    group materialize a 10^8-element array. The ranking window shuffles on
+    the same key as the aggregate, so Spark reuses the partitioning — one
+    exchange total, and the window sort spills to disk instead of
+    collecting the group in memory. Callers needing the full membership
+    should keep the exploded (text_hash, id) mapping as its own table.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("text_hash").orderBy(id_col)
+    s = (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    return s.groupBy("text_hash").agg(
         F.min(id_col).alias("rep_id"),
         F.count(F.lit(1)).alias("n_dups"),
-        F.collect_list(id_col).alias("member_ids"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("_rn") <= max_members, F.col(id_col)))
+        ).alias("member_ids"),
     )
 
 
@@ -68,11 +99,14 @@ def ngram_jaccard_pairs(
 
     The doc-frequency cap bounds the candidate blow-up: a shingle shared by
     d documents contributes d^2/2 join rows, so one stopword 3-gram common
-    to 10^6 docs would otherwise create ~10^12 candidates. Dropped shingles
-    slightly undercount the intersection for pairs that share them — pairs
-    at a high Jaccard threshold share many rare shingles and are unaffected
-    (the per-pair |A∩B| loses at most the hot shingles). Pass
-    `max_doc_freq=None` for the exact small-domain verifier.
+    to 10^6 docs would otherwise create ~10^12 candidates. With the cap on,
+    BOTH the intersection and the set sizes are computed over the capped
+    shingle universe (hot shingles removed from every document alike), so
+    the score is the exact Jaccard of the capped sets — in particular
+    byte-identical documents still score 1.0 even when all their shingles
+    are hot (boilerplate-heavy near-dups are not silently pushed below the
+    threshold, which sizing from the UNCAPPED grams used to do). Pass
+    `max_doc_freq=None` for exact Jaccard over the full shingle sets.
     """
     toks = tokenize_expr(text_col)
     grams = df.select(
@@ -86,7 +120,6 @@ def ngram_jaccard_pairs(
             )
         ).alias("gram"),
     )
-    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     joinable = grams
     if max_doc_freq is not None:
         hot = (
@@ -97,6 +130,9 @@ def ngram_jaccard_pairs(
         )
         # the hot set is tiny by construction — broadcast the anti-join
         joinable = grams.join(F.broadcast(hot), "gram", "left_anti")
+    # sizes from the CAPPED gram set: Jaccard is then exact over the capped
+    # shingle universe (identical docs stay 1.0; see docstring)
+    sizes = joinable.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     a = joinable.alias("a")
     b = joinable.alias("b")
     inter = (
@@ -195,7 +231,9 @@ def minhash_signatures(
             starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
             flat = [tok for lst in token_lists for tok in lst]
             tok_h = (
-                pd.util.hash_array(np.asarray(flat, dtype=object))
+                pd.util.hash_array(
+                    np.asarray(flat, dtype=object), hash_key=MINHASH_HASH_KEY
+                )
                 if flat
                 else np.empty(0, np.uint64)
             )
@@ -290,7 +328,9 @@ def minhash_signatures_oph(
             starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
             flat = [tok for lst in token_lists for tok in lst]
             tok_h = (
-                pd.util.hash_array(np.asarray(flat, dtype=object))
+                pd.util.hash_array(
+                    np.asarray(flat, dtype=object), hash_key=MINHASH_HASH_KEY
+                )
                 if flat
                 else np.empty(0, np.uint64)
             )

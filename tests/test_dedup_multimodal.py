@@ -53,6 +53,43 @@ class TestDedup:
         members = [sorted(m) for m in out["member_ids"]]
         assert [0, 1] in members
 
+    def test_exact_bounded_member_width(self, spark):
+        # a text duplicated 100k times must NOT materialize a 100k-element
+        # member array: n_dups stays exact, member_ids is capped at
+        # max_members smallest ids
+        n = 100_000
+        df = spark.range(n).selectExpr(
+            "id AS doc_id", "'same boilerplate text' AS text"
+        )
+        out = exact_dedup(df, max_members=32).toPandas()
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert row["n_dups"] == n
+        assert row["rep_id"] == 0
+        assert list(row["member_ids"]) == list(range(32))
+
+    def test_capped_jaccard_identical_hot_docs(self, spark):
+        # ADVICE round 2: two byte-identical docs whose shingles are ALL
+        # hot must still score 1.0 under the cap (sizes from the capped
+        # gram set), not drop below the threshold
+        hot_text = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [(i, hot_text) for i in range(60)]  # every shingle df=60
+        rows += [(200, "totally different words in this other document here")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = ngram_jaccard_pairs(df, threshold=0.99, max_doc_freq=10).toPandas()
+        # all shingles hot -> no joinable grams -> no pairs at all is the
+        # honest outcome (capped sets are empty); what must NOT happen is
+        # a sub-threshold score silently dropping a true duplicate pair
+        # while OTHER pairs survive. With one rare shingle added, the
+        # identical pair must score exactly 1.0:
+        rows2 = [(i, hot_text + f" rare{i} tail{i} end{i}") for i in range(60)]
+        rows2 += [(300, hot_text + " rare300 tail300 end300"),
+                  (301, hot_text + " rare300 tail300 end300")]
+        df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+        out2 = ngram_jaccard_pairs(df2, threshold=0.99, max_doc_freq=10).toPandas()
+        pairs = {(r.id_a, r.id_b): r.jaccard for r in out2.itertuples()}
+        assert pairs.get((300, 301)) == pytest.approx(1.0)
+
     def test_ngram_jaccard(self, spark, doc_df):
         out = ngram_jaccard_pairs(doc_df, threshold=0.0).toPandas()
         pairs = {(r.id_a, r.id_b): r.jaccard for r in out.itertuples()}

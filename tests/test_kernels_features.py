@@ -161,6 +161,24 @@ class TestMultiSeasonalStl:
         )
 
 
+class TestFeatStlValidation:
+    def test_duplicate_periods_raise(self):
+        from feasts_spark.kernels.feat_stl import feat_stl
+
+        with pytest.raises(ValueError, match="duplicate seasonal periods"):
+            feat_stl(SYNTHETIC_MS, period=(7, 7))
+
+    def test_distinct_periods_named_correctly(self):
+        from feasts_spark.kernels.feat_stl import feat_stl
+
+        out = feat_stl(SYNTHETIC_MS, period=(4, 7))
+        # peak/trough computed modulo each season's OWN period
+        assert 0 <= out["seasonal_peak_4"] < 4
+        assert 0 <= out["seasonal_peak_7"] < 7
+        assert 0 <= out["seasonal_trough_4"] < 4
+        assert 0 <= out["seasonal_trough_7"] < 7
+
+
 class TestNonSeasonalStl:
     # test-stl.R:27-44 — non-seasonal STL trend equals supsmu
     def test_supsmu_fallback(self):

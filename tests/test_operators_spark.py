@@ -242,6 +242,26 @@ class TestSqlFeatureTwins:
                 exp["kpss_pvalue"], rel=1e-9
             )
 
+    def test_kpss_long_series_nulls_not_truncated(self, spark):
+        # l = trunc(4*(n/100)^0.25) exceeds l_max=12 at n >= 11,156: the
+        # statistic must come back NULL, never silently truncated
+        from feasts_spark.functions import kpss_df
+
+        n = 12_000
+        df = spark.range(n).selectExpr(
+            "'k' AS series_key", "id AS bucket_ts",
+            "sin(id / 50.0) + id * 1e-4 AS val_avg",
+        )
+        out = kpss_df(df, "series_key", ["bucket_ts"], "val_avg").toPandas()
+        assert len(out) == 1
+        assert pd.isna(out["kpss_stat"].iloc[0])
+        assert pd.isna(out["kpss_pvalue"].iloc[0])
+        # raising l_max restores the exact statistic
+        out2 = kpss_df(
+            df, "series_key", ["bucket_ts"], "val_avg", l_max=16
+        ).toPandas()
+        assert not pd.isna(out2["kpss_stat"].iloc[0])
+
     def test_pacf12_sql_matches_kernel(self, spark, events):
         import numpy as np
 
