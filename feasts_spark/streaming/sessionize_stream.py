@@ -1,0 +1,140 @@
+"""Streaming gap-based sessionization — the streaming twin of
+operators.sessionize.session_stats.
+
+A session closes when a key sees no event for `gap_seconds` of EVENT time.
+In a stream that close can only be declared once the watermark has passed
+last_ts + gap, so the operator is applyInPandasWithState with an
+event-time timeout:
+
+  - each micro-batch's rows for a key are merged with the key's open
+    session (carried in state), the gap walk is vectorized (diff ->
+    boundary flags -> segment aggregation in pandas, no per-row Python),
+    every CLOSED session is emitted immediately, and the trailing open
+    session goes back into state;
+  - the state row re-arms an event-time timeout at last_ts + gap; when
+    the watermark crosses it with no new data the open session is
+    emitted and the state cleared.
+
+Output schema and session semantics (strict gap comparison, 0-based
+session_id per key in time order, duration in whole epoch seconds) match
+the batch operator exactly — asserted stream==batch in tests. The only
+shuffle keys on the session key, same as the batch window.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_STATE_SCHEMA = (
+    "session_start_us long, last_ts_us long, n_events long, "
+    "val_sum double, next_session_id long"
+)
+_OUT_SCHEMA = (
+    "series_key long, session_id long, n_events long, "
+    "session_start timestamp, session_end timestamp, duration_s long, "
+    "val_sum double"
+)
+
+
+def stream_sessionize(
+    stream: DataFrame,
+    gap_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Append stream of CLOSED sessions per key.
+
+    A session closes when the next event's gap is strictly greater than
+    `gap_seconds` (same strict comparison as the batch operator) or when
+    the event-time watermark passes last_ts + gap_seconds with no new
+    event for the key.
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def _emit(key, sid, start_us, end_us, n, vsum):
+        return {
+            "series_key": key,
+            "session_id": sid,
+            "n_events": n,
+            "session_start": pd.Timestamp(start_us, unit="us"),
+            "session_end": pd.Timestamp(end_us, unit="us"),
+            # batch: max(floor(epoch)) - min(floor(epoch)) in seconds
+            "duration_s": end_us // 1_000_000 - start_us // 1_000_000,
+            "val_sum": vsum,
+        }
+
+    def fn(key, pdfs, state: GroupState):
+        k = key[0]
+        if state.hasTimedOut:
+            start_us, last_us, n, vsum, sid = state.get
+            state.remove()
+            yield pd.DataFrame([_emit(k, sid, start_us, last_us, n, vsum)])
+            return
+
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        batch = pd.concat(parts, ignore_index=True)
+        batch = batch.sort_values(ts_col, kind="mergesort")
+        ts_us = batch[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        vals = batch[value_col].to_numpy(dtype="float64")
+
+        if state.exists:
+            start_us, last_us, n, vsum, sid = state.get
+        else:
+            start_us, last_us, n, vsum, sid = None, None, 0, 0.0, 0
+
+        # vectorized gap walk: a row opens a new segment iff its gap to the
+        # previous event (carried open session included) exceeds the gap
+        prev = pd.Series(ts_us).shift(1)
+        if last_us is not None:
+            prev.iloc[0] = last_us
+        is_new = (ts_us - prev.to_numpy()) > gap_us
+        if last_us is None:
+            is_new[0] = True
+        seg = is_new.cumsum()  # segment 0 = continuation of the open session
+        g = pd.DataFrame({"seg": seg, "ts": ts_us, "v": vals}).groupby("seg")
+        agg = g.agg(
+            first_ts=("ts", "min"), last_ts=("ts", "max"),
+            cnt=("ts", "size"), vs=("v", "sum"),
+        ).sort_index()
+
+        out = []
+        segs = list(agg.itertuples())
+        for i, row in enumerate(segs):
+            if row.Index == 0 and last_us is not None:
+                # merge into the carried open session
+                cur = (start_us, int(row.last_ts), n + int(row.cnt),
+                       vsum + float(row.vs), sid)
+            else:
+                cur = (int(row.first_ts), int(row.last_ts), int(row.cnt),
+                       float(row.vs), sid)
+            if i < len(segs) - 1:
+                out.append(_emit(k, cur[4], cur[0], cur[1], cur[2], cur[3]))
+                sid = cur[4] + 1
+            else:
+                state.update((cur[0], cur[1], cur[2], cur[3], cur[4]))
+                # re-arm the close timer; Spark requires it to sit beyond
+                # the current watermark, so stale (but in-watermark) data
+                # closes at the next watermark advance instead
+                to_ms = cur[1] // 1000 + gap_seconds * 1000
+                state.setTimeoutTimestamp(
+                    max(to_ms, state.getCurrentWatermarkMs() + 1)
+                )
+        if out:
+            yield pd.DataFrame(out)
+
+    keyed = stream.select(
+        F.col(key_col).cast("long").alias("k"), F.col(ts_col), F.col(value_col)
+    ).withWatermark(ts_col, watermark)
+    return keyed.groupBy("k").applyInPandasWithState(
+        fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -254,3 +254,67 @@ def test_stream_dedup_stateful_multipartition_batch(spark, tmp_path):
     got = spark.sql("SELECT * FROM t_dedup_mp").toPandas()
     final = got.sort_values("n_dups").iloc[-1]
     assert final["rep_id"] == 3 and final["n_dups"] == 2
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Streaming gap-sessionization: closed sessions match the batch
+    operator; a session spanning the micro-batch boundary is continued
+    from state; open sessions emit once the watermark passes their gap."""
+    from feasts_spark.operators.sessionize import session_stats
+    from feasts_spark.streaming.sessionize_stream import stream_sessionize
+
+    base = pd.Timestamp("2024-05-01 00:00:00")
+    mins = lambda m: base + pd.Timedelta(minutes=m)  # noqa: E731
+    # key 1: session 0 = {0,1,2}m; session 1 = {120,121}m ... continued by
+    # batch 1's 150m row (gap 29m < 60m); closed by the watermark advance
+    b0 = pd.DataFrame({
+        "user_id": [1] * 5,
+        "ts": [mins(m) for m in (0, 1, 2, 120, 121)],
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+    })
+    # key 2 far in the future advances the watermark past key 1's close
+    b1 = pd.DataFrame({
+        "user_id": [1, 2],
+        "ts": [mins(150), mins(5000)],
+        "value": [6.0, 7.0],
+    })
+    d = tmp_path / "sess_in"
+    d.mkdir()
+    for i, b in enumerate((b0, b1)):
+        b.assign(ts=b["ts"].astype("datetime64[us]")).to_parquet(
+            d / f"b{i}.parquet", index=False
+        )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        stream_sessionize(stream, gap_seconds=3600, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sess_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("SELECT * FROM t_sess_stream")
+        .orderBy("series_key", "session_id")
+        .toPandas()
+    )
+    # key 1's both sessions closed (second by watermark timeout); key 2's
+    # single session is still open -> not emitted
+    assert list(got["series_key"]) == [1, 1]
+    full = pd.concat([b0, b1[b1.user_id == 1]], ignore_index=True)
+    batch = (
+        session_stats(
+            spark.createDataFrame(full), gap_seconds=3600,
+            key_col="user_id", ts_col="ts", value_col="value",
+        )
+        .orderBy("series_key", "session_id")
+        .toPandas()
+    )
+    for col in ("session_id", "n_events", "session_start", "session_end",
+                "duration_s", "val_sum"):
+        assert list(got[col]) == list(batch[col]), col
