@@ -1188,6 +1188,47 @@ FROM dots WHERE floor((dot / sqrt(na * nb)) * 1e4 + 0.500001::DOUBLE) / 1e4 >= 0
 """
 
 
+def q_semantic_dup_clusters(spark, sf_dir):
+    """Embedding-cosine near-duplicate clusters over the first 100 vectors
+    (brute candidate set, tie-stable 4dp cosine threshold) — min-label
+    connected components, oracled by a DuckDB recursive CTE."""
+    from feasts_spark.operators.similarity import embedding_dup_clusters
+
+    _utc(spark)
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") < 100)
+    return embedding_dup_clusters(
+        e, threshold=0.3, method="brute", tie_stable_round=True
+    )
+
+
+ORACLE_SEMANTIC_DUP = """
+WITH RECURSIVE dims AS (
+  SELECT unnest(generate_series(1, (SELECT max(len(embedding)) FROM embeddings)))
+    AS k
+), flat AS (
+  SELECT vec_id, k, embedding[k]::DOUBLE AS v
+  FROM embeddings CROSS JOIN dims
+  WHERE vec_id < 100 AND k <= len(embedding)
+), dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         sum(a.v * b.v) AS dot,
+         sum(a.v * a.v) AS na, sum(b.v * b.v) AS nb
+  FROM flat a JOIN flat b ON a.k = b.k AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM dots
+  WHERE floor((dot / sqrt(na * nb)) * 1e4 + 0.500001::DOUBLE) / 1e4 >= 0.3
+), reach(id, r) AS (
+  SELECT v, v FROM (SELECT id_a FROM pairs UNION SELECT id_b FROM pairs) t(v)
+  UNION
+  SELECT reach.id,
+         CASE WHEN reach.r = pairs.id_a THEN pairs.id_b ELSE pairs.id_a END
+  FROM reach JOIN pairs ON reach.r = pairs.id_a OR reach.r = pairs.id_b
+)
+SELECT id, min(r) AS label FROM reach GROUP BY id
+"""
+
+
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-5 neighbors for the first 10 query vectors.
 
@@ -2190,6 +2231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "cosine_pairs": q_cosine_pairs,
+        "semantic_dup_clusters": q_semantic_dup_clusters,
         "ann_topk": q_ann_topk,
         "ccf_table_1h": q_ccf_table_1h,
         "portmanteau_1h": q_portmanteau_1h,
@@ -2254,6 +2296,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "dup_clusters": ORACLE_DUP_CLUSTERS,
         "cosine_pairs": ORACLE_COSINE_PAIRS,
+        "semantic_dup_clusters": ORACLE_SEMANTIC_DUP,
         "ann_topk": ORACLE_ANN_TOPK,
         "ccf_table_1h": ORACLE_CCF_1H,
         "portmanteau_1h": ORACLE_PORTMANTEAU_1H,

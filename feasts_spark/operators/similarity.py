@@ -267,3 +267,68 @@ def ann_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "rank", "cos")
     )
+
+
+def embedding_dup_clusters(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 7,
+    tie_stable_round: bool = False,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Semantic (embedding-cosine) near-duplicate clusters: (id, label).
+
+    The embedding-space twin of the text dedup tiers: edges are pairs
+    whose EXACT cosine is >= threshold, candidates come from multi-table
+    random-hyperplane LSH buckets (`method="lsh"`, the scale path — the
+    pair join shuffles on (table, bucket), never the cross product) or
+    from the full cross product (`method="brute"`, the labeled
+    small-domain baseline the DuckDB oracle replays). Components are then
+    collapsed with the same min-label propagation as the text-side
+    dup_clusters, so text and embedding dedup agree on representative
+    semantics (label = min reachable id).
+
+    `tie_stable_round` floors the cosine at 4dp (+1e-6 nudge) before the
+    threshold test so an independent engine summing the dot product in a
+    different order cannot flip membership of a boundary pair — the
+    cross-engine-reproducibility mode the driver oracle uses.
+    """
+    from feasts_spark.operators.dedup import dup_clusters
+
+    if method == "brute":
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("ea"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("eb"))
+        cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        p = lsh_project(df, id_col, vec_col, n_planes, n_tables, seed)
+        a = p.select(
+            F.col("id").alias("id_a"), F.col("vec").alias("ea"),
+            "table", "bucket",
+        )
+        b = p.select(
+            F.col("id").alias("id_b"), F.col("vec").alias("eb"),
+            "table", "bucket",
+        )
+        # same-pair collisions in several tables just re-derive the same
+        # edge; dup_clusters distincts the edge set, so no pre-dedup join
+        cand = (
+            a.join(b, ["table", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "ea", "id_b", "eb")
+        )
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+    cos = F.expr(_COS.format(a="ea", b="eb"))
+    if tie_stable_round:
+        cos = F.floor(cos * F.lit(1e4) + F.lit(0.500001)) / F.lit(1e4)
+    edges = (
+        cand.withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+    return dup_clusters(edges, max_iter=max_iter)

@@ -151,3 +151,59 @@ class TestAnnIvf:
         a = approx.sort_values(key).reset_index(drop=True)
         b = again.sort_values(key).reset_index(drop=True)
         assert (a["cand_id"] == b["cand_id"]).all()
+
+
+class TestEmbeddingDupClusters:
+    def test_planted_duplicate_groups(self, spark):
+        """Identical and near-identical embeddings must cluster to the min
+        id; unrelated vectors stay out. LSH and brute agree on planted
+        duplicates (identical vectors always share every LSH bucket)."""
+        import numpy as np
+
+        from feasts_spark.operators.similarity import embedding_dup_clusters
+
+        rng = np.random.default_rng(11)
+        base1 = rng.standard_normal(16)
+        base2 = rng.standard_normal(16)
+        rows = []
+        # group A: ids 0,1,2 — identical / tiny perturbation of base1
+        rows.append((0, base1))
+        rows.append((1, base1.copy()))
+        rows.append((2, base1 + 0.001 * rng.standard_normal(16)))
+        # group B: ids 10, 11 — identical copies of base2
+        rows.append((10, base2))
+        rows.append((11, base2.copy()))
+        # noise: ids 20..29 random
+        for i in range(20, 30):
+            rows.append((i, rng.standard_normal(16)))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<double>",
+        )
+        for method in ("brute", "lsh"):
+            got = (
+                embedding_dup_clusters(
+                    df, threshold=0.99, method=method, n_planes=4, n_tables=4
+                )
+                .toPandas()
+                .set_index("id")["label"]
+                .to_dict()
+            )
+            assert got[0] == got[1] == got[2] == 0, (method, got)
+            assert got[10] == got[11] == 10, (method, got)
+            assert all(i not in got for i in range(20, 30)), (method, got)
+
+    def test_threshold_excludes(self, spark):
+        import numpy as np
+
+        from feasts_spark.operators.similarity import embedding_dup_clusters
+
+        rng = np.random.default_rng(5)
+        a = rng.standard_normal(8)
+        df = spark.createDataFrame(
+            [(0, [float(x) for x in a]), (1, [float(x) for x in a]),
+             (2, [float(x) for x in rng.standard_normal(8)])],
+            "vec_id long, embedding array<double>",
+        )
+        got = embedding_dup_clusters(df, threshold=0.999, method="brute").toPandas()
+        assert set(got["id"]) == {0, 1}
