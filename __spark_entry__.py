@@ -88,30 +88,24 @@ def _rollup_oracle(trunc: str) -> str:
     """
 
 
-def q_rollup_1h_cascade(spark, sf_dir):
+def q_rollup_cascade(spark, sf_dir):
+    """BOTH cascade hops in one driver query (1m->1h and 1m->1h->1d,
+    tier-tagged union): the oracle recomputes each tier DIRECTLY from raw
+    events, so a green row proves the decomposable re-aggregation is
+    exact at every hop. One query, full cascade evidence — frees a
+    registry slot under the driver's checked-query cap."""
     from feasts_spark.operators.rollup import rollup_cascade, rollup_raw
 
     _utc(spark)
     r1m = rollup_raw(_events(spark, sf_dir), "1m", "user_id", "ts", "value")
     r1h = rollup_cascade(r1m, "1h")
-    return _round_cols(
-        r1h.select("series_key", "bucket_ts", "n_points", "val_sum", "val_min",
-                   "val_max", "val_avg", "val_first", "val_last"),
-        ["val_sum", "val_avg"],
+    r1d = rollup_cascade(r1h, "1d")
+    cols = ["series_key", "bucket_ts", "n_points", "val_sum", "val_min",
+            "val_max", "val_avg", "val_first", "val_last"]
+    out = r1h.select(F.lit("1h").alias("tier"), *cols).unionByName(
+        r1d.select(F.lit("1d").alias("tier"), *cols)
     )
-
-
-def q_rollup_1d_cascade(spark, sf_dir):
-    from feasts_spark.operators.rollup import rollup_cascade, rollup_raw
-
-    _utc(spark)
-    r1m = rollup_raw(_events(spark, sf_dir), "1m", "user_id", "ts", "value")
-    r1d = rollup_cascade(rollup_cascade(r1m, "1h"), "1d")
-    return _round_cols(
-        r1d.select("series_key", "bucket_ts", "n_points", "val_sum", "val_min",
-                   "val_max", "val_avg", "val_first", "val_last"),
-        ["val_sum", "val_avg"],
-    )
+    return _round_cols(out, ["val_sum", "val_avg"])
 
 
 def _cascade_oracle(trunc: str) -> str:
@@ -2214,8 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb_1h": q_lttb_1h,
         "hist_quantile_1d": q_hist_quantile_1d,
         "anomaly_1d": q_anomaly_1d,
-        "rollup_1h_cascade": q_rollup_1h_cascade,
-        "rollup_1d_cascade": q_rollup_1d_cascade,
+        "rollup_cascade": q_rollup_cascade,
         "gapfill_locf_1d": q_gapfill_locf_1d,
         "gapfill_linear_1d": q_gapfill_linear_1d,
         "acf_table_1h": q_acf_table_1h,
@@ -2279,8 +2272,11 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_1h": ORACLE_SESSIONIZE_1H,
         "hist_quantile_1d": _hist_oracle(),
         "anomaly_1d": _anomaly_oracle(),
-        "rollup_1h_cascade": _cascade_oracle("hour"),
-        "rollup_1d_cascade": _cascade_oracle("day"),
+        "rollup_cascade": (
+            "SELECT '1h' AS tier, * FROM (" + _cascade_oracle("hour") + ")\n"
+            "UNION ALL\n"
+            "SELECT '1d' AS tier, * FROM (" + _cascade_oracle("day") + ")"
+        ),
         "gapfill_locf_1d": ORACLE_LOCF_1D,
         "lttb_1h": ORACLE_LTTB_1H,
         "gapfill_linear_1d": ORACLE_LINEAR_1D,
