@@ -1,4 +1,4 @@
-"""Visual/archival downsampling: LTTB (largest-triangle-three-buckets).
+"""Visual/archival downsampling: LTTB and M4.
 
 Steinarsson (2013): keep the first and last points; split the interior
 into n_out-2 buckets; from each bucket keep the point forming the
@@ -75,4 +75,64 @@ def lttb_downsample(
         df.select(key_col, ts_col, value_col)
         .groupBy(key_col)
         .applyInPandas(fn, schema=schema)
+    )
+
+
+def m4_downsample(
+    df: DataFrame,
+    tier: str,
+    key_col: str = "series_key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per (key, time bucket)
+    keep the four pixel-defining points — first, last, min, max — as a
+    wide row with each point's value AND timestamp.
+
+    Unlike LTTB (sequential selection, needs applyInPandas), M4 is a pure
+    decomposable aggregate: every output column is a lexicographic
+    struct-min/max, so Spark runs it as a partial/final hash aggregate
+    with map-side combine — ONE shuffle on (key, bucket), zero Python,
+    and it re-aggregates exactly (1h M4 composes from 1m M4), the same
+    cascade contract as rollup_raw. Ties on value/timestamp are broken by
+    `tie_col` (e.g. an event id), making the selection deterministic on
+    both engines — the DuckDB oracle uses the identical struct-min trick.
+
+    Output: series_key, bucket_ts, n_points,
+            first_ts, first_val, last_ts, last_val,
+            min_val, min_ts, max_val, max_ts.
+    """
+    from pyspark.sql import functions as F
+
+    from .rollup import TIERS
+
+    trunc = TIERS[tier]
+    tie = F.col(tie_col) if tie_col is not None else F.lit(0)
+    t, v = F.col(ts_col), F.col(value_col)
+    by_ts = F.struct(t.alias("t"), tie.alias("e"), v.alias("v"))
+    by_val = F.struct(v.alias("v"), t.alias("t"), tie.alias("e"))
+    return (
+        df.groupBy(
+            F.col(key_col).alias("series_key"),
+            F.date_trunc(trunc, t).alias("bucket_ts"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min(by_ts).alias("_first"),
+            F.max(by_ts).alias("_last"),
+            F.min(by_val).alias("_min"),
+            F.max(by_val).alias("_max"),
+        )
+        .select(
+            "series_key", "bucket_ts", "n_points",
+            F.col("_first.t").alias("first_ts"),
+            F.col("_first.v").alias("first_val"),
+            F.col("_last.t").alias("last_ts"),
+            F.col("_last.v").alias("last_val"),
+            F.col("_min.v").alias("min_val"),
+            F.col("_min.t").alias("min_ts"),
+            F.col("_max.v").alias("max_val"),
+            F.col("_max.t").alias("max_ts"),
+        )
     )
