@@ -835,6 +835,224 @@ FROM tiles GROUP BY 1
 """
 
 
+def q_sql_features_basic(spark, sf_dir):
+    """Merged registry row for three SQL-native features — crossing points
+    (features.R:260-264), longest flat spot (features.R:349-353) and
+    tiled-variance stability/lumpiness (features.R:277-299) — one row per
+    series, one driver slot. Each component keeps its own single-shuffle
+    plan; the join keys are the tiny per-series outputs (AQE broadcasts
+    them), so the merge adds no data-sized shuffle."""
+    cp = q_crossing_points(spark, sf_dir)
+    fs = q_longest_flat_spot(spark, sf_dir)
+    vt = q_var_tiled(spark, sf_dir)
+    return cp.join(fs, "series_key").join(vt, "series_key")
+
+
+def _sql_features_basic_oracle() -> str:
+    return (
+        f"WITH cp AS ({ORACLE_CROSSING}),\n"
+        f"fs AS ({ORACLE_FLAT_SPOT}),\n"
+        f"vt AS ({ORACLE_VAR_TILED})\n"
+        "SELECT cp.series_key, cp.n_crossing_points, fs.longest_flat_spot,\n"
+        "       vt.var_tiled_mean, vt.var_tiled_var\n"
+        "FROM cp JOIN fs USING (series_key) JOIN vt USING (series_key)"
+    )
+
+
+def q_shift_features(spark, sf_dir):
+    """Merged registry row for the two rolling-window shift features
+    (features.R:395-417 / 420-441): max level shift and max variance shift
+    with their indices."""
+    lvl = q_shift_level_max(spark, sf_dir)
+    vr = q_shift_var_max(spark, sf_dir)
+    return lvl.join(vr, "series_key")
+
+
+def _shift_features_oracle() -> str:
+    return (
+        f"WITH lvl AS ({ORACLE_SHIFT_LEVEL}),\n"
+        f"vr AS ({ORACLE_SHIFT_VAR})\n"
+        "SELECT lvl.series_key, lvl.shift_level_max, lvl.shift_level_index,\n"
+        "       vr.shift_var_max, vr.shift_var_index\n"
+        "FROM lvl JOIN vr USING (series_key)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-join / downsample / rate / smoothing operators (no feasts analogue —
+# rollup-engine surface: TimescaleDB counter_agg, kdb aj, M4 VLDB'14)
+# ---------------------------------------------------------------------------
+
+def q_asof_enrich_1h(spark, sf_dir):
+    """Backward as-of join: each 'error' event picks up the most recent 1h
+    rollup average for its series (union-merge algorithm, one shuffle —
+    operators/asof.py). Oracle is DuckDB's native ASOF LEFT JOIN, so the
+    inclusive tie semantics are cross-checked engine-to-engine."""
+    from feasts_spark.operators.asof import asof_join
+    from feasts_spark.operators.rollup import rollup_raw
+
+    _utc(spark)
+    e = _events(spark, sf_dir)
+    r = rollup_raw(e, "1h", "user_id", "ts", "value").select(
+        F.col("series_key").alias("user_id"), "bucket_ts", "val_avg"
+    )
+    probes = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(probes, r, "user_id", "ts", "bucket_ts", ["val_avg"])
+    return out.select(
+        F.col("user_id").alias("series_key"), "ts", "event_id", "value",
+        _r4("val_avg").alias("ref_avg"), "match_ts",
+    )
+
+
+ORACLE_ASOF_1H = """
+WITH r AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts, avg(value) AS val_avg
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'error'
+)
+SELECT p.user_id AS series_key, p.ts, p.event_id, p.value,
+       floor(r.val_avg * 1e4 + 0.500001::DOUBLE) / 1e4 AS ref_avg,
+       r.bucket_ts AS match_ts
+FROM p ASOF LEFT JOIN r ON p.user_id = r.user_id AND p.ts >= r.bucket_ts
+"""
+
+
+def q_m4_1h(spark, sf_dir):
+    """M4 downsampling at the 1h tier (operators/downsample.py): the four
+    pixel-defining points per bucket as one decomposable struct-min/max
+    aggregate. The oracle replays the identical lexicographic struct trick
+    in DuckDB (struct_pack min/max), so tie-breaks match exactly."""
+    from feasts_spark.operators.downsample import m4_downsample
+
+    _utc(spark)
+    return m4_downsample(
+        _events(spark, sf_dir), "1h", "user_id", "ts", "value", "event_id"
+    )
+
+
+ORACLE_M4_1H = """
+SELECT user_id AS series_key, date_trunc('hour', ts) AS bucket_ts,
+       count(*) AS n_points,
+       (min(struct_pack(t := ts, e := event_id, v := value))).t AS first_ts,
+       (min(struct_pack(t := ts, e := event_id, v := value))).v AS first_val,
+       (max(struct_pack(t := ts, e := event_id, v := value))).t AS last_ts,
+       (max(struct_pack(t := ts, e := event_id, v := value))).v AS last_val,
+       (min(struct_pack(v := value, t := ts, e := event_id))).v AS min_val,
+       (min(struct_pack(v := value, t := ts, e := event_id))).t AS min_ts,
+       (max(struct_pack(v := value, t := ts, e := event_id))).v AS max_val,
+       (max(struct_pack(v := value, t := ts, e := event_id))).t AS max_ts
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_counter_rate_1h(spark, sf_dir):
+    """Per-bucket counter increase with reset detection (operators/rate.py
+    — the PromQL increase() model): one lag window + one hash aggregate
+    sharing the same key partitioning."""
+    from feasts_spark.operators.rate import counter_increase
+
+    _utc(spark)
+    out = counter_increase(
+        _events(spark, sf_dir), "1h", "user_id", "ts", "value", ["event_id"]
+    )
+    return out.select(
+        "series_key", "bucket_ts",
+        _r4("increase").alias("increase"), "n_resets", "n_samples",
+    )
+
+
+ORACLE_COUNTER_RATE_1H = """
+WITH d AS (
+  SELECT user_id, ts, value,
+         value - lag(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS delta
+  FROM events
+)
+SELECT user_id AS series_key, date_trunc('hour', ts) AS bucket_ts,
+       floor(sum(CASE WHEN delta IS NULL THEN 0.0::DOUBLE
+                      WHEN delta < 0 THEN value
+                      ELSE delta END) * 1e4 + 0.500001::DOUBLE) / 1e4
+         AS increase,
+       CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+       count(*) AS n_samples
+FROM d GROUP BY 1, 2
+"""
+
+
+def q_ewma_1h(spark, sf_dir):
+    """EWMA (alpha=0.3, adjust=False recursion) over the 1h tier averages
+    (operators/smooth.py — block-rescaled vectorized prefix scan). The
+    oracle replays the recursion literally via a DuckDB recursive CTE, so
+    the vectorized kernel is value-checked against the sequential
+    definition on every series."""
+    from feasts_spark.operators.rollup import rollup_raw
+    from feasts_spark.operators.smooth import ewma
+
+    _utc(spark)
+    r = rollup_raw(_events(spark, sf_dir), "1h", "user_id", "ts", "value")
+    out = ewma(r, 0.3)
+    return out.select(
+        "series_key", "bucket_ts",
+        _r4("val_avg").alias("val_avg"), _r4("ewma").alias("ewma"),
+    )
+
+
+ORACLE_EWMA_1H = """
+WITH RECURSIVE a AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts, avg(value) AS v
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT user_id, bucket_ts, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY bucket_ts) AS rn
+  FROM a
+), rec AS (
+  SELECT user_id, bucket_ts, v, rn, v AS ewma FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.bucket_ts, s.v, s.rn,
+         0.3::DOUBLE * s.v + 0.7::DOUBLE * rec.ewma
+  FROM s JOIN rec ON s.user_id = rec.user_id AND s.rn = rec.rn + 1
+)
+SELECT user_id AS series_key, bucket_ts,
+       floor(v * 1e4 + 0.500001::DOUBLE) / 1e4 AS val_avg,
+       floor(ewma * 1e4 + 0.500001::DOUBLE) / 1e4 AS ewma
+FROM rec
+"""
+
+
+def q_calendar_profile(spark, sf_dir):
+    """Hour-of-day / day-of-week seasonal fingerprints per series
+    (operators/smooth.py calendar_profile) — two map-combined aggregates
+    over one scan."""
+    from feasts_spark.operators.smooth import calendar_profile
+
+    _utc(spark)
+    out = calendar_profile(_events(spark, sf_dir), "user_id", "ts", "value")
+    return out.select(
+        "series_key", "dim", "idx", "n_points",
+        _r4("val_avg").alias("val_avg"), _r4("val_std").alias("val_std"),
+    )
+
+
+ORACLE_CALENDAR_PROFILE = """
+SELECT user_id AS series_key, 'hod' AS dim,
+       CAST(extract(hour FROM ts) AS INTEGER) AS idx,
+       count(*) AS n_points,
+       floor(avg(value) * 1e4 + 0.500001::DOUBLE) / 1e4 AS val_avg,
+       floor(stddev_samp(value) * 1e4 + 0.500001::DOUBLE) / 1e4 AS val_std
+FROM events GROUP BY 1, 3
+UNION ALL
+SELECT user_id AS series_key, 'dow' AS dim,
+       CAST(extract(dow FROM ts) + 1 AS INTEGER) AS idx,
+       count(*) AS n_points,
+       floor(avg(value) * 1e4 + 0.500001::DOUBLE) / 1e4 AS val_avg,
+       floor(stddev_samp(value) * 1e4 + 0.500001::DOUBLE) / 1e4 AS val_std
+FROM events GROUP BY 1, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Decompositions
 # ---------------------------------------------------------------------------
@@ -1885,54 +2103,6 @@ FROM stat
 """
 
 
-def q_pacf12_1h(spark, sf_dir):
-    """PACF lags 1-2 via the Durbin-Levinson closed forms — the
-    SQL-reachable prefix of pacf_table, with a DuckDB oracle."""
-    from feasts_spark.functions import pacf12_df
-    from feasts_spark.operators.rollup import rollup_raw
-
-    _utc(spark)
-    r = rollup_raw(_events(spark, sf_dir), "1h", "user_id", "ts", "value")
-    counts = r.groupBy("series_key").count().filter(F.col("count") > 11)
-    r = r.join(counts.select("series_key"), "series_key")
-    out = pacf12_df(r, "series_key", ["bucket_ts"], "val_avg")
-    return out.select(
-        "series_key",
-        _r4("pacf1").alias("pacf1"),
-        _r4("pacf2").alias("pacf2"),
-    )
-
-
-ORACLE_PACF12_1H = """
-WITH r AS (
-  SELECT user_id, date_trunc('hour', ts) AS bucket_ts, avg(value) AS v
-  FROM events GROUP BY 1, 2
-), keyed AS (
-  SELECT user_id FROM r GROUP BY 1 HAVING count(*) > 11
-), s AS (
-  SELECT r.user_id AS k, v,
-         row_number() OVER (PARTITION BY r.user_id ORDER BY bucket_ts) AS rn,
-         v - avg(v) OVER (PARTITION BY r.user_id) AS xc
-  FROM r JOIN keyed USING (user_id)
-), s2 AS (
-  SELECT k, xc,
-         lead(xc, 1) OVER (PARTITION BY k ORDER BY rn) AS xc1,
-         lead(xc, 2) OVER (PARTITION BY k ORDER BY rn) AS xc2
-  FROM s
-), agg AS (
-  SELECT k AS series_key,
-         sum(xc * xc) AS c0, sum(xc * xc1) AS c1, sum(xc * xc2) AS c2
-  FROM s2 GROUP BY k
-)
-SELECT series_key,
-  floor((c1 / c0) * 1e4 + 0.500001::DOUBLE) / 1e4 AS pacf1,
-  floor(((c2 / c0 - (c1 / c0) * (c1 / c0))
-         / (1.0::DOUBLE - (c1 / c0) * (c1 / c0))) * 1e4
-        + 0.500001::DOUBLE) / 1e4 AS pacf2
-FROM agg
-"""
-
-
 def q_acf_features_1h(spark, sf_dir):
     """feat_acf feature pack (acf1/acf10, diff1/diff2 variants,
     season_acf1) in pure SQL — same text as the DuckDB oracle."""
@@ -1951,17 +2121,6 @@ def q_pp_sql_1d(spark, sf_dir):
     _utc(spark)
     _events(spark, sf_dir).createOrReplaceTempView("events")
     return spark.sql(pp_sql())
-
-
-def q_guerrero_profile_1d(spark, sf_dir):
-    """Guerrero CV objective at a fixed lambda grid — oracles the inner
-    math the guerrero kernel Brent-minimizes (same SQL text both
-    engines); the optimizer itself stays kernel-side (guerrero_1d)."""
-    from feasts_spark.functions.sql_features import guerrero_profile_sql
-
-    _utc(spark)
-    _events(spark, sf_dir).createOrReplaceTempView("events")
-    return spark.sql(guerrero_profile_sql())
 
 
 def q_stl_multi_1h(spark, sf_dir):
@@ -2213,10 +2372,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_linear_1d": q_gapfill_linear_1d,
         "acf_table_1h": q_acf_table_1h,
         "pacf_table_1h": q_pacf_table_1h,
-        "crossing_points": q_crossing_points,
-        "shift_level_max": q_shift_level_max,
-        "shift_var_max": q_shift_var_max,
-        "var_tiled": q_var_tiled,
+        "sql_features_basic": q_sql_features_basic,
+        "shift_features": q_shift_features,
+        "asof_enrich_1h": q_asof_enrich_1h,
+        "m4_1h": q_m4_1h,
+        "counter_rate_1h": q_counter_rate_1h,
+        "ewma_1h": q_ewma_1h,
+        "calendar_profile": q_calendar_profile,
         "classical_additive_1d": q_classical_additive_1d,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -2228,7 +2390,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ccf_table_1h": q_ccf_table_1h,
         "portmanteau_1h": q_portmanteau_1h,
-        "longest_flat_spot": q_longest_flat_spot,
         "intermittent_daily": q_intermittent_daily,
         "gorilla_roundtrip_1h": q_gorilla_roundtrip_1h,
         "salted_rollup_1m": q_salted_rollup_1m,
@@ -2240,10 +2401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "guerrero_1d": q_guerrero_1d,
         "unitroot_1d": q_unitroot_1d,
         "kpss_sql_1d": q_kpss_sql_1d,
-        "pacf12_1h": q_pacf12_1h,
         "pp_sql_1d": q_pp_sql_1d,
         "acf_features_1h": q_acf_features_1h,
-        "guerrero_profile_1d": q_guerrero_profile_1d,
         # --- rows-only, first driver evidence this round ---
         "johansen_1h": q_johansen_1h,
         "phillips_ouliaris_1h": q_phillips_ouliaris_1h,
@@ -2282,10 +2441,13 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_linear_1d": ORACLE_LINEAR_1D,
         "acf_table_1h": ORACLE_ACF_1H,
         "pacf_table_1h": _pacf_oracle(),
-        "crossing_points": ORACLE_CROSSING,
-        "shift_level_max": ORACLE_SHIFT_LEVEL,
-        "shift_var_max": ORACLE_SHIFT_VAR,
-        "var_tiled": ORACLE_VAR_TILED,
+        "sql_features_basic": _sql_features_basic_oracle(),
+        "shift_features": _shift_features_oracle(),
+        "asof_enrich_1h": ORACLE_ASOF_1H,
+        "m4_1h": ORACLE_M4_1H,
+        "counter_rate_1h": ORACLE_COUNTER_RATE_1H,
+        "ewma_1h": ORACLE_EWMA_1H,
+        "calendar_profile": ORACLE_CALENDAR_PROFILE,
         "classical_additive_1d": ORACLE_CLASSICAL_1D,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "text_stats": ORACLE_TEXT_STATS,
@@ -2296,7 +2458,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": ORACLE_ANN_TOPK,
         "ccf_table_1h": ORACLE_CCF_1H,
         "portmanteau_1h": ORACLE_PORTMANTEAU_1H,
-        "longest_flat_spot": ORACLE_FLAT_SPOT,
         "intermittent_daily": ORACLE_INTERMITTENT,
         "gorilla_roundtrip_1h": ORACLE_GORILLA_1H,
         "salted_rollup_1m": _cascade_oracle("minute"),
@@ -2307,16 +2468,12 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": ORACLE_FINGERPRINTS,
         "simhash_pairs": _oracle_simhash_pairs(),
         "kpss_sql_1d": _kpss_oracle(),
-        "pacf12_1h": ORACLE_PACF12_1H,
         "pp_sql_1d": __import__(
             "feasts_spark.functions.sql_features", fromlist=["pp_sql"]
         ).pp_sql(),
         "acf_features_1h": __import__(
             "feasts_spark.functions.sql_features", fromlist=["acf_features_sql"]
         ).acf_features_sql(),
-        "guerrero_profile_1d": __import__(
-            "feasts_spark.functions.sql_features", fromlist=["guerrero_profile_sql"]
-        ).guerrero_profile_sql(),
         "guerrero_1d": __import__(
             "feasts_spark.functions.sql_features", fromlist=["guerrero_argmin_sql"]
         ).guerrero_argmin_sql(),
