@@ -2330,6 +2330,251 @@ def q_pacf_tapered_1h(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Merged packs (one registry slot each; components individually oracled in
+# rounds 1-2, now joined on their natural key so the 50-query driver window
+# holds every oracled row) + round-3 operators
+# ---------------------------------------------------------------------------
+
+def q_text_pack(spark, sf_dir):
+    """All four per-document text analyses — token stats, language-ID,
+    quality scores, fingerprints — as one doc_id-keyed row. Each component
+    keeps its own all-JVM single-pass plan; the joins are per-doc scalar
+    outputs on the same key (AQE picks broadcast/shuffle as cardinality
+    dictates), so the merge adds no data-sized shuffle."""
+    ts = q_token_stats(spark, sf_dir)
+    li = q_language_id(spark, sf_dir)
+    qs = q_quality_scores(spark, sf_dir)
+    fp = q_fingerprints(spark, sf_dir)
+    return ts.join(li, "doc_id").join(qs, "doc_id").join(fp, "doc_id")
+
+
+def _text_pack_oracle() -> str:
+    return (
+        f"WITH t AS ({ORACLE_TOKEN_STATS}),\n"
+        f"l AS ({ORACLE_LANGUAGE_ID}),\n"
+        f"q AS ({ORACLE_QUALITY}),\n"
+        f"f AS ({ORACLE_FINGERPRINTS})\n"
+        "SELECT t.*, l.score_de, l.score_en, l.score_es, l.score_fr,\n"
+        "       l.pred_lang, q.n_tokens, q.mean_word_len, q.stopword_ratio,\n"
+        "       q.punct_ratio, q.quality_score, f.fingerprint, f.n_shingles,\n"
+        "       f.n_chars_norm\n"
+        "FROM t JOIN l USING (doc_id) JOIN q USING (doc_id)\n"
+        "JOIN f USING (doc_id)"
+    )
+
+
+def q_gapfill_1d(spark, sf_dir):
+    """LOCF and linear gap-fill over the daily tier in one registry row,
+    joined on the (series, bucket) grid both fills share."""
+    locf = q_gapfill_locf_1d(spark, sf_dir)
+    lin = q_gapfill_linear_1d(spark, sf_dir).select(
+        "series_key", "bucket_ts", "val_interp"
+    )
+    return locf.join(lin, ["series_key", "bucket_ts"])
+
+
+def _gapfill_1d_oracle() -> str:
+    return (
+        f"WITH a AS ({ORACLE_LOCF_1D}),\n"
+        f"b AS ({ORACLE_LINEAR_1D})\n"
+        "SELECT a.series_key, a.bucket_ts, a.is_gap, a.val_filled,\n"
+        "       b.val_interp\n"
+        "FROM a JOIN b USING (series_key, bucket_ts)"
+    )
+
+
+def q_unitroot_sql_1d(spark, sf_dir):
+    """KPSS and Phillips-Perron unit-root stats (both full-SQL twins of
+    the kernel paths) in one series-keyed registry row."""
+    k = q_kpss_sql_1d(spark, sf_dir)
+    p = q_pp_sql_1d(spark, sf_dir)
+    return k.join(p, "series_key")
+
+
+def _unitroot_sql_oracle() -> str:
+    from feasts_spark.functions.sql_features import pp_sql
+
+    return (
+        f"WITH k AS ({_kpss_oracle()}),\n"
+        f"p AS ({pp_sql()})\n"
+        "SELECT k.series_key, k.kpss_stat, k.kpss_pvalue,\n"
+        "       p.pp_stat, p.pp_pvalue\n"
+        "FROM k JOIN p USING (series_key)"
+    )
+
+
+def q_transcript_integrity(spark, sf_dir):
+    """The north rule's per-row invariant as a first-class oracled query:
+    exact per-turn text equality under stable (conv_id, turn_idx)
+    ordering, certified at conversation grain by an order-sensitive
+    digest (operators/integrity.py). The transcript table is derived
+    deterministically from `events` with identical SQL semantics on both
+    engines (conv_id from user_id, turn_idx by (ts, event_id) order,
+    text from event_type:props), so the md5-chain digests must match
+    bit-for-bit engine-to-engine."""
+    from feasts_spark.operators.integrity import turn_digest
+
+    _utc(spark)
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = e.select(
+        F.concat(F.lit("conv-"), F.col("user_id")).alias("conv_id"),
+        (F.row_number().over(w) - 1).alias("turn_idx"),
+        F.concat_ws(":", "event_type", "props").alias("text"),
+    )
+    return turn_digest(tr)
+
+
+ORACLE_TRANSCRIPT_INTEGRITY = """
+WITH tr AS (
+  SELECT 'conv-' || user_id AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS turn_idx,
+         concat_ws(':', event_type, props) AS text
+  FROM events
+)
+SELECT conv_id, count(*) AS n_turns,
+       (min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1
+        AND count(DISTINCT turn_idx) = count(*)) AS contiguous,
+       md5(string_agg(md5(text), '' ORDER BY turn_idx)) AS digest
+FROM tr GROUP BY conv_id
+"""
+
+
+def q_topk_event_types_1h(spark, sf_dir):
+    """Exact top-2 event types per (series, 1h bucket) by count
+    (operators/topk.py) — heavy hitters with a deterministic
+    (count DESC, type ASC) tie order replayed by the oracle."""
+    from feasts_spark.operators.topk import topk_by_group
+
+    _utc(spark)
+    e = _events(spark, sf_dir).select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+        "event_type",
+    )
+    out = topk_by_group(e, 2, ["user_id", "bucket_ts"], "event_type")
+    return out.select(
+        F.col("user_id").alias("series_key"), "bucket_ts", "event_type",
+        "cnt", "rnk",
+    )
+
+
+ORACLE_TOPK_1H = """
+WITH c AS (
+  SELECT user_id AS series_key, date_trunc('hour', ts) AS bucket_ts,
+         event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2, 3
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY series_key, bucket_ts
+            ORDER BY cnt DESC, event_type ASC) AS rnk
+  FROM c
+)
+SELECT series_key, bucket_ts, event_type, cnt, CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk <= 2
+"""
+
+
+def q_active_users_1h(spark, sf_dir):
+    """Site-wide exact distinct users per hour (operators/distinct.py)
+    — the one aggregate that can't cascade exactly; the scan-once sketch
+    path is hll_distinct_tiers (rows-only)."""
+    from feasts_spark.operators.distinct import distinct_rollup
+
+    _utc(spark)
+    return distinct_rollup(_events(spark, sf_dir), "1h", "user_id")
+
+
+ORACLE_ACTIVE_USERS = """
+SELECT date_trunc('hour', ts) AS bucket_ts, count(*) AS n_points,
+       count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY 1
+"""
+
+
+_EPISODES_CTE = """
+r AS (
+  SELECT user_id AS series_key, date_trunc('hour', ts) AS bucket_ts,
+         count(*) AS n_points
+  FROM events GROUP BY 1, 2
+), a AS (
+  SELECT *, CAST(epoch(bucket_ts) AS BIGINT) // 3600
+         - row_number() OVER (PARTITION BY series_key ORDER BY bucket_ts)
+           AS grp
+  FROM r WHERE n_points >= 2
+), eps AS (
+  SELECT series_key, min(bucket_ts) AS episode_start,
+         max(bucket_ts) + INTERVAL 1 HOUR AS episode_end,
+         count(*) AS n_buckets,
+         CAST(sum(n_points) AS BIGINT) AS total_points
+  FROM a GROUP BY series_key, grp
+)
+"""
+
+
+def q_activity_episodes_1h(spark, sf_dir):
+    """Maximal runs of >=2-point hours per series (gaps-and-islands over
+    the 1h rollup, operators/intervals.py)."""
+    from feasts_spark.operators.intervals import activity_episodes
+    from feasts_spark.operators.rollup import rollup_raw
+
+    _utc(spark)
+    r = rollup_raw(_events(spark, sf_dir), "1h", "user_id", "ts", "value")
+    return activity_episodes(r, "1h", min_points=2)
+
+
+ORACLE_EPISODES_1H = f"""
+WITH {_EPISODES_CTE}
+SELECT * FROM eps
+"""
+
+
+def q_interval_join_1h(spark, sf_dir):
+    """Error events joined into their containing activity episode via the
+    bucketed-expansion equi-join (operators/intervals.py). The oracle
+    runs the NAIVE range join over the identical episode CTE, so the
+    rewrite is verified equivalent engine-to-engine."""
+    from feasts_spark.operators.intervals import activity_episodes, interval_join
+    from feasts_spark.operators.rollup import rollup_raw
+
+    _utc(spark)
+    e = _events(spark, sf_dir)
+    r = rollup_raw(e, "1h", "user_id", "ts", "value")
+    eps = activity_episodes(r, "1h", min_points=2)
+    probes = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    out = interval_join(
+        probes, eps, "user_id", "ts", tier="1h", interval_key_col="series_key"
+    )
+    return out.select(
+        F.col("user_id").alias("series_key"), "ts", "event_id",
+        "episode_start", "n_buckets",
+    )
+
+
+ORACLE_INTERVAL_JOIN_1H = f"""
+WITH {_EPISODES_CTE}
+SELECT p.user_id AS series_key, p.ts, p.event_id, e.episode_start,
+       e.n_buckets
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') p
+JOIN eps e ON e.series_key = p.user_id
+          AND p.ts >= e.episode_start AND p.ts < e.episode_end
+"""
+
+
+def q_hll_distinct_tiers(spark, sf_dir):
+    """DataSketches HLL distinct-user estimates cascaded 1m -> 1h -> 1d
+    from one raw scan (operators/distinct.py). Rows-only: sketch
+    estimates are engine-specific by design; the exact-path twin
+    active_users_1h is oracled, and pytest bounds the estimate error and
+    asserts cascade determinism."""
+    from feasts_spark.operators.distinct import hll_distinct_tiers
+
+    _utc(spark)
+    return hll_distinct_tiers(_events(spark, sf_dir), "user_id", "ts")
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -2368,8 +2613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantile_1d": q_hist_quantile_1d,
         "anomaly_1d": q_anomaly_1d,
         "rollup_cascade": q_rollup_cascade,
-        "gapfill_locf_1d": q_gapfill_locf_1d,
-        "gapfill_linear_1d": q_gapfill_linear_1d,
+        "gapfill_1d": q_gapfill_1d,
         "acf_table_1h": q_acf_table_1h,
         "pacf_table_1h": q_pacf_table_1h,
         "sql_features_basic": q_sql_features_basic,
@@ -2394,15 +2638,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gorilla_roundtrip_1h": q_gorilla_roundtrip_1h,
         "salted_rollup_1m": q_salted_rollup_1m,
         "heavy_keys": q_heavy_keys,
-        "token_stats": q_token_stats,
-        "language_id": q_language_id,
-        "quality_scores": q_quality_scores,
-        "fingerprints": q_fingerprints,
+        "text_pack": q_text_pack,
         "guerrero_1d": q_guerrero_1d,
         "unitroot_1d": q_unitroot_1d,
-        "kpss_sql_1d": q_kpss_sql_1d,
-        "pp_sql_1d": q_pp_sql_1d,
+        "unitroot_sql_1d": q_unitroot_sql_1d,
         "acf_features_1h": q_acf_features_1h,
+        "transcript_integrity": q_transcript_integrity,
+        "topk_event_types_1h": q_topk_event_types_1h,
+        "active_users_1h": q_active_users_1h,
+        "activity_episodes_1h": q_activity_episodes_1h,
+        "interval_join_1h": q_interval_join_1h,
         # --- rows-only, first driver evidence this round ---
         "johansen_1h": q_johansen_1h,
         "phillips_ouliaris_1h": q_phillips_ouliaris_1h,
@@ -2416,6 +2661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stl_components_1d": q_stl_components_1d,
         "feature_pack": q_feature_pack,
         "feature_pack_multi": q_feature_pack_multi,
+        "hll_distinct_tiers": q_hll_distinct_tiers,
         "minhash_lsh": q_minhash_lsh,
         "minhash_oph_lsh": q_minhash_oph_lsh,
         "ann_recall": q_ann_recall,
@@ -2436,9 +2682,8 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL\n"
             "SELECT '1d' AS tier, * FROM (" + _cascade_oracle("day") + ")"
         ),
-        "gapfill_locf_1d": ORACLE_LOCF_1D,
+        "gapfill_1d": _gapfill_1d_oracle(),
         "lttb_1h": ORACLE_LTTB_1H,
-        "gapfill_linear_1d": ORACLE_LINEAR_1D,
         "acf_table_1h": ORACLE_ACF_1H,
         "pacf_table_1h": _pacf_oracle(),
         "sql_features_basic": _sql_features_basic_oracle(),
@@ -2462,15 +2707,14 @@ def oracle_sql() -> dict[str, str]:
         "gorilla_roundtrip_1h": ORACLE_GORILLA_1H,
         "salted_rollup_1m": _cascade_oracle("minute"),
         "heavy_keys": ORACLE_HEAVY_KEYS,
-        "token_stats": ORACLE_TOKEN_STATS,
-        "language_id": ORACLE_LANGUAGE_ID,
-        "quality_scores": ORACLE_QUALITY,
-        "fingerprints": ORACLE_FINGERPRINTS,
+        "text_pack": _text_pack_oracle(),
         "simhash_pairs": _oracle_simhash_pairs(),
-        "kpss_sql_1d": _kpss_oracle(),
-        "pp_sql_1d": __import__(
-            "feasts_spark.functions.sql_features", fromlist=["pp_sql"]
-        ).pp_sql(),
+        "unitroot_sql_1d": _unitroot_sql_oracle(),
+        "transcript_integrity": ORACLE_TRANSCRIPT_INTEGRITY,
+        "topk_event_types_1h": ORACLE_TOPK_1H,
+        "active_users_1h": ORACLE_ACTIVE_USERS,
+        "activity_episodes_1h": ORACLE_EPISODES_1H,
+        "interval_join_1h": ORACLE_INTERVAL_JOIN_1H,
         "acf_features_1h": __import__(
             "feasts_spark.functions.sql_features", fromlist=["acf_features_sql"]
         ).acf_features_sql(),
