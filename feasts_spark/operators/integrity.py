@@ -43,29 +43,27 @@ def turn_digest(
     pair = F.struct(
         F.col(order_col).alias("i"), F.md5(F.col(text_col)).alias("h")
     )
+    # every integrity stat derives from the one collected array: a plain
+    # count_distinct alongside collect_list would force Spark's
+    # expand-based distinct aggregate (a second exchange) for a fact the
+    # array already holds.
+    sorted_pairs = F.array_sort(F.col("_pairs"))
+    idx = F.transform(sorted_pairs, lambda s: s["i"])
+    n = F.size(F.col("_pairs"))
     return (
         df.groupBy(F.col(key_col))
-        .agg(
-            F.count(F.lit(1)).alias("n_turns"),
-            F.min(order_col).alias("_min_i"),
-            F.max(order_col).alias("_max_i"),
-            F.count_distinct(F.col(order_col)).alias("_n_i"),
-            F.collect_list(pair).alias("_pairs"),
-        )
+        .agg(F.collect_list(pair).alias("_pairs"))
         .select(
             key_col,
-            "n_turns",
+            n.cast("long").alias("n_turns"),
             (
-                (F.col("_min_i") == 0)
-                & (F.col("_max_i") == F.col("n_turns") - 1)
-                & (F.col("_n_i") == F.col("n_turns"))
+                (F.element_at(idx, 1) == 0)
+                & (F.element_at(idx, -1) == n - 1)
+                & (F.size(F.array_distinct(idx)) == n)
             ).alias("contiguous"),
             F.md5(
                 F.concat_ws(
-                    "",
-                    F.transform(
-                        F.array_sort(F.col("_pairs")), lambda s: s["h"]
-                    ),
+                    "", F.transform(sorted_pairs, lambda s: s["h"])
                 )
             ).alias("digest"),
         )

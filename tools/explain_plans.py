@@ -104,6 +104,44 @@ def main() -> None:
         ),
     })
 
+    from feasts_spark.operators.asof import asof_join
+    from feasts_spark.operators.distinct import hll_distinct_tiers
+    from feasts_spark.operators.downsample import m4_downsample
+    from feasts_spark.operators.integrity import turn_digest
+    from feasts_spark.operators.intervals import activity_episodes, interval_join
+    from feasts_spark.operators.topk import topk_by_group
+
+    probes = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    ref = r1h.select(
+        F.col("series_key").alias("user_id"), "bucket_ts", "val_avg"
+    )
+    eps = activity_episodes(r1h, "1h", min_points=2)
+    tr = ev.select(
+        F.concat(F.lit("conv-"), F.col("user_id")).alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("props").alias("text"),
+    )
+    plans.update({
+        "m4_downsample_1h (decomposable struct-min/max agg, 1 shuffle)":
+            m4_downsample(ev, "1h", key_col="user_id", ts_col="ts",
+                          value_col="value", tie_col="event_id"),
+        "asof_join (union-merge, one co-partitioned sort)": asof_join(
+            probes, ref, "user_id", "ts", "bucket_ts", ["val_avg"]
+        ),
+        "topk_by_group (partial/final count agg + window on agg rows)":
+            topk_by_group(ev, 3, ["user_id"], "event_type"),
+        "hll_distinct_tiers (sketch once, union-merge upward, no rescan)":
+            hll_distinct_tiers(ev, "user_id", "ts"),
+        "activity_episodes_1h (islands over rollup rows)": eps,
+        "interval_join (bucketed expansion -> hash equi-join, no BNLJ)":
+            interval_join(probes, eps, "user_id", "ts", tier="1h",
+                          interval_key_col="series_key"),
+        "turn_digest (single hash agg, array_sort in-group ordering)":
+            turn_digest(tr),
+    })
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
