@@ -246,7 +246,11 @@ def run_bench(cores: str, sf_dir: str) -> dict:
     }
 
 
-HEADLINE_REPEATS = int(os.environ.get("BENCH_HEADLINE_REPEATS", "2"))
+# 3 fresh-session repeats: the shared sandbox host shows 1.5x run-to-run
+# swings under cross-tenant contention; a per-query min over three runs
+# is the least-interference estimator that still finishes in driver
+# budget (~3 min at sf0.1).
+HEADLINE_REPEATS = int(os.environ.get("BENCH_HEADLINE_REPEATS", "3"))
 
 
 def run_bench_min(cores: str, sf_dir: str, repeats: int = HEADLINE_REPEATS) -> dict:

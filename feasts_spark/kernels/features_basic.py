@@ -135,6 +135,16 @@ def shift_kl_max(x, size: int | None = None, period: int = 1) -> dict:
     # densities: (n, gw) — dnorm(g, mean=x_t, sd=bw) per grid point g
     z = (xgrid[None, :] - x[:, None]) / bw
     dens = np.exp(-0.5 * z * z, out=z) / (bw * math.sqrt(2.0 * math.pi))
+    # dnorm(38) ~ 2e-314 is SUBNORMAL: flooring the whole matrix there
+    # pushes every downstream cumsum/log/multiply into the x86 denormal
+    # slow path (~100x per op; ~1s at n=20k). Rescale by an exact power
+    # of two so the floored values are normal floats: powers of two
+    # scale subnormals exactly, the scale cancels in log(p)-log(q), and
+    # the final KL sum divides it back out. Values only get MORE
+    # accurate (subnormals have truncated mantissas).
+    _SCALE = 2.0 ** 600
+    dens *= _SCALE
+    dens_floor *= _SCALE
     dens = np.maximum(dens, dens_floor, out=dens)
     # trailing rolling mean (min_periods=1) via prefix sums. The floor is
     # SUBNORMAL (dnorm(38) ~ 2e-314): cumsum of (normal + floor) values
@@ -152,11 +162,15 @@ def shift_kl_max(x, size: int | None = None, period: int = 1) -> dict:
     np.maximum(rmean, 0.0, out=rmean)
     rmean += dens_floor
     p = rmean[: n - size]
-    q = rmean[size:]
     with np.errstate(divide="ignore", invalid="ignore"):
-        # rolling means of subnormal density floors can flush to 0 ->
-        # log(0); R hits the same inf/NaN arithmetic (na.rm sums keep inf)
-        kl = np.nansum(p * (np.log(p) - np.log(q)) * grid, axis=1)
+        # rolling means of the density floor can still round to 0 ->
+        # log(0); R hits the same inf/NaN arithmetic (na.rm sums keep inf).
+        # p and q are overlapping slices of rmean, so ONE log pass over
+        # rmean serves both sides of the ratio.
+        logr = np.log(rmean)
+        kl = np.nansum(
+            p * (logr[: n - size] - logr[size:]), axis=1
+        ) * (grid / _SCALE)
         diffkl = np.diff(kl)
     if diffkl.size == 0:
         return {"shift_kl_max": 0.0, "shift_kl_index": NAN}
