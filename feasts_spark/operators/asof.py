@@ -59,15 +59,28 @@ def asof_join(
         raise ValueError(f"value_cols collide with left columns: {sorted(clash)}")
 
     # Tag and align the two sides onto one schema. Left rows carry nulls in
-    # the right-value slots; right rows carry nulls in the left payload.
+    # the right-value slot; right rows carry nulls in the left payload.
+    # The right values travel as ONE struct: a per-column
+    # last(ignorenulls) would skip right rows whose individual value is
+    # legitimately NULL and stitch fields from different right rows —
+    # the struct is non-null for every right row, so the whole matched
+    # row wins or loses atomically (same as DuckDB ASOF / merge_asof).
+    from pyspark.sql import types as T
+
+    rv_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+        + [T.StructField("match_ts", right.schema[right_ts].dataType)]
+    )
     r_tagged = right.select(
         F.col(key_col).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *(F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left_cols if c != key_col),
-        *(F.col(c).alias(f"_rv_{c}") for c in value_cols),
-        F.col(right_ts).alias("_rv_match_ts"),
+        F.struct(
+            *(F.col(c) for c in value_cols),
+            F.col(right_ts).alias("match_ts"),
+        ).alias("_rv"),
         (F.col(right_order) if right_order is not None else F.lit(0)
          ).alias("_tie"),
     )
@@ -76,9 +89,7 @@ def asof_join(
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *(F.col(c) for c in left_cols if c != key_col),
-        *(F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}")
-          for c in value_cols),
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rv_match_ts"),
+        F.lit(None).cast(rv_type).alias("_rv"),
         F.lit(0).alias("_tie"),
     )
 
@@ -90,16 +101,14 @@ def asof_join(
     )
     filled = merged.select(
         "*",
-        *(F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
-          for c in value_cols),
-        F.last("_rv_match_ts", ignorenulls=True).over(w).alias("_f_match_ts"),
+        F.last("_rv", ignorenulls=True).over(w).alias("_f"),
     ).filter(F.col("_side") == 1)
 
     in_tol = (
         F.lit(True)
         if tolerance_seconds is None
         else (
-            F.col("_f_match_ts").cast("double")
+            F.col("_f.match_ts").cast("double")
             >= F.col("_ts").cast("double") - F.lit(float(tolerance_seconds))
         )
     )
@@ -107,6 +116,6 @@ def asof_join(
         F.col("_k").alias(key_col),
         F.col("_ts").alias(left_ts),
         *(F.col(c) for c in left_cols if c not in (key_col, left_ts)),
-        *(F.when(in_tol, F.col(f"_f_{c}")).alias(c) for c in value_cols),
-        F.when(in_tol, F.col("_f_match_ts")).alias("match_ts"),
+        *(F.when(in_tol, F.col(f"_f.{c}")).alias(c) for c in value_cols),
+        F.when(in_tol, F.col("_f.match_ts")).alias("match_ts"),
     )

@@ -102,11 +102,13 @@ def ngram_jaccard_pairs(
     to 10^6 docs would otherwise create ~10^12 candidates. With the cap on,
     BOTH the intersection and the set sizes are computed over the capped
     shingle universe (hot shingles removed from every document alike), so
-    the score is the exact Jaccard of the capped sets — in particular
-    byte-identical documents still score 1.0 even when all their shingles
-    are hot (boilerplate-heavy near-dups are not silently pushed below the
-    threshold, which sizing from the UNCAPPED grams used to do). Pass
-    `max_doc_freq=None` for exact Jaccard over the full shingle sets.
+    any emitted score is the exact Jaccard of the capped sets —
+    boilerplate-heavy near-dups are no longer pushed below the threshold
+    by uncapped denominators. CAVEAT: a document whose EVERY shingle is
+    hot has an empty capped set and joins to nothing, so a pair of such
+    documents (even byte-identical ones) emits NO row at all — catch
+    those with exact_dedup / minhash, or pass `max_doc_freq=None` for
+    exact Jaccard over the full shingle sets.
     """
     toks = tokenize_expr(text_col)
     grams = df.select(

@@ -293,10 +293,12 @@ def embedding_dup_clusters(
     dup_clusters, so text and embedding dedup agree on representative
     semantics (label = min reachable id).
 
-    `tie_stable_round` floors the cosine at 4dp (+1e-6 nudge) before the
-    threshold test so an independent engine summing the dot product in a
-    different order cannot flip membership of a boundary pair — the
-    cross-engine-reproducibility mode the driver oracle uses.
+    `tie_stable_round` rounds the cosine half-up at 4dp
+    (floor(cos*1e4 + 0.500001)/1e4 — e.g. 0.94996 -> 0.9500, INCLUDED
+    at threshold 0.95) before the threshold test so an independent
+    engine summing the dot product in a different order cannot flip
+    membership of a boundary pair — the cross-engine-reproducibility
+    mode the driver oracle uses.
     """
     from feasts_spark.operators.dedup import dup_clusters
 

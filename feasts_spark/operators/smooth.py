@@ -36,17 +36,29 @@ _BLOCK = 256
 
 def ewma_kernel(x: np.ndarray, alpha: float) -> np.ndarray:
     """Vectorized adjust=False EWMA (see module docstring for the block-
-    rescaled prefix-scan derivation)."""
+    rescaled prefix-scan derivation).
+
+    The block length adapts to alpha: b^-block is capped at ~1e100 so
+    neither b^block underflows nor x/b^i overflows for |x| up to ~1e200
+    — a fixed 256-point block would underflow b^256 to 0.0 for
+    alpha >= ~0.946 and emit silent NaNs."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1]: {alpha}")
     n = x.size
     if n == 0:
         return x
+    if alpha == 1.0:  # b = 0: y_t = x_t, and b**p below would divide by 0
+        return x.astype(np.float64, copy=True)
     b = 1.0 - alpha
+    block = _BLOCK if b >= 0.99 else max(
+        1, min(_BLOCK, int(230.0 / -np.log(b)))
+    )
     out = np.empty(n, dtype=np.float64)
     y0 = x[0]
     out[0] = y0
     pos = 1
     while pos < n:
-        blk = x[pos : pos + _BLOCK]
+        blk = x[pos : pos + block]
         m = blk.size
         # exponents 1..m within the block, relative to y0 at exponent 0
         p = np.arange(1, m + 1, dtype=np.float64)

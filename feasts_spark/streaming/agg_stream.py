@@ -51,17 +51,12 @@ def stream_item_counts(
 
 
 def finalize_topk(counts: DataFrame, k: int) -> DataFrame:
-    """Rank closed count rows to top-k per (key, bucket) — deterministic
-    (cnt DESC, item ASC) order, identical to operators.topk.topk_by_group."""
-    from pyspark.sql import Window
+    """Rank closed count rows to top-k per (key, bucket) — the SAME rank
+    stage as the batch operator (operators.topk.rank_topk), so the
+    deterministic (cnt DESC, item ASC) tie contract cannot drift."""
+    from ..operators.topk import rank_topk
 
-    w = Window.partitionBy("series_key", "bucket_ts").orderBy(
-        F.col("cnt").desc(), F.col("item").asc()
-    )
-    return (
-        counts.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-    )
+    return rank_topk(counts, k, ["series_key", "bucket_ts"], "item")
 
 
 def stream_distinct_counts(

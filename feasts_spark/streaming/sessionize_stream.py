@@ -104,6 +104,15 @@ def stream_sessionize(
         ).sort_index()
 
         out = []
+        if last_us is not None and is_new[0]:
+            # the first event of this batch opens a NEW segment, so the
+            # carried open session closes here: emit it and advance sid —
+            # otherwise it would be silently dropped (cumsum starts at
+            # segment 1, the Index==0 merge branch never fires) and its
+            # session_id reused by the new session
+            out.append(_emit(k, sid, start_us, last_us, n, vsum))
+            sid += 1
+            start_us, last_us, n, vsum = None, None, 0, 0.0
         segs = list(agg.itertuples())
         for i, row in enumerate(segs):
             if row.Index == 0 and last_us is not None:

@@ -205,3 +205,47 @@ def test_calendar_profile_shapes(spark, sf_dir):
     n = e.count()
     assert hod["n_points"].sum() == n
     assert dow["n_points"].sum() == n
+
+
+def test_asof_join_carries_null_values_atomically(spark):
+    """The matched right row wins as a WHOLE: a legitimately-NULL value on
+    the newest right row must come through as NULL, not be stitched from
+    an older row (round-3 regression)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from feasts_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    right = spark.createDataFrame(
+        [("k", t(5), 7.0, 1.0), ("k", t(10), None, 2.0)],
+        "k string, rts timestamp, v double, w double",
+    )
+    left = spark.createDataFrame(
+        [("k", t(12)), ("k", t(7))], "k string, ts timestamp"
+    )
+    out = {
+        r.ts: (r.v, r.w, r.match_ts)
+        for r in asof_join(left, right, "k", "ts", "rts", ["v", "w"]).collect()
+    }
+    # ts=12 matches the ts=10 row: v must be NULL (not 7.0 from ts=5)
+    assert out[t(12)] == (None, 2.0, t(10))
+    assert out[t(7)] == (7.0, 1.0, t(5))
+
+
+def test_ewma_kernel_extreme_alpha_finite(spark):
+    import numpy as np
+
+    from feasts_spark.operators.smooth import ewma_kernel
+
+    x = np.random.RandomState(1).randn(2000) * 100
+    for alpha in (0.95, 0.999, 1.0, 0.0):
+        y = ewma_kernel(x, alpha)
+        assert np.isfinite(y).all(), alpha
+    # exact recursion parity at a high alpha
+    ref = np.empty_like(x)
+    ref[0] = x[0]
+    for i in range(1, x.size):
+        ref[i] = 0.97 * x[i] + 0.03 * ref[i - 1]
+    np.testing.assert_allclose(ewma_kernel(x, 0.97), ref, rtol=1e-10)

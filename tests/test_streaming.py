@@ -318,3 +318,64 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     for col in ("session_id", "n_events", "session_start", "session_end",
                 "duration_s", "val_sum"):
         assert list(got[col]) == list(batch[col]), col
+
+
+def test_stream_sessionize_closes_carried_session_on_gap(spark, tmp_path):
+    """A key whose FIRST event in a new micro-batch exceeds the gap must
+    close the carried open session (emit it, advance session_id) rather
+    than silently dropping it and reusing its id (round-3 regression)."""
+    from feasts_spark.operators.sessionize import session_stats
+    from feasts_spark.streaming.sessionize_stream import stream_sessionize
+
+    base = pd.Timestamp("2024-05-01 00:00:00")
+    mins = lambda m: base + pd.Timedelta(minutes=m)  # noqa: E731
+    b0 = pd.DataFrame({
+        "user_id": [1] * 3,
+        "ts": [mins(m) for m in (0, 1, 2)],
+        "value": [1.0, 2.0, 3.0],
+    })
+    # batch 1: key 1 jumps 118m (> 60m gap) -> carried session closes;
+    # key 2 far ahead advances the watermark so the new session times out
+    b1 = pd.DataFrame({
+        "user_id": [1, 2],
+        "ts": [mins(120), mins(5000)],
+        "value": [4.0, 5.0],
+    })
+    d = tmp_path / "sess_gap_in"
+    d.mkdir()
+    for i, b in enumerate((b0, b1)):
+        b.assign(ts=b["ts"].astype("datetime64[us]")).to_parquet(
+            d / f"b{i}.parquet", index=False
+        )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        stream_sessionize(stream, gap_seconds=3600, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sess_gapclose")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("SELECT * FROM t_sess_gapclose WHERE series_key = 1")
+        .orderBy("session_id")
+        .toPandas()
+    )
+    full = pd.concat([b0, b1[b1.user_id == 1]], ignore_index=True)
+    batch = (
+        session_stats(
+            spark.createDataFrame(full), gap_seconds=3600,
+            key_col="user_id", ts_col="ts", value_col="value",
+        )
+        .orderBy("session_id")
+        .toPandas()
+    )
+    assert len(got) == 2  # both sessions emitted, ids 0 and 1
+    for col in ("session_id", "n_events", "session_start", "session_end",
+                "duration_s", "val_sum"):
+        assert list(got[col]) == list(batch[col]), col

@@ -214,3 +214,20 @@ def test_turn_digest_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_interval_join_tolerates_degenerate_intervals(spark):
+    """Empty intervals match nothing (like a range join); a sub-bucket
+    interval starting on a bucket boundary must not crash sequence()."""
+    probes = spark.createDataFrame(
+        [("a", _ts(0)), ("a", _ts(60))], "k string, ts timestamp"
+    )
+    ivals = spark.createDataFrame(
+        [
+            ("a", T0, T0),                                   # empty
+            ("a", _ts(60), _ts(60) + dt.timedelta(seconds=30)),  # sub-bucket
+        ],
+        "k string, episode_start timestamp, episode_end timestamp",
+    )
+    out = interval_join(probes, ivals, "k", "ts", tier="1h").collect()
+    assert [(r.ts, r.episode_start) for r in out] == [(_ts(60), _ts(60))]
