@@ -24,9 +24,13 @@ def transcripts_path(spark, tmp_path_factory):
     from feasts_spark.sources.transcripts import synthesize_transcripts
 
     p = str(tmp_path_factory.mktemp("submit") / "transcripts")
+    # small span (few day-partitions -> few rescans) and one part file:
+    # the shared host's single virtio disk stalls for minutes under
+    # contention, and parquet's vectored-IO future hard-fails at 300s
     synthesize_transcripts(
-        spark, n_convs=150, max_turns=200, seed=11
-    ).write.mode("overwrite").parquet(p)
+        spark, n_convs=150, max_turns=200, seed=11, span_days=3,
+        n_forced_long=1, forced_long_turns=400,
+    ).coalesce(1).write.mode("overwrite").parquet(p)
     return p
 
 
@@ -43,6 +47,9 @@ def test_spark_submit_py_files_job(transcripts_path, tmp_path):
             "spark-submit", "--master", "local[4]",
             "--conf", "spark.sql.shuffle.partitions=8",
             "--conf", "spark.sql.session.timeZone=UTC",
+            # contended virtio disk: plain positional reads degrade
+            # gracefully where the vectored-IO future times out at 300s
+            "--conf", "spark.hadoop.parquet.hadoop.vectored.io.enabled=false",
             "--py-files", os.path.join(REPO, "dist/feasts_spark.zip"),
             os.path.join(REPO, "jobs/rollup_job.py"),
             "--input", transcripts_path,
