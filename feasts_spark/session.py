@@ -57,6 +57,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # Parquet's vectored-IO read future hard-fails (TimeoutException)
+        # at 300s when the sandbox's shared virtio disk stalls under
+        # cross-tenant load; plain positional reads just run slow. On
+        # cluster NVMe/object stores re-enable via extra_conf.
+        .config("spark.hadoop.parquet.hadoop.vectored.io.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
