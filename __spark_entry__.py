@@ -2575,6 +2575,135 @@ def q_hll_distinct_tiers(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Merged packs + graphics data preps (round 3)
+# ---------------------------------------------------------------------------
+
+def q_cf_tables_1h(spark, sf_dir):
+    """ACF + PACF tables joined on (series_key, lag) — one driver slot for
+    the two correlation tables (acf.R:61-170). Each side keeps its own
+    production operator (acf_table / pacf_table); the join is only the
+    registry packing. Oracled by the same two DuckDB texts joined the
+    same way."""
+    a = q_acf_table_1h(spark, sf_dir)
+    p = q_pacf_table_1h(spark, sf_dir)
+    return a.join(p, ["series_key", "lag"])
+
+
+def _cf_tables_oracle() -> str:
+    return (
+        "SELECT a.series_key, a.lag, a.acf, p.pacf\n"
+        f"FROM ({ORACLE_ACF_1H}) a\n"
+        f"JOIN ({_pacf_oracle()}) p\n"
+        "  ON p.series_key = a.series_key AND p.lag = a.lag"
+    )
+
+
+def q_usage_1h(spark, sf_dir):
+    """Hourly usage pack: exact top-2 event types per (series, bucket)
+    joined with the site-wide per-hour exact distinct-user rollup on the
+    bucket — one driver slot for the two usage aggregates. Each side
+    keeps its own production operator (topk_by_group / distinct_rollup).
+
+    NOTE deliberately NOT merged this way: guerrero + ndiffs. Joining
+    those two SQL texts makes Catalyst's optimizer (constraint
+    propagation over the 31-branch argmin CASE under a join) run for
+    minutes; plain count aggregates like these are safe to pack."""
+    t = q_topk_event_types_1h(spark, sf_dir)
+    a = q_active_users_1h(spark, sf_dir)
+    return t.join(a, "bucket_ts")
+
+
+def _usage_1h_oracle() -> str:
+    return (
+        "SELECT t.bucket_ts, t.series_key, t.event_type, t.cnt, t.rnk,\n"
+        "       a.n_points, a.n_distinct\n"
+        f"FROM ({ORACLE_TOPK_1H}) t\n"
+        f"JOIN ({ORACLE_ACTIVE_USERS}) a ON a.bucket_ts = t.bucket_ts"
+    )
+
+
+def q_gg_season_1d(spark, sf_dir):
+    """Season/subseries plot frame (feasts re-exports gg_season and
+    gg_subseries from ggtime, NAMESPACE:58-60): hourly tier split into
+    daily cycles — cycle = the day, pos = second offset into it — plus
+    the per-(key,pos) season mean that gg_subseries draws as its
+    reference line. The cycle/pos split is pure codegen projection; the
+    mean is the one unavoidable exchange."""
+    from feasts_spark.operators.rollup import rollup_raw
+    from feasts_spark.operators.seasonal import gg_season_data
+
+    _utc(spark)
+    r = rollup_raw(_events(spark, sf_dir), "1h", "user_id", "ts", "value")
+    out = gg_season_data(r, period="1d")
+    return out.select(
+        "series_key",
+        "cycle",
+        "pos",
+        _r4("val").alias("val"),
+        _r4("season_mean").alias("season_mean"),
+    )
+
+
+ORACLE_GG_SEASON_1D = f"""
+WITH r AS (
+  SELECT user_id AS series_key, date_trunc('hour', ts) AS bucket_ts,
+         avg(value) AS v
+  FROM events GROUP BY user_id, date_trunc('hour', ts)
+), g AS (
+  SELECT series_key,
+         date_trunc('day', bucket_ts) AS cycle,
+         CAST(epoch(bucket_ts) - epoch(date_trunc('day', bucket_ts)) AS BIGINT)
+           AS pos,
+         v
+  FROM r
+)
+SELECT series_key, cycle, pos,
+       {_sql_r4('v')} AS val,
+       {_sql_r4('avg(v) OVER (PARTITION BY series_key, pos)')} AS season_mean
+FROM g
+"""
+
+
+def q_gg_lag_1h(spark, sf_dir):
+    """Lag-plot frame (feasts re-exports gg_lag from ggtime,
+    NAMESPACE:58): (y_t, y_t-k) pairs for k = 1..3 over the hourly tier.
+    One ordered window pass (Catalyst fuses the per-lag columns into a
+    single Window node) + explode."""
+    from feasts_spark.operators.rollup import rollup_raw
+    from feasts_spark.operators.seasonal import gg_lag_data
+
+    _utc(spark)
+    r = rollup_raw(_events(spark, sf_dir), "1h", "user_id", "ts", "value")
+    out = gg_lag_data(r, lags=(1, 2, 3))
+    return out.select(
+        "series_key",
+        F.col("lag").cast("long").alias("lag"),
+        F.col("rn").cast("long").alias("rn"),
+        _r4("val").alias("val"),
+        _r4("val_lag").alias("val_lag"),
+    )
+
+
+ORACLE_GG_LAG_1H = f"""
+WITH r AS (
+  SELECT user_id AS series_key, date_trunc('hour', ts) AS bucket_ts,
+         avg(value) AS v
+  FROM events GROUP BY user_id, date_trunc('hour', ts)
+), s AS (
+  SELECT series_key, v,
+         row_number() OVER (PARTITION BY series_key ORDER BY bucket_ts) AS rn
+  FROM r
+), l AS (SELECT unnest(generate_series(1, 3)) AS lag)
+SELECT a.series_key, l.lag, a.rn,
+       {_sql_r4('a.v')} AS val,
+       {_sql_r4('b.v')} AS val_lag
+FROM s a
+CROSS JOIN l
+JOIN s b ON b.series_key = a.series_key AND b.rn = a.rn - l.lag
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -2614,8 +2743,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_1d": q_anomaly_1d,
         "rollup_cascade": q_rollup_cascade,
         "gapfill_1d": q_gapfill_1d,
-        "acf_table_1h": q_acf_table_1h,
-        "pacf_table_1h": q_pacf_table_1h,
+        "cf_tables_1h": q_cf_tables_1h,
+        "gg_season_1d": q_gg_season_1d,
+        "gg_lag_1h": q_gg_lag_1h,
         "sql_features_basic": q_sql_features_basic,
         "shift_features": q_shift_features,
         "asof_enrich_1h": q_asof_enrich_1h,
@@ -2644,8 +2774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unitroot_sql_1d": q_unitroot_sql_1d,
         "acf_features_1h": q_acf_features_1h,
         "transcript_integrity": q_transcript_integrity,
-        "topk_event_types_1h": q_topk_event_types_1h,
-        "active_users_1h": q_active_users_1h,
+        "usage_1h": q_usage_1h,
         "activity_episodes_1h": q_activity_episodes_1h,
         "interval_join_1h": q_interval_join_1h,
         # --- rows-only, first driver evidence this round ---
@@ -2684,8 +2813,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "gapfill_1d": _gapfill_1d_oracle(),
         "lttb_1h": ORACLE_LTTB_1H,
-        "acf_table_1h": ORACLE_ACF_1H,
-        "pacf_table_1h": _pacf_oracle(),
+        "cf_tables_1h": _cf_tables_oracle(),
+        "gg_season_1d": ORACLE_GG_SEASON_1D,
+        "gg_lag_1h": ORACLE_GG_LAG_1H,
         "sql_features_basic": _sql_features_basic_oracle(),
         "shift_features": _shift_features_oracle(),
         "asof_enrich_1h": ORACLE_ASOF_1H,
@@ -2711,8 +2841,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _oracle_simhash_pairs(),
         "unitroot_sql_1d": _unitroot_sql_oracle(),
         "transcript_integrity": ORACLE_TRANSCRIPT_INTEGRITY,
-        "topk_event_types_1h": ORACLE_TOPK_1H,
-        "active_users_1h": ORACLE_ACTIVE_USERS,
+        "usage_1h": _usage_1h_oracle(),
         "activity_episodes_1h": ORACLE_EPISODES_1H,
         "interval_join_1h": ORACLE_INTERVAL_JOIN_1H,
         "acf_features_1h": __import__(
