@@ -142,6 +142,17 @@ def main() -> None:
             turn_digest(tr),
     })
 
+    from feasts_spark.operators.seasonal import gg_lag_data, gg_season_data
+
+    plans.update({
+        "gg_season_data (+1 exchange over the input rollup: the (key,pos) mean window)":
+            gg_season_data(r1h, period="1d"),
+        "gg_season_data no-mean (+0 exchanges over the input rollup: pure projection)":
+            gg_season_data(r1h, period="1d", with_season_mean=False),
+        "gg_lag_data (+1 exchange: per-lag F.lag fused into ONE Window pass + explode)":
+            gg_lag_data(r1h, lags=(1, 2, 3)),
+    })
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
