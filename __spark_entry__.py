@@ -2566,8 +2566,8 @@ def q_hll_distinct_tiers(spark, sf_dir):
     """DataSketches HLL distinct-user estimates cascaded 1m -> 1h -> 1d
     from one raw scan (operators/distinct.py). Rows-only: sketch
     estimates are engine-specific by design; the exact-path twin
-    active_users_1h is oracled, and pytest bounds the estimate error and
-    asserts cascade determinism."""
+    (distinct_rollup, inside the usage_1h pack) is oracled, and pytest
+    bounds the estimate error and asserts cascade determinism."""
     from feasts_spark.operators.distinct import hll_distinct_tiers
 
     _utc(spark)
