@@ -2363,6 +2363,141 @@ def _text_pack_oracle() -> str:
     )
 
 
+def q_repetition_docs(spark, sf_dir):
+    """Gopher-style within-document repetition quality features (duplicate
+    n-gram fraction + top-n-gram char coverage for n=2,3) over the full
+    documents table — exact DuckDB twin below."""
+    from feasts_spark.operators.text import repetition_scores
+
+    _utc(spark)
+    return repetition_scores(_docs(spark, sf_dir), ns=(2, 3))
+
+
+def _repetition_oracle() -> str:
+    per_n = []
+    for n in (2, 3):
+        per_n.append(f"""
+g{n} AS (
+  SELECT doc_id, array_to_string(t[k:k+{n - 1}], ' ') AS gram
+  FROM toks CROSS JOIN dims
+  WHERE k <= greatest(len(t) - {n - 1}, 1)
+), c{n} AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM g{n} GROUP BY 1, 2
+), top{n} AS (
+  SELECT doc_id, gram, cnt FROM (
+    SELECT doc_id, gram, cnt,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, gram ASC) AS rn
+    FROM c{n}
+  ) WHERE rn = 1
+), p{n} AS (
+  SELECT c.doc_id,
+         CAST(sum(c.cnt) AS BIGINT) AS total_{n}grams,
+         floor((1.0 - count(*) / sum(c.cnt)) * 1e4 + 0.500001::DOUBLE) / 1e4
+           AS dup_{n}gram_frac,
+         any_value(tp.gram) AS top_{n}gram,
+         CAST(any_value(tp.cnt) AS BIGINT) AS top_{n}gram_count
+  FROM c{n} c JOIN top{n} tp USING (doc_id)
+  GROUP BY 1
+)""")
+    return (
+        r"""WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t,
+         length(regexp_replace(trim(lower(text)), '\s+', '', 'g')) AS wc
+  FROM documents
+), dims AS (
+  SELECT unnest(generate_series(1, (SELECT max(len(t)) FROM toks))) AS k
+),"""
+        + ",".join(per_n)
+        + """
+SELECT toks.doc_id,
+       p2.total_2grams, p2.dup_2gram_frac, p2.top_2gram, p2.top_2gram_count,
+       floor((p2.top_2gram_count
+              * length(regexp_replace(p2.top_2gram, '\\s+', '', 'g'))
+              / greatest(wc, 1)) * 1e4 + 0.500001::DOUBLE) / 1e4
+         AS top_2gram_char_frac,
+       p3.total_3grams, p3.dup_3gram_frac, p3.top_3gram, p3.top_3gram_count,
+       floor((p3.top_3gram_count
+              * length(regexp_replace(p3.top_3gram, '\\s+', '', 'g'))
+              / greatest(wc, 1)) * 1e4 + 0.500001::DOUBLE) / 1e4
+         AS top_3gram_char_frac
+FROM toks JOIN p2 USING (doc_id) JOIN p3 USING (doc_id)"""
+    )
+
+
+def q_contamination(spark, sf_dir):
+    """Train/eval n-gram contamination: eval slice = doc_id % 17 == 0,
+    train = the rest; per-eval-doc fraction of distinct word 3-grams found
+    anywhere in the train corpus (GPT-3-style decontamination overlap)."""
+    from feasts_spark.operators.dedup import ngram_containment
+
+    _utc(spark)
+    d = _docs(spark, sf_dir)
+    ev = d.filter(F.col("doc_id") % 17 == 0)
+    tr = d.filter(F.col("doc_id") % 17 != 0)
+    out = ngram_containment(ev, tr, n=3)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        "containment",
+    )
+
+
+ORACLE_CONTAMINATION = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), dims AS (
+  SELECT unnest(generate_series(1, (SELECT max(len(t)) FROM toks))) AS k
+), eg AS (
+  SELECT DISTINCT doc_id, array_to_string(t[k:k+2], ' ') AS gram
+  FROM toks CROSS JOIN dims
+  WHERE doc_id % 17 = 0 AND k <= greatest(len(t) - 2, 1)
+), tg AS (
+  SELECT DISTINCT array_to_string(t[k:k+2], ' ') AS gram
+  FROM toks CROSS JOIN dims
+  WHERE doc_id % 17 <> 0 AND k <= greatest(len(t) - 2, 1)
+), tot AS (
+  SELECT doc_id, count(*) AS n_grams FROM eg GROUP BY 1
+), hit AS (
+  SELECT doc_id, count(*) AS n_hits FROM eg
+  WHERE gram IN (SELECT gram FROM tg) GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(t.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       floor(coalesce(h.n_hits, 0) / t.n_grams * 1e4 + 0.500001::DOUBLE) / 1e4
+         AS containment
+FROM tot t LEFT JOIN hit h USING (doc_id)
+"""
+
+
+def q_cointegration_1h(spark, sf_dir):
+    """Johansen + Phillips-Ouliaris cointegration of each user's paired
+    hourly series, merged on series_key into one registry slot (both
+    rows-only: eigen decompositions + MC critical tables; exactness pinned
+    in tests/test_cointegration.py)."""
+    j = q_johansen_1h(spark, sf_dir)
+    p = q_phillips_ouliaris_1h(spark, sf_dir)
+    return j.join(p, "series_key")
+
+
+def q_tapered_cf_1h(spark, sf_dir):
+    """Tapered/banded ACF (acf.R:252-300) and tapered PACF (acf.R:118-138)
+    as one tagged union (rows-only: eigenvalue shrinkage is not
+    SQL-expressible; golden tests pin the kernels)."""
+    a = q_tacf_1h(spark, sf_dir).select(
+        "series_key", F.lit("tacf").alias("kind"), "lag",
+        F.col("acf").alias("value"),
+    )
+    b = q_pacf_tapered_1h(spark, sf_dir).select(
+        "series_key", F.lit("pacf_tapered").alias("kind"), "lag",
+        F.col("pacf").alias("value"),
+    )
+    return a.unionByName(b)
+
+
 def q_gapfill_1d(spark, sf_dir):
     """LOCF and linear gap-fill over the daily tier in one registry row,
     joined on the (series, bucket) grid both fills share."""
@@ -2726,7 +2861,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (the round driver checks a prefix):
-    the 42 DuckDB-oracled queries come first, then the rows-only queries
+    the 44 DuckDB-oracled queries come first, then the rows-only queries
     whose only driver evidence is this round (cointegration, MSTL,
     supsmu, bootstrap, tapered ACF/PACF, multimodal), and last the
     rows-only queries that already have r01+r02 driver rows AND stronger
@@ -2769,6 +2904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_rollup_1m": q_salted_rollup_1m,
         "heavy_keys": q_heavy_keys,
         "text_pack": q_text_pack,
+        "repetition_docs": q_repetition_docs,
+        "contamination": q_contamination,
         "guerrero_1d": q_guerrero_1d,
         "unitroot_1d": q_unitroot_1d,
         "unitroot_sql_1d": q_unitroot_sql_1d,
@@ -2777,14 +2914,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "usage_1h": q_usage_1h,
         "activity_episodes_1h": q_activity_episodes_1h,
         "interval_join_1h": q_interval_join_1h,
-        # --- rows-only, first driver evidence this round ---
-        "johansen_1h": q_johansen_1h,
-        "phillips_ouliaris_1h": q_phillips_ouliaris_1h,
+        # --- rows-only, first driver evidence this round (sibling stats
+        # merged on their natural key so all of them fit the window) ---
+        "cointegration_1h": q_cointegration_1h,
         "stl_multi_1h": q_stl_multi_1h,
         "supsmu_trend_1d": q_supsmu_trend_1d,
         "stl_generate_1d": q_stl_generate_1d,
-        "tacf_1h": q_tacf_1h,
-        "pacf_tapered_1h": q_pacf_tapered_1h,
+        "tapered_cf_1h": q_tapered_cf_1h,
         "multimodal_features": q_multimodal_features,
         # --- rows-only with r01+r02 driver rows + independent evidence ---
         "stl_components_1d": q_stl_components_1d,
@@ -2838,6 +2974,8 @@ def oracle_sql() -> dict[str, str]:
         "salted_rollup_1m": _cascade_oracle("minute"),
         "heavy_keys": ORACLE_HEAVY_KEYS,
         "text_pack": _text_pack_oracle(),
+        "repetition_docs": _repetition_oracle(),
+        "contamination": ORACLE_CONTAMINATION,
         "simhash_pairs": _oracle_simhash_pairs(),
         "unitroot_sql_1d": _unitroot_sql_oracle(),
         "transcript_integrity": ORACLE_TRANSCRIPT_INTEGRITY,
@@ -2854,8 +2992,8 @@ def oracle_sql() -> dict[str, str]:
             "feasts_spark.functions.sql_features", fromlist=["ndiffs_sql"]
         ).ndiffs_sql(),
         # stl_components_1d, feature_pack(_multi), stl_multi_1h,
-        # supsmu_trend_1d, stl_generate_1d, johansen_1h,
-        # phillips_ouliaris_1h, tacf_1h, pacf_tapered_1h: non-SQL-
+        # supsmu_trend_1d, stl_generate_1d, cointegration_1h,
+        # tapered_cf_1h: non-SQL-
         # expressible (iterated loess, optimizers, eigen decompositions,
         # seeded bootstrap) — rows-only checks; exactness via golden
         # pytest suite. minhash/ann/multimodal: hash-banding + env-stubbed

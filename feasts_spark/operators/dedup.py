@@ -155,6 +155,60 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_containment(
+    eval_df: DataFrame,
+    train_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Train/eval contamination check: for each eval document, the fraction
+    of its distinct word n-grams that occur anywhere in the training corpus
+    (the n-gram-overlap decontamination test of GPT-3 appendix C / the Pile,
+    with word n-grams).
+
+    Returns (doc_id, n_grams, n_hits, containment). Plan shape: distinct
+    grams per eval doc (one shuffle on (doc, gram)), global distinct train
+    grams (one shuffle on gram), left-semi join eval->train on gram, per-doc
+    count. The train side is reduced to DISTINCT grams before the join, so
+    its size is vocabulary-bounded, not corpus-bounded; AQE broadcasts it
+    when small and shuffle-joins on gram otherwise — at 100 TB you would
+    additionally pre-bucket both sides by gram or insert a bloom filter,
+    but the join key and reduction are already the scale-correct ones.
+    An eval doc with zero hits still gets a row (containment 0.0).
+    """
+    toks = tokenize_expr(text_col)
+    gram_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    eval_grams = eval_df.select(
+        F.col(id_col).alias("doc_id"), F.explode(gram_arr).alias("gram")
+    )
+    train_grams = (
+        train_df.select(F.explode(gram_arr).alias("gram")).distinct()
+    )
+    totals = eval_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        eval_grams.join(train_grams, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+        .withColumn(
+            "containment",
+            F.floor(
+                F.col("n_hits") / F.col("n_grams") * 1e4 + F.lit(0.500001)
+            )
+            / 1e4,
+        )
+    )
+
+
 def _minhash_params(num_perm: int, seed: int = 42):
     """(a, b) for h_i(x) = (a_i*x + b_i) mod 2^64 with odd a_i.
 

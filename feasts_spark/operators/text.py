@@ -6,9 +6,10 @@ and pushes the column pruning down to the parquet scan. Every operator has
 an exact DuckDB-SQL twin in __spark_entry__.oracle_sql().
 
 Operators: BPE-ish token counting, stopword-score language ID, quality
-scoring (length/punct/stopword ratios), min-hash document fingerprinting
-(8-char shingles -> lexicographic-min md5; the single-hash degenerate case
-of the MinHash family in operators.dedup).
+scoring (length/punct/stopword ratios), within-document repetition
+features (Gopher-style duplicate/top n-gram fractions), min-hash document
+fingerprinting (8-char shingles -> lexicographic-min md5; the single-hash
+degenerate case of the MinHash family in operators.dedup).
 """
 
 from __future__ import annotations
@@ -119,6 +120,91 @@ def quality_scores(
         (F.floor(punct_ratio * 1e4 + F.lit(0.500001)) / 1e4).alias("punct_ratio"),
         q4.alias("quality_score"),
     )
+
+
+def _word_grams(text_col: str, n: int):
+    """Word n-grams (space-joined) over whitespace tokens of the trimmed,
+    lowercased text — the same shingle idiom as operators.dedup."""
+    toks = _tokens(text_col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def repetition_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Within-document repetition features (the Gopher / MassiveText
+    repetition quality filters, Rae et al. 2021 §A1.1, adapted to word
+    n-grams): for each n in `ns`,
+
+      - ``dup_{n}gram_frac``      — fraction of n-gram occurrences that are
+        repeats of an earlier occurrence (1 - distinct/total),
+      - ``top_{n}gram``           — the most frequent n-gram (ties break to
+        the lexicographically smallest, deterministically in both engines),
+      - ``top_{n}gram_char_frac`` — fraction of the document's non-space
+        characters covered by occurrences of that top n-gram
+        (count * chars(gram) / chars(doc)).
+
+    Plan shape (per n): explode grams -> groupBy (doc, gram) count (one
+    shuffle, map-side partial agg) -> groupBy doc with a single struct-min
+    aggregate that yields total/distinct/top in the same pass (min of
+    (-count, gram) is (max count, lex-smallest gram)) -> per-doc scalar
+    join back on id. No window, no Python, all whole-stage codegen; at
+    100 TB the shuffles are keyed on (doc, gram) so hot grams inside one
+    huge doc still land in one group — bounded by doc length, not corpus
+    size. High dup fractions are the standard "remove repetitive
+    boilerplate/generation loops" training-data filter.
+    """
+    word_chars = F.length(
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", "")
+    )
+    out = df.select(F.col(id_col).alias("doc_id"), word_chars.alias("_wc"))
+    for n in ns:
+        grams = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_word_grams(text_col, n)).alias("gram"),
+        )
+        counts = grams.groupBy("doc_id", "gram").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        per_doc = counts.groupBy("doc_id").agg(
+            F.sum("cnt").alias("_total"),
+            F.count(F.lit(1)).alias("_distinct"),
+            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("gram"))).alias("_m"),
+        )
+        per_doc = per_doc.select(
+            "doc_id",
+            F.col("_total").alias(f"total_{n}grams"),
+            (
+                F.floor(
+                    (F.lit(1.0) - F.col("_distinct") / F.col("_total")) * 1e4
+                    + F.lit(0.500001)
+                )
+                / 1e4
+            ).alias(f"dup_{n}gram_frac"),
+            F.col("_m.gram").alias(f"top_{n}gram"),
+            (-F.col("_m.nc")).alias(f"top_{n}gram_count"),
+        )
+        out = out.join(per_doc, "doc_id")
+        out = out.withColumn(
+            f"top_{n}gram_char_frac",
+            F.floor(
+                (
+                    F.col(f"top_{n}gram_count")
+                    * F.length(F.regexp_replace(F.col(f"top_{n}gram"), r"\s+", ""))
+                    / F.greatest(F.col("_wc"), F.lit(1))
+                )
+                * 1e4
+                + F.lit(0.500001)
+            )
+            / 1e4,
+        )
+    return out.drop("_wc")
 
 
 def fingerprints(

@@ -5,10 +5,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from feasts_spark.operators.similarity import ann_lsh_topk, brute_force_topk
+from feasts_spark.operators.dedup import ngram_containment
 from feasts_spark.operators.text import (
     fingerprints,
     language_scores,
     quality_scores,
+    repetition_scores,
     token_stats,
 )
 
@@ -88,6 +90,56 @@ class TestText:
         )
         out = quality_scores(df).orderBy("doc_id").toPandas()
         assert out.loc[0, "quality_score"] > out.loc[1, "quality_score"]
+
+    def test_repetition_hand_computed(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a b a b a c"), (1, "x y z")], "doc_id long, text string"
+        )
+        out = repetition_scores(df).orderBy("doc_id").toPandas()
+        # doc 0: 2-grams [ab, ba, ab, ba, ac] -> total 5, distinct 3;
+        # tie at count 2 breaks to lexicographically smallest "a b"
+        assert out.loc[0, "total_2grams"] == 5
+        assert out.loc[0, "dup_2gram_frac"] == pytest.approx(0.4)
+        assert out.loc[0, "top_2gram"] == "a b"
+        assert out.loc[0, "top_2gram_count"] == 2
+        # 2 occurrences x 2 chars ("ab") / 6 word chars
+        assert out.loc[0, "top_2gram_char_frac"] == pytest.approx(0.6667)
+        # doc 0: 3-grams [aba, bab, aba, bac] -> "a b a" twice, covers all
+        assert out.loc[0, "dup_3gram_frac"] == pytest.approx(0.25)
+        assert out.loc[0, "top_3gram"] == "a b a"
+        assert out.loc[0, "top_3gram_char_frac"] == pytest.approx(1.0)
+        # doc 1: no repeats; short-doc 3-gram degenerates to the whole text
+        assert out.loc[1, "dup_2gram_frac"] == pytest.approx(0.0)
+        assert out.loc[1, "total_3grams"] == 1
+        assert out.loc[1, "top_3gram_char_frac"] == pytest.approx(1.0)
+
+    def test_repetition_bounds_on_corpus(self, spark, docs):
+        out = repetition_scores(docs).toPandas()
+        assert len(out) == docs.count()
+        for c in ("dup_2gram_frac", "dup_3gram_frac",
+                  "top_2gram_char_frac", "top_3gram_char_frac"):
+            assert (out[c] >= 0).all() and (out[c] <= 1).all(), c
+        # this synthetic corpus draws ~60 tokens from a ~40-word vocabulary:
+        # 2-gram repetition must actually trigger somewhere
+        assert (out["dup_2gram_frac"] > 0).any()
+
+    def test_containment_hand_computed(self, spark):
+        ev = spark.createDataFrame(
+            [(0, "a b c d"), (1, "q r s t")], "doc_id long, text string"
+        )
+        tr = spark.createDataFrame(
+            [(100, "z z a b c")], "doc_id long, text string"
+        )
+        out = (
+            ngram_containment(ev, tr, n=3).orderBy("doc_id").toPandas()
+        )
+        # doc 0 grams {abc, bcd}; train has abc -> 1/2
+        assert out.loc[0, "n_grams"] == 2
+        assert out.loc[0, "n_hits"] == 1
+        assert out.loc[0, "containment"] == pytest.approx(0.5)
+        # doc 1: zero hits still yields a row with containment 0
+        assert out.loc[1, "n_hits"] == 0
+        assert out.loc[1, "containment"] == pytest.approx(0.0)
 
     def test_fingerprint_stability(self, spark, docs):
         a = fingerprints(docs).orderBy("doc_id").toPandas()
