@@ -2473,6 +2473,100 @@ FROM tot t LEFT JOIN hit h USING (doc_id)
 """
 
 
+CURATION_FRACTIONS = {"en": 0.5, "zh": 0.8, "es": 0.8, "de": 0.8, "fr": 0.8}
+CURATION_BUDGET = 800  # tokens per source; sf0.01 sources carry ~1.1-1.6k
+
+
+def q_curation_pack(spark, sf_dir):
+    """Corpus-curation pack, one doc_id-keyed row: deterministic stratified
+    sampling flags (seeded md5-uniform per lang), per-source token-budget
+    capping (highest quality_score first), and cross-document duplicated
+    4-token-span stats (Lee et al. 2021-style substring dedup summary).
+    Each component keeps its own plan (sampler is shuffle-free; budget is
+    one source-keyed window; spans are two gram-keyed aggregates + a
+    fan-out-proof semi join); the merge joins per-doc scalars on doc_id."""
+    from feasts_spark.operators.curation import (
+        stratified_sample,
+        token_budget_cap,
+    )
+    from feasts_spark.operators.dedup import dup_span_stats
+
+    _utc(spark)
+    d = _docs(spark, sf_dir)
+    samp = stratified_sample(
+        d, CURATION_FRACTIONS, strata_col="lang", default_fraction=0.25
+    ).select(
+        "doc_id",
+        "lang",
+        (F.floor(F.col("sample_u") * 1e4 + F.lit(0.500001)) / 1e4).alias(
+            "sample_u"
+        ),
+        "sampled",
+    )
+    cap = token_budget_cap(d, budget_tokens=CURATION_BUDGET)
+    spans = dup_span_stats(d, n=4)
+    return samp.join(cap, "doc_id").join(spans, "doc_id")
+
+
+def _curation_oracle() -> str:
+    frac_case = " ".join(
+        f"WHEN '{k}' THEN {v}::DOUBLE" for k, v in CURATION_FRACTIONS.items()
+    )
+    return f"""
+WITH q AS ({ORACLE_QUALITY}),
+base AS (
+  SELECT d.doc_id, d.lang, d.source,
+         len(regexp_split_to_array(trim(lower(d.text)), '\\s+')) AS n_tokens,
+         q.quality_score,
+         ('0x' || substr(md5('42|' || d.doc_id), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents d JOIN q USING (doc_id)
+),
+cap AS (
+  SELECT doc_id,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY quality_score DESC, doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM base
+),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+dims AS (
+  SELECT unnest(generate_series(1, (SELECT max(len(t)) FROM toks))) AS k
+),
+g AS (
+  SELECT doc_id, array_to_string(t[k:k+3], ' ') AS gram
+  FROM toks CROSS JOIN dims
+  WHERE k <= greatest(len(t) - 3, 1)
+),
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+sh AS (SELECT gram FROM c GROUP BY gram HAVING count(*) >= 2),
+dup AS (
+  SELECT doc_id, sum(cnt) AS n_dup FROM c
+  WHERE gram IN (SELECT gram FROM sh) GROUP BY 1
+),
+tot AS (SELECT doc_id, sum(cnt) AS n_win FROM c GROUP BY 1)
+SELECT b.doc_id, b.lang,
+       floor(b.u * 1e4 + 0.500001::DOUBLE) / 1e4 AS sample_u,
+       CASE WHEN b.u < (CASE b.lang {frac_case} ELSE 0.25::DOUBLE END)
+            THEN 1 ELSE 0 END AS sampled,
+       b.source, CAST(b.n_tokens AS BIGINT) AS n_tokens, b.quality_score,
+       cap.cum_tokens,
+       CASE WHEN cap.cum_tokens <= {CURATION_BUDGET} THEN 1 ELSE 0 END
+         AS kept_by_budget,
+       CAST(tot.n_win AS BIGINT) AS n_windows,
+       CAST(coalesce(dup.n_dup, 0) AS BIGINT) AS n_dup_windows,
+       floor(coalesce(dup.n_dup, 0) / tot.n_win * 1e4 + 0.500001::DOUBLE)
+         / 1e4 AS dup_span_frac
+FROM base b
+JOIN cap USING (doc_id)
+JOIN tot USING (doc_id)
+LEFT JOIN dup USING (doc_id)
+"""
+
+
 def q_cointegration_1h(spark, sf_dir):
     """Johansen + Phillips-Ouliaris cointegration of each user's paired
     hourly series, merged on series_key into one registry slot (both
@@ -2481,6 +2575,27 @@ def q_cointegration_1h(spark, sf_dir):
     j = q_johansen_1h(spark, sf_dir)
     p = q_phillips_ouliaris_1h(spark, sf_dir)
     return j.join(p, "series_key")
+
+
+def q_stl_daily_1d(spark, sf_dir):
+    """Daily-tier non-seasonal decomposition (supsmu trend, stl.R:80) and
+    seeded moving-block-bootstrap replicates (stl.R:171-197) as one tagged
+    union keyed (series_key, kind, rep, bucket_ts) — rows-only siblings
+    merged so both keep driver evidence inside the checked window."""
+    s = q_supsmu_trend_1d(spark, sf_dir)
+    a = s.select(
+        "series_key", F.lit("supsmu_trend").alias("kind"),
+        F.lit(0).alias("rep"), "bucket_ts", F.col("trend").alias("value"),
+    )
+    b = s.select(
+        "series_key", F.lit("supsmu_remainder").alias("kind"),
+        F.lit(0).alias("rep"), "bucket_ts", F.col("remainder").alias("value"),
+    )
+    g = q_stl_generate_1d(spark, sf_dir).select(
+        "series_key", F.lit("mbb_sim").alias("kind"),
+        "rep", "bucket_ts", F.col("sim").alias("value"),
+    )
+    return a.unionByName(b).unionByName(g)
 
 
 def q_tapered_cf_1h(spark, sf_dir):
@@ -2861,7 +2976,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (the round driver checks a prefix):
-    the 44 DuckDB-oracled queries come first, then the rows-only queries
+    the 45 DuckDB-oracled queries come first, then the rows-only queries
     whose only driver evidence is this round (cointegration, MSTL,
     supsmu, bootstrap, tapered ACF/PACF, multimodal), and last the
     rows-only queries that already have r01+r02 driver rows AND stronger
@@ -2906,6 +3021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack": q_text_pack,
         "repetition_docs": q_repetition_docs,
         "contamination": q_contamination,
+        "curation_pack": q_curation_pack,
         "guerrero_1d": q_guerrero_1d,
         "unitroot_1d": q_unitroot_1d,
         "unitroot_sql_1d": q_unitroot_sql_1d,
@@ -2918,8 +3034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # merged on their natural key so all of them fit the window) ---
         "cointegration_1h": q_cointegration_1h,
         "stl_multi_1h": q_stl_multi_1h,
-        "supsmu_trend_1d": q_supsmu_trend_1d,
-        "stl_generate_1d": q_stl_generate_1d,
+        "stl_daily_1d": q_stl_daily_1d,
         "tapered_cf_1h": q_tapered_cf_1h,
         "multimodal_features": q_multimodal_features,
         # --- rows-only with r01+r02 driver rows + independent evidence ---
@@ -2976,6 +3091,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pack": _text_pack_oracle(),
         "repetition_docs": _repetition_oracle(),
         "contamination": ORACLE_CONTAMINATION,
+        "curation_pack": _curation_oracle(),
         "simhash_pairs": _oracle_simhash_pairs(),
         "unitroot_sql_1d": _unitroot_sql_oracle(),
         "transcript_integrity": ORACLE_TRANSCRIPT_INTEGRITY,
@@ -2992,7 +3108,7 @@ def oracle_sql() -> dict[str, str]:
             "feasts_spark.functions.sql_features", fromlist=["ndiffs_sql"]
         ).ndiffs_sql(),
         # stl_components_1d, feature_pack(_multi), stl_multi_1h,
-        # supsmu_trend_1d, stl_generate_1d, cointegration_1h,
+        # stl_daily_1d, cointegration_1h,
         # tapered_cf_1h: non-SQL-
         # expressible (iterated loess, optimizers, eigen decompositions,
         # seeded bootstrap) — rows-only checks; exactness via golden

@@ -209,6 +209,74 @@ def ngram_containment(
     )
 
 
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Cross-document duplicated-span statistics: for each document, how
+    much of it consists of n-token windows that also appear in at least one
+    OTHER document (the document-level summary of substring-dedup a la Lee
+    et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", with fixed-width token windows standing in for suffix-array
+    matches).
+
+    Returns (doc_id, n_windows, n_dup_windows, dup_span_frac) where a
+    window is "dup" iff its exact n-token text occurs in >= 2 distinct
+    documents. Complements repetition_scores (WITHIN-doc repeats): a doc
+    can be internally clean yet largely copied from elsewhere — this is
+    the filter that catches mirrored/boilerplate content.
+
+    Plan shape: explode windows with multiplicity -> groupBy (doc, gram)
+    count (one shuffle, map-side combine) -> gram doc-frequency from those
+    counts (second shuffle, keyed on gram) -> LEFT SEMI join back on gram
+    -> per-doc sums. The semi join cannot fan out (one output row per
+    (doc, gram) at most) no matter how hot a window is, so — unlike a
+    candidate-pair self-join — there is no quadratic blow-up on boilerplate;
+    cost is linear in corpus token count. At 100 TB you would hash the gram
+    to a fixed-width key (xxhash64) to shrink the two gram-keyed shuffles;
+    kept as text here so the DuckDB twin is exact.
+    """
+    toks = tokenize_expr(text_col)
+    windows = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    g = df.select(F.col(id_col).alias("doc_id"), F.explode(windows).alias("gram"))
+    c = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    shared = (
+        c.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("gram")
+    )
+    dup = (
+        c.join(shared, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n_dup_windows"))
+    )
+    totals = c.groupBy("doc_id").agg(F.sum("cnt").alias("n_windows"))
+    return (
+        totals.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_span_frac",
+            F.floor(
+                F.col("n_dup_windows") / F.col("n_windows") * 1e4
+                + F.lit(0.500001)
+            )
+            / 1e4,
+        )
+    )
+
+
 def _minhash_params(num_perm: int, seed: int = 42):
     """(a, b) for h_i(x) = (a_i*x + b_i) mod 2^64 with odd a_i.
 

@@ -1,0 +1,127 @@
+"""Curation operators: deterministic sampling, token budgets, dup spans."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feasts_spark.operators.curation import (
+    sample_uniform,
+    stratified_sample,
+    token_budget_cap,
+)
+from feasts_spark.operators.dedup import dup_span_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+class TestStratifiedSample:
+    def test_uniform_matches_duckdb(self, spark):
+        """The md5-prefix uniform must be the exact cross-engine value
+        (pinned against DuckDB's ('0x'||substr(md5(...),1,8))::BIGINT)."""
+        df = spark.range(5).select(F.col("id").alias("doc_id"))
+        out = {
+            r["doc_id"]: r["u"]
+            for r in df.select(
+                "doc_id", sample_uniform("doc_id", seed=42).alias("u")
+            ).collect()
+        }
+        assert out[0] == pytest.approx(0.7199947119224817, abs=1e-12)
+        assert out[4] == pytest.approx(0.03761036950163543, abs=1e-12)
+
+    def test_deterministic_and_partition_invariant(self, spark, docs):
+        frac = {"en": 0.5, "de": 0.8}
+        a = stratified_sample(docs, frac).select("doc_id", "sampled")
+        b = stratified_sample(docs.repartition(13), frac).select(
+            "doc_id", "sampled"
+        )
+        assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+    def test_fraction_respected(self, spark):
+        df = spark.range(4000).select(
+            F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+        )
+        out = stratified_sample(df, {"en": 0.25})
+        rate = out.agg(F.avg("sampled")).first()[0]
+        assert rate == pytest.approx(0.25, abs=0.03)
+
+    def test_default_fraction_for_unknown_stratum(self, spark):
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"), F.lit("xx").alias("lang")
+        )
+        none_kept = stratified_sample(df, {"en": 1.0})  # default 0.0
+        assert none_kept.agg(F.sum("sampled")).first()[0] == 0
+        all_kept = stratified_sample(df, {"en": 0.0}, default_fraction=1.0)
+        assert all_kept.agg(F.sum("sampled")).first()[0] == 100
+
+    def test_no_shuffle_in_plan(self, spark, docs):
+        plan = stratified_sample(docs, {"en": 0.5})._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestTokenBudgetCap:
+    def test_hand_computed(self, spark):
+        # quality ordering within src: longer docs score higher (length
+        # score dominates below 64 tokens; all-letter words, no punct)
+        rows = [
+            (0, "s", "alpha beta gamma delta epsilon zeta"),        # 6 tok
+            (1, "s", "alpha beta gamma delta"),                     # 4 tok
+            (2, "s", "alpha beta"),                                 # 2 tok
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = (
+            token_budget_cap(df, budget_tokens=10)
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        assert list(out["cum_tokens"]) == [6, 10, 12]
+        assert list(out["kept_by_budget"]) == [1, 1, 0]
+
+    def test_budget_is_per_source(self, spark):
+        rows = [(i, f"s{i % 2}", "w " * 5) for i in range(8)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = token_budget_cap(df, budget_tokens=12).toPandas()
+        # each source holds 4 docs x 5-6 tokens; exactly 2 fit 12 tokens
+        kept = out.groupby("source")["kept_by_budget"].sum()
+        assert (kept == 2).all()
+
+    def test_deterministic_under_repartition(self, spark, docs):
+        a = token_budget_cap(docs, 500).select("doc_id", "kept_by_budget")
+        b = token_budget_cap(docs.repartition(17), 500).select(
+            "doc_id", "kept_by_budget"
+        )
+        assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+
+class TestDupSpans:
+    def test_hand_computed(self, spark):
+        rows = [
+            (0, "one two three four five"),   # windows(3): 3, shares 1st w/ doc1
+            (1, "one two three zz qq"),       # shares "one two three"
+            (2, "aa bb cc dd"),               # nothing shared
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dup_span_stats(df, n=3).orderBy("doc_id").toPandas()
+        assert list(out["n_windows"]) == [3, 3, 2]
+        assert list(out["n_dup_windows"]) == [1, 1, 0]
+        assert out.loc[0, "dup_span_frac"] == pytest.approx(0.3333)
+        assert out.loc[2, "dup_span_frac"] == pytest.approx(0.0)
+
+    def test_within_doc_repeat_not_counted(self, spark):
+        # "x y z" twice inside ONE doc is internal repetition, not a
+        # cross-document duplicated span
+        df = spark.createDataFrame(
+            [(0, "x y z x y z"), (1, "p q r s")], "doc_id long, text string"
+        )
+        out = dup_span_stats(df, n=3).orderBy("doc_id").toPandas()
+        assert out.loc[0, "n_dup_windows"] == 0
+
+    def test_corpus_signal(self, spark, docs):
+        out = dup_span_stats(docs, n=4).toPandas()
+        assert len(out) == docs.count()
+        assert (out["dup_span_frac"] >= 0).all()
+        assert (out["dup_span_frac"] <= 1).all()
+        # the synthetic template-y corpus must share some 4-grams
+        assert (out["n_dup_windows"] > 0).any()
