@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 SIMHASH_BITS = 60  # md5 15-hex-char prefix: parseable to int64 in both engines
 
@@ -228,15 +228,18 @@ def dup_span_stats(
     can be internally clean yet largely copied from elsewhere — this is
     the filter that catches mirrored/boilerplate content.
 
-    Plan shape: explode windows with multiplicity -> groupBy (doc, gram)
-    count (one shuffle, map-side combine) -> gram doc-frequency from those
-    counts (second shuffle, keyed on gram) -> LEFT SEMI join back on gram
-    -> per-doc sums. The semi join cannot fan out (one output row per
-    (doc, gram) at most) no matter how hot a window is, so — unlike a
-    candidate-pair self-join — there is no quadratic blow-up on boilerplate;
-    cost is linear in corpus token count. At 100 TB you would hash the gram
-    to a fixed-width key (xxhash64) to shrink the two gram-keyed shuffles;
-    kept as text here so the DuckDB twin is exact.
+    Plan shape — ONE lineage, one corpus scan, ZERO joins: explode windows
+    with multiplicity -> groupBy (doc, gram) count (one shuffle, map-side
+    combine) -> gram doc-frequency via count() over a gram-partitioned
+    window (second exchange; the input is already one row per (doc, gram),
+    so the window sees doc-frequency-many rows per gram) -> one final
+    groupBy(doc) summing total vs corpus-shared window counts. No
+    candidate-pair self-join means no quadratic blow-up on boilerplate:
+    cost is linear in corpus token count. Skew note for 100 TB: a gram
+    shared by d docs buffers d rows in one window partition (spills via
+    UnsafeExternalSorter, never fans out); for the default n>=4-token
+    windows d is modest, and hashing the gram to xxhash64 shrinks the two
+    gram-keyed exchanges — kept as text here so the DuckDB twin is exact.
     """
     toks = tokenize_expr(text_col)
     windows = F.transform(
@@ -245,35 +248,19 @@ def dup_span_stats(
     )
     g = df.select(F.col(id_col).alias("doc_id"), F.explode(windows).alias("gram"))
     c = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
-    shared = (
-        c.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
-        .select("gram")
+    c = c.withColumn("n_docs", F.count(F.lit(1)).over(Window.partitionBy("gram")))
+    per_doc = c.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("n_docs") >= 2, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_dup_windows"),
     )
-    dup = (
-        c.join(shared, "gram", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.sum("cnt").alias("n_dup_windows"))
-    )
-    totals = c.groupBy("doc_id").agg(F.sum("cnt").alias("n_windows"))
-    return (
-        totals.join(dup, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_windows").cast("long").alias("n_windows"),
-            F.coalesce(F.col("n_dup_windows"), F.lit(0))
-            .cast("long")
-            .alias("n_dup_windows"),
+    return per_doc.withColumn(
+        "dup_span_frac",
+        F.floor(
+            F.col("n_dup_windows") / F.col("n_windows") * 1e4 + F.lit(0.500001)
         )
-        .withColumn(
-            "dup_span_frac",
-            F.floor(
-                F.col("n_dup_windows") / F.col("n_windows") * 1e4
-                + F.lit(0.500001)
-            )
-            / 1e4,
-        )
+        / 1e4,
     )
 
 

@@ -153,6 +153,28 @@ def main() -> None:
             gg_lag_data(r1h, lags=(1, 2, 3)),
     })
 
+    from feasts_spark.operators.curation import (
+        stratified_sample,
+        token_budget_cap,
+    )
+    from feasts_spark.operators.dedup import dup_span_stats, ngram_containment
+    from feasts_spark.operators.text import repetition_scores
+
+    ev_docs = docs.filter(F.col("doc_id") % 17 == 0)
+    tr_docs = docs.filter(F.col("doc_id") % 17 != 0)
+    plans.update({
+        "repetition_scores (per-n: 2 keyed aggs, struct-min top-gram, no window)":
+            repetition_scores(docs, ns=(2, 3)),
+        "ngram_containment (distinct train grams -> semi join, vocab-bounded)":
+            ngram_containment(ev_docs, tr_docs, n=3),
+        "dup_span_stats (1 scan, 3 exchanges, zero joins: gram-window doc-freq)":
+            dup_span_stats(docs, n=4),
+        "stratified_sample (pure projection: ZERO exchanges)":
+            stratified_sample(docs, {"en": 0.5}, default_fraction=0.25),
+        "token_budget_cap (scalar quality join + one source-keyed window)":
+            token_budget_cap(docs, 800),
+    })
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
