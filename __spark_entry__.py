@@ -2480,16 +2480,19 @@ CURATION_BUDGET = 800  # tokens per source; sf0.01 sources carry ~1.1-1.6k
 def q_curation_pack(spark, sf_dir):
     """Corpus-curation pack, one doc_id-keyed row: deterministic stratified
     sampling flags (seeded md5-uniform per lang), per-source token-budget
-    capping (highest quality_score first), and cross-document duplicated
-    4-token-span stats (Lee et al. 2021-style substring dedup summary).
-    Each component keeps its own plan (sampler is shuffle-free; budget is
-    one source-keyed window; spans are two gram-keyed aggregates + a
-    fan-out-proof semi join); the merge joins per-doc scalars on doc_id."""
+    capping (highest quality_score first), cross-document duplicated
+    4-token-span stats (Lee et al. 2021-style substring dedup summary),
+    and PII detection + scrub digests over deterministically injected
+    synthetic PII. Each component keeps its own plan (sampler and PII are
+    shuffle-free projections; budget is one source-keyed window; spans are
+    a single-lineage gram-window pipeline); the merge joins per-doc
+    scalars on doc_id."""
     from feasts_spark.operators.curation import (
         stratified_sample,
         token_budget_cap,
     )
     from feasts_spark.operators.dedup import dup_span_stats
+    from feasts_spark.operators.text import pii_stats
 
     _utc(spark)
     d = _docs(spark, sf_dir)
@@ -2505,12 +2508,65 @@ def q_curation_pack(spark, sf_dir):
     )
     cap = token_budget_cap(d, budget_tokens=CURATION_BUDGET)
     spans = dup_span_stats(d, n=4)
-    return samp.join(cap, "doc_id").join(spans, "doc_id")
+    # PII detection/scrub gets real signal by deterministically appending
+    # synthetic PII to every 7th document (the raw corpus has none); the
+    # oracle replays the identical injection expression
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.format_string(
+                    " Contact user%d@example.com or +1 (555) 010-%04d"
+                    " at 192.168.%d.%d see https://example.com/u/%d",
+                    F.col("doc_id"),
+                    (F.col("doc_id") % 10000).cast("int"),
+                    (F.col("doc_id") % 256).cast("int"),
+                    (F.col("doc_id") % 100).cast("int"),
+                    F.col("doc_id"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    pii = pii_stats(injected)
+    return (
+        samp.join(cap, "doc_id").join(spans, "doc_id").join(pii, "doc_id")
+    )
 
 
 def _curation_oracle() -> str:
+    from feasts_spark.operators.text import PII_PATTERNS
+
     frac_case = " ".join(
         f"WHEN '{k}' THEN {v}::DOUBLE" for k, v in CURATION_FRACTIONS.items()
+    )
+    pii_counts = ",\n         ".join(
+        "len(regexp_extract_all(text, '" + pat + "')) AS n_" + name + "s"
+        for name, pat, _tag in PII_PATTERNS
+    )
+    scrub = "text"
+    for _name, pat, tag in PII_PATTERNS:
+        scrub = "regexp_replace(" + scrub + ", '" + pat + "', '" + tag + "', 'g')"
+    pii_cte = (
+        """
+pii_in AS (
+  SELECT doc_id,
+         d.text || CASE WHEN d.doc_id % 7 = 0 THEN
+           ' Contact user' || d.doc_id || '@example.com or +1 (555) 010-'
+           || lpad((d.doc_id % 10000)::VARCHAR, 4, '0')
+           || ' at 192.168.' || (d.doc_id % 256) || '.' || (d.doc_id % 100)
+           || ' see https://example.com/u/' || d.doc_id
+         ELSE '' END AS text
+  FROM documents d
+),
+pii AS (
+  SELECT doc_id,
+         """
+        + pii_counts
+        + ",\n         md5("
+        + scrub
+        + ") AS scrub_md5\n  FROM pii_in\n)"
     )
     return f"""
 WITH q AS ({ORACLE_QUALITY}),
@@ -2547,7 +2603,8 @@ dup AS (
   SELECT doc_id, sum(cnt) AS n_dup FROM c
   WHERE gram IN (SELECT gram FROM sh) GROUP BY 1
 ),
-tot AS (SELECT doc_id, sum(cnt) AS n_win FROM c GROUP BY 1)
+tot AS (SELECT doc_id, sum(cnt) AS n_win FROM c GROUP BY 1),
+{pii_cte}
 SELECT b.doc_id, b.lang,
        floor(b.u * 1e4 + 0.500001::DOUBLE) / 1e4 AS sample_u,
        CASE WHEN b.u < (CASE b.lang {frac_case} ELSE 0.25::DOUBLE END)
@@ -2559,11 +2616,13 @@ SELECT b.doc_id, b.lang,
        CAST(tot.n_win AS BIGINT) AS n_windows,
        CAST(coalesce(dup.n_dup, 0) AS BIGINT) AS n_dup_windows,
        floor(coalesce(dup.n_dup, 0) / tot.n_win * 1e4 + 0.500001::DOUBLE)
-         / 1e4 AS dup_span_frac
+         / 1e4 AS dup_span_frac,
+       pii.n_emails, pii.n_urls, pii.n_ips, pii.n_phones, pii.scrub_md5
 FROM base b
 JOIN cap USING (doc_id)
 JOIN tot USING (doc_id)
 LEFT JOIN dup USING (doc_id)
+JOIN pii USING (doc_id)
 """
 
 

@@ -231,6 +231,20 @@ def run_bench(cores: str, sf_dir: str) -> dict:
     materialize(minhash_signatures_oph(docs))
     micro["minhash_oph_docs_per_sec"] = round(n_docs / (time.time() - t0))
 
+    from feasts_spark.operators.curation import token_budget_cap
+    from feasts_spark.operators.dedup import dup_span_stats
+    from feasts_spark.operators.text import repetition_scores
+
+    # the all-JVM curation suite end to end: repetition filters +
+    # cross-doc dup spans + quality-first budget cap, joined per doc
+    t0 = time.time()
+    materialize(
+        repetition_scores(docs, ns=(2, 3))
+        .join(dup_span_stats(docs, n=4), "doc_id")
+        .join(token_budget_cap(docs, 800), "doc_id")
+    )
+    micro["curation_suite_docs_per_sec"] = round(n_docs / (time.time() - t0))
+
     spark.stop()
     return {
         "metric": "headline_queries_total",

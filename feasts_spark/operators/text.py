@@ -207,6 +207,48 @@ def repetition_scores(
     return out.drop("_wc")
 
 
+# PII pattern inventory (C4/Dolma-style pre-training scrub classes). Each
+# pattern was parity-probed against DuckDB's RE2: no backreferences, no
+# lookaround, so Java regex (Spark) and RE2 (DuckDB) match identically —
+# that equivalence is what makes the pii columns oracle-able. Extend per
+# deployment; order matters for scrubbing (emails before URLs would also
+# work here because the classes cannot overlap, but keep it fixed anyway).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[A-Za-z0-9./_-]+", "<URL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,2} \(\d{3}\) \d{3}-\d{4}", "<PHONE>"),
+)
+
+
+def pii_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII detection + scrub digest: per document, the match count of each
+    PII class in PII_PATTERNS (emails, URLs, IPv4s, +cc (nnn) nnn-nnnn
+    phones) and the md5 of the text after replacing every match with its
+    class sentinel — the standard pre-training scrub step (C4/Dolma), with
+    the digest standing in for shipping the scrubbed text so the scrub
+    itself is correctness-checked without materializing a second corpus.
+
+    Plan shape: pure projection — no shuffle; the regex counters and the
+    chained regexp_replace all evaluate inside the scan's whole-stage
+    codegen, so at 100 TB this costs exactly one pass over the text column
+    (write the scrubbed text instead of its md5 in a real scrub job; the
+    plan is identical). Patterns are RE2-safe (no backreferences), keeping
+    them portable across engines.
+    """
+    scrub = F.col(text_col)
+    counts = []
+    for name, pat, tag in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .alias(f"n_{name}s")
+        )
+        scrub = F.regexp_replace(scrub, pat, tag)
+    return df.select(id_col, *counts, F.md5(scrub).alias("scrub_md5"))
+
+
 def fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle: int = 8
 ) -> DataFrame:

@@ -95,6 +95,49 @@ class TestTokenBudgetCap:
         assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
 
 
+class TestPiiStats:
+    def test_hand_computed(self, spark):
+        from feasts_spark.operators.text import pii_stats
+
+        rows = [
+            (0, "mail a@b.io and c.d@e-f.org call +1 (555) 010-1234"),
+            (1, "host 10.0.0.1 and 192.168.300.5 page https://x.io/p_q"),
+            (2, "clean text only"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = pii_stats(df).orderBy("doc_id").toPandas()
+        assert list(out["n_emails"]) == [2, 0, 0]
+        assert list(out["n_phones"]) == [1, 0, 0]
+        # \d{1,3} matches the first 3 digits of "300", so both dotted
+        # quads count — PII scrubbing is deliberately recall-leaning
+        assert list(out["n_ips"]) == [0, 2, 0]
+        assert list(out["n_urls"]) == [0, 1, 0]
+
+    def test_scrub_digest_changes_only_with_pii(self, spark):
+        from pyspark.sql import functions as F
+
+        from feasts_spark.operators.text import pii_stats
+
+        df = spark.createDataFrame(
+            [(0, "reach me at x@y.com"), (1, "no pii here")],
+            "doc_id long, text string",
+        )
+        out = (
+            pii_stats(df)
+            .join(df.select("doc_id", F.md5("text").alias("raw_md5")), "doc_id")
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        assert out.loc[0, "scrub_md5"] != out.loc[0, "raw_md5"]
+        assert out.loc[1, "scrub_md5"] == out.loc[1, "raw_md5"]
+
+    def test_no_shuffle_in_plan(self, spark, docs):
+        from feasts_spark.operators.text import pii_stats
+
+        plan = pii_stats(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
 class TestDupSpans:
     def test_hand_computed(self, spark):
         rows = [
