@@ -158,7 +158,7 @@ def main() -> None:
         token_budget_cap,
     )
     from feasts_spark.operators.dedup import dup_span_stats, ngram_containment
-    from feasts_spark.operators.text import repetition_scores
+    from feasts_spark.operators.text import pii_stats, repetition_scores
 
     ev_docs = docs.filter(F.col("doc_id") % 17 == 0)
     tr_docs = docs.filter(F.col("doc_id") % 17 != 0)
@@ -173,6 +173,8 @@ def main() -> None:
             stratified_sample(docs, {"en": 0.5}, default_fraction=0.25),
         "token_budget_cap (scalar quality join + one source-keyed window)":
             token_budget_cap(docs, 800),
+        "pii_stats (regex counters + chained scrub, ZERO exchanges)":
+            pii_stats(docs),
     })
 
     lines = [
