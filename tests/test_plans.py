@@ -113,6 +113,33 @@ def test_text_ops_stay_jvm_side(spark):
         assert s["n_wscg"] >= 1, f"{op.__name__} not in whole-stage codegen"
 
 
+def test_curation_ops_plan_shapes(spark):
+    """The curation suite's scale contracts: dup spans are ONE lineage
+    (one corpus scan, three exchanges, no joins), repetition/PII/sampling
+    stay JVM-side, and the contamination semi join never falls back to a
+    cartesian product."""
+    from feasts_spark.operators.curation import token_budget_cap
+    from feasts_spark.operators.dedup import dup_span_stats, ngram_containment
+    from feasts_spark.operators.text import pii_stats, repetition_scores
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    s = plan_summary(dup_span_stats(docs, n=4))
+    assert s["n_scans"] == 1 and s["n_exchanges"] == 3 and s["n_python"] == 0
+    assert "Join" not in formatted_plan(dup_span_stats(docs, n=4))
+
+    for op in (repetition_scores, pii_stats):
+        s = plan_summary(op(docs))
+        assert s["n_python"] == 0, f"{op.__name__} fell off the JVM path"
+
+    ev = docs.filter("doc_id % 17 = 0")
+    tr = docs.filter("doc_id % 17 <> 0")
+    plan = formatted_plan(ngram_containment(ev, tr, n=3))
+    assert "CartesianProduct" not in plan and "LeftSemi" in plan
+
+    s = plan_summary(token_budget_cap(docs, 800))
+    assert s["n_python"] == 0 and s["n_exchanges"] <= 2
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Two tables bucketed on the same key join WITHOUT any Exchange —
     the co-located layout repeated joins rely on at 100TB."""
