@@ -150,47 +150,73 @@ def repetition_scores(
         characters covered by occurrences of that top n-gram
         (count * chars(gram) / chars(doc)).
 
-    Plan shape (per n): explode grams -> groupBy (doc, gram) count (one
-    shuffle, map-side partial agg) -> groupBy doc with a single struct-min
-    aggregate that yields total/distinct/top in the same pass (min of
-    (-count, gram) is (max count, lex-smallest gram)) -> per-doc scalar
-    join back on id. No window, no Python, all whole-stage codegen; at
-    100 TB the shuffles are keyed on (doc, gram) so hot grams inside one
-    huge doc still land in one group — bounded by doc length, not corpus
-    size. High dup fractions are the standard "remove repetitive
+    Plan shape — ONE gram lineage for every n: a single explode of tagged
+    (n, gram) pairs -> groupBy (doc, n, gram) count (one shuffle, map-side
+    partial agg) -> groupBy (doc, n) with a single struct-min aggregate
+    that yields total/distinct/top in the same pass (min of (-count, gram)
+    is (max count, lex-smallest gram)) -> pivot the few n values back to
+    columns with one conditional-first groupBy(doc) -> one scalar join to
+    the per-doc char counts. Two corpus scans total (gram branch + char
+    branch), three exchanges, no window, no Python, all whole-stage
+    codegen; the shuffles are keyed on (doc, n, gram) so hot grams inside
+    one huge doc still land in one group — bounded by doc length, not
+    corpus size. High dup fractions are the standard "remove repetitive
     boilerplate/generation loops" training-data filter.
     """
     word_chars = F.length(
         F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", "")
     )
-    out = df.select(F.col(id_col).alias("doc_id"), word_chars.alias("_wc"))
+    base = df.select(F.col(id_col).alias("doc_id"), word_chars.alias("_wc"))
+    def _tag(n):
+        # single-arg lambda only: a 2-arg callable makes F.transform pass
+        # the array index as the second argument, clobbering the n tag
+        return F.transform(
+            _word_grams(text_col, n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
+        )
+
+    tagged = F.flatten(F.array(*[_tag(n) for n in ns]))
+    grams = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tagged).alias("_t")
+    ).select("doc_id", F.col("_t.n").alias("n"), F.col("_t.gram").alias("gram"))
+    counts = grams.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_n = counts.groupBy("doc_id", "n").agg(
+        F.sum("cnt").alias("_total"),
+        F.count(F.lit(1)).alias("_distinct"),
+        F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("gram"))).alias("_m"),
+    )
+    pivoted = per_n.groupBy("doc_id").agg(
+        *[
+            agg
+            for n in ns
+            for agg in (
+                F.first(F.when(F.col("n") == n, F.col("_total")), True)
+                .alias(f"_total_{n}"),
+                F.first(F.when(F.col("n") == n, F.col("_distinct")), True)
+                .alias(f"_distinct_{n}"),
+                F.first(F.when(F.col("n") == n, F.col("_m")), True)
+                .alias(f"_m_{n}"),
+            )
+        ]
+    )
+    out = base.join(pivoted, "doc_id")
     for n in ns:
-        grams = df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(_word_grams(text_col, n)).alias("gram"),
-        )
-        counts = grams.groupBy("doc_id", "gram").agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
-        per_doc = counts.groupBy("doc_id").agg(
-            F.sum("cnt").alias("_total"),
-            F.count(F.lit(1)).alias("_distinct"),
-            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("gram"))).alias("_m"),
-        )
-        per_doc = per_doc.select(
-            "doc_id",
-            F.col("_total").alias(f"total_{n}grams"),
+        out = out.select(
+            "*",
+            F.col(f"_total_{n}").alias(f"total_{n}grams"),
             (
                 F.floor(
-                    (F.lit(1.0) - F.col("_distinct") / F.col("_total")) * 1e4
+                    (F.lit(1.0) - F.col(f"_distinct_{n}") / F.col(f"_total_{n}"))
+                    * 1e4
                     + F.lit(0.500001)
                 )
                 / 1e4
             ).alias(f"dup_{n}gram_frac"),
-            F.col("_m.gram").alias(f"top_{n}gram"),
-            (-F.col("_m.nc")).alias(f"top_{n}gram_count"),
+            F.col(f"_m_{n}.gram").alias(f"top_{n}gram"),
+            (-F.col(f"_m_{n}.nc")).alias(f"top_{n}gram_count"),
         )
-        out = out.join(per_doc, "doc_id")
         out = out.withColumn(
             f"top_{n}gram_char_frac",
             F.floor(
@@ -204,7 +230,9 @@ def repetition_scores(
             )
             / 1e4,
         )
-    return out.drop("_wc")
+    return out.drop(
+        "_wc", *[c for n in ns for c in (f"_total_{n}", f"_distinct_{n}", f"_m_{n}")]
+    )
 
 
 # PII pattern inventory (C4/Dolma-style pre-training scrub classes). Each
