@@ -163,7 +163,7 @@ def main() -> None:
     ev_docs = docs.filter(F.col("doc_id") % 17 == 0)
     tr_docs = docs.filter(F.col("doc_id") % 17 != 0)
     plans.update({
-        "repetition_scores (per-n: 2 keyed aggs, struct-min top-gram, no window)":
+        "repetition_scores (single tagged-gram lineage for all n: 2 scans, pivot-by-n, no window)":
             repetition_scores(docs, ns=(2, 3)),
         "ngram_containment (distinct train grams -> semi join, vocab-bounded)":
             ngram_containment(ev_docs, tr_docs, n=3),
