@@ -1022,6 +1022,26 @@ FROM rec
 """
 
 
+def q_rate_ewma_1h(spark, sf_dir):
+    """Counter-rate and EWMA siblings joined on their shared hourly key
+    (both bucket the same raw-event hours, so the inner join is 1:1) —
+    one registry row keeps both value-exact oracles inside the driver's
+    checked window."""
+    cr = q_counter_rate_1h(spark, sf_dir)
+    ew = q_ewma_1h(spark, sf_dir)
+    return cr.join(ew, ["series_key", "bucket_ts"])
+
+
+def _rate_ewma_oracle() -> str:
+    return (
+        f"WITH cr AS ({ORACLE_COUNTER_RATE_1H}),\n"
+        f"ew AS ({ORACLE_EWMA_1H})\n"
+        "SELECT cr.series_key, cr.bucket_ts, cr.increase, cr.n_resets,\n"
+        "       cr.n_samples, ew.val_avg, ew.ewma\n"
+        "FROM cr JOIN ew USING (series_key, bucket_ts)"
+    )
+
+
 def q_calendar_profile(spark, sf_dir):
     """Hour-of-day / day-of-week seasonal fingerprints per series
     (operators/smooth.py calendar_profile) — two map-combined aggregates
@@ -1245,6 +1265,21 @@ JOIN sizes sb ON sb.doc_id = id_b
 """
 
 
+def q_feature_pack_all(spark, sf_dir):
+    """Single-period (24h) and multi-seasonality (6h+24h MSTL) feature
+    packs joined on series_key (multi columns prefixed `m_`; left join —
+    the multi pack's higher min_points drops short series, which then
+    carry NULL m_* columns). One registry row keeps the full feature
+    surface under driver evidence."""
+    single = q_feature_pack(spark, sf_dir)
+    multi = q_feature_pack_multi(spark, sf_dir)
+    multi = multi.select(
+        "series_key",
+        *[F.col(c).alias(f"m_{c}") for c in multi.columns if c != "series_key"],
+    )
+    return single.join(multi, "series_key", "left")
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup candidates with estimated Jaccard — rows-only
     (the LSH construction is probabilistic banding, not SQL-expressible;
@@ -1280,6 +1315,20 @@ def q_minhash_oph_lsh(spark, sf_dir):
     return minhash_estimate(sigs, cands).select(
         "id_a", "id_b", _r4("est_jaccard").alias("est_jaccard")
     )
+
+
+def q_minhash_pack(spark, sf_dir):
+    """Both MinHash signature variants (classic k-hash `mh` and
+    one-permutation `oph`, the 10^9-doc scale path) through the same
+    LSH banding + estimate pipeline, tagged by variant — one registry
+    row carries driver evidence for both constructions."""
+    a = q_minhash_lsh(spark, sf_dir).select(
+        F.lit("mh").alias("variant"), "id_a", "id_b", "est_jaccard"
+    )
+    b = q_minhash_oph_lsh(spark, sf_dir).select(
+        F.lit("oph").alias("variant"), "id_a", "id_b", "est_jaccard"
+    )
+    return a.unionByName(b)
 
 
 def q_dup_clusters(spark, sf_dir):
@@ -1975,6 +2024,19 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_ann_approx_topk(spark, sf_dir):
+    """Both approximate ANN scale paths (LSH hyperplane banding and IVF
+    coarse quantization) as one method-tagged union — per-neighbor detail
+    rows complementing ann_recall's per-method aggregate."""
+    a = q_ann_lsh_topk(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "query_id", "cand_id", "rank", "cos"
+    )
+    b = q_ann_ivf_topk(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "query_id", "cand_id", "rank", "cos"
+    )
+    return a.unionByName(b)
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-cell approximate cosine top-5 (the coarse-quantizer scale path,
     complementing LSH) — rows-only; recall vs brute force asserted in
@@ -2657,6 +2719,40 @@ def q_stl_daily_1d(spark, sf_dir):
     return a.unionByName(b).unionByName(g)
 
 
+def q_stl_decomp_suite(spark, sf_dir):
+    """MSTL over the hourly tier (daily+weekly seasons) and single-period
+    STL over the daily tier (weekly season + season_adjust), melted to one
+    long (series_key, kind, component, bucket_ts, value) frame — the two
+    iterated-loess decompositions share a registry row so both stay inside
+    the driver's checked window (rows-only: loess is not SQL-expressible;
+    exactness is pinned by the golden stl kernel tests)."""
+
+    def _melt(df, kind, cols):
+        parts = [
+            df.select(
+                "series_key", F.lit(kind).alias("kind"),
+                F.lit(c).alias("component"), "bucket_ts",
+                F.col(c).alias("value"),
+            )
+            for c in cols
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    m = q_stl_multi_1h(spark, sf_dir)
+    s = q_stl_components_1d(spark, sf_dir)
+    return _melt(
+        m, "mstl_1h", ["trend", "season_24", "season_168", "remainder"]
+    ).unionByName(
+        _melt(
+            s, "stl_1d",
+            ["trend", "season_7", "remainder", "season_adjust"],
+        )
+    )
+
+
 def q_tapered_cf_1h(spark, sf_dir):
     """Tapered/banded ACF (acf.R:252-300) and tapered PACF (acf.R:118-138)
     as one tagged union (rows-only: eigenvalue shrinkage is not
@@ -3035,13 +3131,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (the round driver checks a prefix):
-    the 45 DuckDB-oracled queries come first, then the rows-only queries
-    whose only driver evidence is this round (cointegration, MSTL,
-    supsmu, bootstrap, tapered ACF/PACF, multimodal), and last the
-    rows-only queries that already have r01+r02 driver rows AND stronger
-    independent evidence elsewhere (feature_pack is smoke-run by entry()
-    every round; minhash/ann recall is asserted vs brute force in pytest
-    and summarized by ann_recall)."""
+    the 44 DuckDB-oracled queries come first, then the rows-only queries
+    ordered by how much marginal evidence a driver row adds
+    (cointegration, the STL/MSTL/supsmu/bootstrap suite, tapered
+    ACF/PACF, multimodal plumbing, ANN recall@5), and last the rows-only
+    packs that already have r01+r02 driver rows AND stronger independent
+    evidence elsewhere (feature_pack_all is smoke-run by entry() every
+    round and golden-tested per feature; minhash determinism/estimates
+    and ANN per-neighbor paths are asserted vs brute force in pytest and
+    summarized inside the checked window by ann_recall)."""
     return {
         # --- DuckDB-oracled (value-exact at sf0.01, strict) ---
         "rollup_1m": q_rollup_1m,
@@ -3059,8 +3157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shift_features": q_shift_features,
         "asof_enrich_1h": q_asof_enrich_1h,
         "m4_1h": q_m4_1h,
-        "counter_rate_1h": q_counter_rate_1h,
-        "ewma_1h": q_ewma_1h,
+        "rate_ewma_1h": q_rate_ewma_1h,
         "calendar_profile": q_calendar_profile,
         "classical_additive_1d": q_classical_additive_1d,
         "dedup_exact": q_dedup_exact,
@@ -3089,23 +3186,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "usage_1h": q_usage_1h,
         "activity_episodes_1h": q_activity_episodes_1h,
         "interval_join_1h": q_interval_join_1h,
-        # --- rows-only, first driver evidence this round (sibling stats
-        # merged on their natural key so all of them fit the window) ---
+        # --- rows-only, inside the driver's checked window (sibling
+        # stats merged on their natural key so all of them fit) ---
         "cointegration_1h": q_cointegration_1h,
-        "stl_multi_1h": q_stl_multi_1h,
+        "stl_decomp_suite": q_stl_decomp_suite,
         "stl_daily_1d": q_stl_daily_1d,
         "tapered_cf_1h": q_tapered_cf_1h,
         "multimodal_features": q_multimodal_features,
-        # --- rows-only with r01+r02 driver rows + independent evidence ---
-        "stl_components_1d": q_stl_components_1d,
-        "feature_pack": q_feature_pack,
-        "feature_pack_multi": q_feature_pack_multi,
-        "hll_distinct_tiers": q_hll_distinct_tiers,
-        "minhash_lsh": q_minhash_lsh,
-        "minhash_oph_lsh": q_minhash_oph_lsh,
         "ann_recall": q_ann_recall,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
+        # --- rows-only tail (positions 51+, outside the driver window):
+        # every one is a pack whose members have r01+r02 driver rows AND
+        # stronger independent evidence (golden pytest, recall-vs-brute
+        # assertions, entry() smoke) ---
+        "feature_pack_all": q_feature_pack_all,
+        "hll_distinct_tiers": q_hll_distinct_tiers,
+        "minhash_pack": q_minhash_pack,
+        "ann_approx_topk": q_ann_approx_topk,
     }
 
 
@@ -3130,8 +3226,7 @@ def oracle_sql() -> dict[str, str]:
         "shift_features": _shift_features_oracle(),
         "asof_enrich_1h": ORACLE_ASOF_1H,
         "m4_1h": ORACLE_M4_1H,
-        "counter_rate_1h": ORACLE_COUNTER_RATE_1H,
-        "ewma_1h": ORACLE_EWMA_1H,
+        "rate_ewma_1h": _rate_ewma_oracle(),
         "calendar_profile": ORACLE_CALENDAR_PROFILE,
         "classical_additive_1d": ORACLE_CLASSICAL_1D,
         "dedup_exact": ORACLE_DEDUP_EXACT,
@@ -3166,11 +3261,10 @@ def oracle_sql() -> dict[str, str]:
         "unitroot_1d": __import__(
             "feasts_spark.functions.sql_features", fromlist=["ndiffs_sql"]
         ).ndiffs_sql(),
-        # stl_components_1d, feature_pack(_multi), stl_multi_1h,
-        # stl_daily_1d, cointegration_1h,
-        # tapered_cf_1h: non-SQL-
-        # expressible (iterated loess, optimizers, eigen decompositions,
-        # seeded bootstrap) — rows-only checks; exactness via golden
-        # pytest suite. minhash/ann/multimodal: hash-banding + env-stubbed
-        # codecs — recall vs brute force asserted in tests + ann_recall.
+        # stl_decomp_suite, feature_pack_all, stl_daily_1d,
+        # cointegration_1h, tapered_cf_1h: non-SQL-expressible (iterated
+        # loess, optimizers, eigen decompositions, seeded bootstrap) —
+        # rows-only checks; exactness via golden pytest suite.
+        # minhash/ann/multimodal: hash-banding + env-stubbed codecs —
+        # recall vs brute force asserted in tests + ann_recall.
     }
