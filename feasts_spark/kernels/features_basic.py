@@ -8,6 +8,7 @@ to /root/reference/R/features.R and guerrero.R.
 from __future__ import annotations
 
 import math
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -132,45 +133,60 @@ def shift_kl_max(x, size: int | None = None, period: int = 1) -> dict:
     if n <= 2 * size:
         raise ValueError("length of `x` is too short for `.size`.")
     dens_floor = float(norm_pdf(38.0))
-    # densities: (n, gw) — dnorm(g, mean=x_t, sd=bw) per grid point g
-    z = (xgrid[None, :] - x[:, None]) / bw
-    dens = np.exp(-0.5 * z * z, out=z) / (bw * math.sqrt(2.0 * math.pi))
-    # dnorm(38) ~ 2e-314 is SUBNORMAL: flooring the whole matrix there
-    # pushes every downstream cumsum/log/multiply into the x86 denormal
-    # slow path (~100x per op; ~1s at n=20k). Rescale by an exact power
-    # of two so the floored values are normal floats: powers of two
-    # scale subnormals exactly, the scale cancels in log(p)-log(q), and
-    # the final KL sum divides it back out. Values only get MORE
-    # accurate (subnormals have truncated mantissas).
+    # dnorm(38) ~ 2e-314 is SUBNORMAL: flooring the matrix there pushes
+    # every downstream cumsum/log/multiply into the x86 denormal slow
+    # path (~100x per op). Rescale by an exact power of two so the
+    # floored values are normal floats: powers of two scale subnormals
+    # exactly, the scale cancels in log(p)-log(q), and the final KL sum
+    # divides it back out. The scale is folded into the exp ARGUMENT
+    # (ln 2^600) and the argument clamped at the floor's log-level, so
+    # exp itself never produces a subnormal (its output underflow band
+    # cost ~100ns/element on the elements that landed in it).
     _SCALE = 2.0 ** 600
-    dens *= _SCALE
     dens_floor *= _SCALE
-    dens = np.maximum(dens, dens_floor, out=dens)
-    # trailing rolling mean (min_periods=1) via prefix sums. The floor is
-    # SUBNORMAL (dnorm(38) ~ 2e-314): cumsum of (normal + floor) values
-    # absorbs the floor entirely and windows of pure floor would difference
-    # to exactly 0 -> log(0). Rolling the excess above the floor and adding
-    # the floor back keeps those windows at the floor, matching the
-    # windowed-sum (pandas/R) behavior within the golden tolerance.
-    excess = dens - dens_floor
-    csum = np.cumsum(excess, axis=0)
-    rmean = np.empty_like(dens)
+    norm_c = bw * math.sqrt(2.0 * math.pi)
+    a_floor = math.log(dens_floor * norm_c)
+    # densities in TRANSPOSED (gw, n) layout — one contiguous row per
+    # grid point g, so the time-axis cumsum / windowed difference below
+    # run at stride 8 instead of stride 8*gw (the (n, gw) layout walked
+    # the cache line per element). All passes in-place: one (gw, n)
+    # allocation carries z -> exp argument -> dens -> excess -> csum.
+    dens = (xgrid[:, None] - x[None, :]) / bw
+    np.multiply(dens, dens, out=dens)
+    dens *= -0.5
+    dens += math.log(_SCALE)
+    # clamp at the floor level BEFORE exp: any argument at or below it
+    # floors to dens_floor after the maximum() either way, and the clamp
+    # keeps exp's output >= dens_floor*norm_c ~ 1e-133 (normal range)
+    np.maximum(dens, a_floor, out=dens)
+    np.exp(dens, out=dens)
+    dens /= norm_c
+    np.maximum(dens, dens_floor, out=dens)
+    # trailing rolling mean (min_periods=1) via prefix sums. Cumsum of
+    # (normal + floor) values absorbs the floor entirely and windows of
+    # pure floor would difference to exactly 0 -> log(0). Rolling the
+    # excess above the floor and adding the floor back keeps those
+    # windows at the floor, matching the windowed-sum (pandas/R)
+    # behavior within the golden tolerance.
+    dens -= dens_floor
+    csum = np.cumsum(dens, axis=1, out=dens)
+    rmean = np.empty_like(csum)
     k = min(size, n)
-    rmean[:k] = csum[:k] / np.arange(1, k + 1)[:, None]
+    rmean[:, :k] = csum[:, :k] / np.arange(1, k + 1)[None, :]
     if n > size:
-        rmean[size:] = (csum[size:] - csum[:-size]) / size
+        rmean[:, size:] = (csum[:, size:] - csum[:, :-size]) / size
     np.maximum(rmean, 0.0, out=rmean)
     rmean += dens_floor
-    p = rmean[: n - size]
     with np.errstate(divide="ignore", invalid="ignore"):
         # rolling means of the density floor can still round to 0 ->
-        # log(0); R hits the same inf/NaN arithmetic (na.rm sums keep inf).
-        # p and q are overlapping slices of rmean, so ONE log pass over
-        # rmean serves both sides of the ratio.
-        logr = np.log(rmean)
-        kl = np.nansum(
-            p * (logr[: n - size] - logr[size:]), axis=1
-        ) * (grid / _SCALE)
+        # log(0); R hits the same inf/NaN arithmetic (na.rm sums keep
+        # inf). p and q are overlapping slices of rmean, so ONE log pass
+        # over rmean serves both sides of the ratio.
+        logr = np.log(rmean, out=csum)
+        klterm = logr[:, : n - size] - logr[:, size:]
+        # p sits in rmean, which logr (out=csum) did NOT overwrite
+        klterm *= rmean[:, : n - size]
+        kl = np.nansum(klterm, axis=0) * (grid / _SCALE)
         diffkl = np.diff(kl)
     if diffkl.size == 0:
         return {"shift_kl_max": 0.0, "shift_kl_index": NAN}
@@ -253,7 +269,12 @@ def guerrero(x, lower: float = -0.9, upper: float = 2.0, period: int = 2) -> dic
     tail = x[n - n_sub * period :]
     mat = tail.reshape(n_sub, period).T  # column-major (period, n_sub)
     mu_h = np.nanmean(mat, axis=0)
-    sig_h = np.array([r_sd(mat[:, j]) for j in range(mat.shape[1])])
+    # vectorized stats::sd(na.rm=TRUE) per subseries column: nanvar with
+    # ddof=1 matches r_sd including the <2-values -> NaN case (numpy warns
+    # on those columns instead of raising; suppress like r_var does)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        sig_h = np.sqrt(np.nanvar(mat, axis=0, ddof=1))
 
     def coef_var(lam: float) -> float:
         rat = sig_h / mu_h ** (1.0 - lam)

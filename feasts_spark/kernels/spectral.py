@@ -70,12 +70,21 @@ def burg_ar(x: np.ndarray, order_max: int | None = None, demean: bool = True):
 def spec_ar_burg(x: np.ndarray, n_freq: int, xfreq: float = 1.0) -> np.ndarray:
     """stats::spec.ar(method='burg')$spec on freq grid seq(0,.5,len=n_freq)."""
     order, ar, var_pred = burg_ar(x)
-    freq = np.linspace(0.0, 0.5, n_freq)
-    if order >= 1:
-        k = np.arange(1, order + 1)
-        cs = np.cos(2.0 * math.pi * np.outer(freq, k)) @ ar
-        sn = np.sin(2.0 * math.pi * np.outer(freq, k)) @ ar
-        spec = var_pred / (xfreq * ((1.0 - cs) ** 2 + sn ** 2))
+    if order >= 1 and n_freq >= 2:
+        # spec(f) = var_pred / |1 - Σ_k ar_k e^{-2πifk}|² on the grid
+        # linspace(0, .5, n_freq) — which is exactly the first half of an
+        # rfft of length L = 2(n_freq-1), so one small FFT of the padded
+        # coefficient vector replaces 2·n_freq·order scalar cos/sin calls
+        # (libm cos/sin is the slow path here, ~1µs/element unvectorized).
+        L = 2 * (n_freq - 1)
+        c = np.zeros(L)
+        c[0] = 1.0
+        c[1 : order + 1] = -ar  # order ≤ 10·log10(n) << L
+        h = np.fft.rfft(c)
+        spec = var_pred / (xfreq * (h.real * h.real + h.imag * h.imag))
+    elif order >= 1:
+        # n_freq == 1: single frequency 0 — evaluate directly
+        spec = np.full(1, var_pred / (xfreq * (1.0 - ar.sum()) ** 2))
     else:
         spec = np.full(n_freq, var_pred / xfreq)
     return spec

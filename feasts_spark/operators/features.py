@@ -89,10 +89,14 @@ FEATURE_COLUMNS = [
     "coef_hurst",
 ]
 
-# coef_hurst is exact ARFIMA(0,d,0) ML — O(n^2) per series — so the pack
-# computes it only for series up to this length (NaN above; call the kernel
-# directly for longer series if needed).
-HURST_MAX_N = 512
+# coef_hurst is exact ARFIMA(0,d,0) ML. The likelihood is evaluated in
+# O(n log n) via the closed-form Hosking predictor coefficients + FFT
+# convolution (kernels/extras.py _arfima_negloglik_fft), so the pack can
+# afford it on long series too; the cap is only a guard against
+# pathological whales (NaN above it; call the kernel directly if needed).
+# Round 2 capped this at 512 when the likelihood was the O(n^2)
+# Durbin-Levinson sweep.
+HURST_MAX_N = 65536
 
 NAN = float("nan")
 

@@ -40,6 +40,26 @@ class TestHurst:
         h = coef_hurst(rng.standard_normal(300))["coef_hurst"]
         assert h < 0.6
 
+    def test_fft_likelihood_matches_durbin_levinson(self):
+        # the O(n log n) closed-form/FFT likelihood must reproduce the
+        # O(n^2) Durbin-Levinson reference across the Brent search range
+        from feasts_spark.kernels.extras import (
+            _arfima_negloglik,
+            _arfima_negloglik_fft,
+        )
+
+        rng = np.random.RandomState(5)
+        for n in (2, 3, 17, 200, 511):
+            for x in (
+                rng.standard_normal(n),
+                np.cumsum(rng.standard_normal(n)),
+            ):
+                xc = x - x.mean()
+                for d in (1e-9, 0.05, 0.25, 0.4999):
+                    a = _arfima_negloglik(d, xc)
+                    b = _arfima_negloglik_fft(d, xc)
+                    assert abs(a - b) / max(1.0, abs(a)) < 1e-8, (n, d)
+
 
 class TestMBB:
     def test_structure(self):
