@@ -1331,6 +1331,27 @@ def q_minhash_pack(spark, sf_dir):
     return a.unionByName(b)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Snapshot-delta dedup: docs >= 80 are the 'new crawl', docs < 80 the
+    indexed corpus — LSH pairs for new docs only, never re-pairing
+    old x old (operators/dedup.py minhash_lsh_incremental; rows-only:
+    banding is hash-based, but full==incremental equivalence is asserted
+    exactly in tests/test_dedup_multimodal.py)."""
+    from feasts_spark.operators.dedup import (
+        minhash_lsh_incremental,
+        minhash_signatures,
+    )
+
+    _utc(spark)
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 120)
+    sig_old = minhash_signatures(d.filter(F.col("doc_id") < 80))
+    sig_new = minhash_signatures(d.filter(F.col("doc_id") >= 80))
+    out = minhash_lsh_incremental(sig_old, sig_new, broadcast_new=True)
+    return out.select(
+        "kind", "id_a", "id_b", _r4("est_jaccard").alias("est_jaccard")
+    )
+
+
 def q_dup_clusters(spark, sf_dir):
     """Connected-components duplicate clustering over exact 3-gram Jaccard
     pairs (threshold 0.01): each doc labeled with its group's minimum id.
@@ -3201,6 +3222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_pack_all": q_feature_pack_all,
         "hll_distinct_tiers": q_hll_distinct_tiers,
         "minhash_pack": q_minhash_pack,
+        "dedup_incremental": q_dedup_incremental,
         "ann_approx_topk": q_ann_approx_topk,
     }
 

@@ -494,13 +494,17 @@ def minhash_signatures_oph(
     )
 
 
-def minhash_lsh_candidates(
-    signatures: DataFrame, num_bands: int = 32
+def minhash_lsh_bands(
+    signatures: DataFrame, num_bands: int = 32, num_perm: int = 128
 ) -> DataFrame:
-    """Band the signature, bucket-join: candidate pairs per shared bucket."""
-    num_perm = 128  # rows = num_perm / num_bands
+    """(id, band, band_hash) LSH bucket table for a signature frame.
+
+    This IS the persistable dedup index: in a snapshot pipeline, write it
+    once per corpus (bucketed by (band, band_hash) via
+    sources.tableio.write_bucketed) and join each new crawl delta against
+    it — see minhash_lsh_incremental."""
     rows = num_perm // num_bands
-    banded = signatures.select(
+    return signatures.select(
         "id",
         F.posexplode(
             F.transform(
@@ -516,6 +520,13 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_hash"),
     )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, num_bands: int = 32
+) -> DataFrame:
+    """Band the signature, bucket-join: candidate pairs per shared bucket."""
+    banded = minhash_lsh_bands(signatures, num_bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -554,6 +565,80 @@ def minhash_estimate(
         )
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+def minhash_lsh_incremental(
+    existing_sigs: DataFrame,
+    new_sigs: DataFrame,
+    num_bands: int = 32,
+    broadcast_new: bool = False,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Dedup a new snapshot delta against an existing corpus WITHOUT
+    re-pairing the corpus with itself.
+
+    The per-document banding is independent, so the full-corpus LSH pair
+    set restricted to pairs touching a new document is EXACTLY
+    (new x existing bucket join) ∪ (new x new self-join) — old x old
+    pairs were already resolved when the index was built and are never
+    recomputed. At 100 TB this is the difference between re-bucketing
+    10^9 documents per crawl and joining a 10^6-row delta against a
+    persisted (band, band_hash)-bucketed index table (write it with
+    sources.tableio.write_bucketed to make the big side's shuffle a
+    one-time cost; see tests/test_dedup_multimodal.py for the
+    equivalence property).
+
+    Returns (kind, id_a, id_b, est_jaccard) where kind='vs_index' pairs
+    a new doc (id_a) with an existing doc (id_b), and kind='within_batch'
+    pairs two new docs (id_a < id_b). Pass broadcast_new=True when the
+    delta is small enough to ship to every executor (the usual case);
+    threshold filters the estimate if given."""
+    new_bands = minhash_lsh_bands(new_sigs, num_bands)
+    old_bands = minhash_lsh_bands(existing_sigs, num_bands)
+    nbj = F.broadcast(new_bands) if broadcast_new else new_bands
+    cross = (
+        old_bands.alias("a")
+        .join(
+            nbj.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(F.col("b.id").alias("id_a"), F.col("a.id").alias("id_b"))
+        .distinct()
+    )
+    sn = new_sigs.withColumnRenamed("id", "id_a").withColumnRenamed(
+        "signature", "sig_a"
+    )
+    so = existing_sigs.withColumnRenamed("id", "id_b").withColumnRenamed(
+        "signature", "sig_b"
+    )
+    est_expr = (
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.size("sig_a")
+    )
+    vs_index = (
+        cross.join(sn, "id_a")
+        .join(so, "id_b")
+        .select(
+            F.lit("vs_index").alias("kind"),
+            "id_a",
+            "id_b",
+            est_expr.alias("est_jaccard"),
+        )
+    )
+    within = minhash_estimate(
+        new_sigs, minhash_lsh_candidates(new_sigs, num_bands)
+    ).select(
+        F.lit("within_batch").alias("kind"), "id_a", "id_b", "est_jaccard"
+    )
+    out = vs_index.unionByName(within)
+    if threshold is not None:
+        out = out.filter(F.col("est_jaccard") >= threshold)
+    return out
 
 
 def dup_clusters(

@@ -109,6 +109,55 @@ class TestDedup:
             true_j = _jaccard(local[0], local[2])
             assert abs(got[(0, 2)] - true_j) < 0.25
 
+    def test_minhash_incremental_equals_full(self, spark, sf_dir):
+        # incremental (new-delta vs existing-index) must produce EXACTLY
+        # the full-corpus LSH pairs restricted to pairs touching a new
+        # doc — banding is per-document, so the equivalence is exact,
+        # not probabilistic
+        from feasts_spark.operators.dedup import minhash_lsh_incremental
+
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 120)
+            .select(F.col("doc_id").alias("doc_id"), "text")
+        )
+        existing = docs.filter(F.col("doc_id") < 80)
+        new = docs.filter(F.col("doc_id") >= 80)
+        sig_all = minhash_signatures(docs)
+        sig_old = minhash_signatures(existing)
+        sig_new = minhash_signatures(new)
+
+        full = minhash_estimate(
+            sig_all, minhash_lsh_candidates(sig_all)
+        ).toPandas()
+        full_new = {
+            frozenset((r.id_a, r.id_b)): round(r.est_jaccard, 9)
+            for r in full.itertuples()
+            if r.id_a >= 80 or r.id_b >= 80
+        }
+        inc = minhash_lsh_incremental(
+            sig_old, sig_new, broadcast_new=True
+        ).toPandas()
+        inc_pairs = {
+            frozenset((r.id_a, r.id_b)): round(r.est_jaccard, 9)
+            for r in inc.itertuples()
+        }
+        assert inc_pairs == full_new
+        # kind labels are consistent with the snapshot split
+        for r in inc.itertuples():
+            if r.kind == "vs_index":
+                assert r.id_a >= 80 and r.id_b < 80
+            else:
+                assert r.id_a >= 80 and r.id_b >= 80 and r.id_a < r.id_b
+
+    def test_minhash_incremental_threshold(self, spark, doc_df):
+        from feasts_spark.operators.dedup import minhash_lsh_incremental
+
+        sig_old = minhash_signatures(doc_df.filter(F.col("doc_id") <= 2))
+        sig_new = minhash_signatures(doc_df.filter(F.col("doc_id") > 2))
+        out = minhash_lsh_incremental(sig_old, sig_new, threshold=0.5)
+        assert out.filter(F.col("est_jaccard") < 0.5).count() == 0
+
     def test_minhash_deterministic(self, spark, doc_df):
         a = minhash_signatures(doc_df).orderBy("id").toPandas()
         b = minhash_signatures(doc_df).orderBy("id").toPandas()
