@@ -177,6 +177,20 @@ def main() -> None:
             pii_stats(docs),
     })
 
+    from feasts_spark.operators.dedup import (
+        minhash_lsh_incremental,
+        minhash_signatures,
+    )
+
+    plans.update({
+        "minhash_lsh_incremental (delta bands BROADCAST to index join; no old x old pairing)":
+            minhash_lsh_incremental(
+                minhash_signatures(tr_docs),
+                minhash_signatures(ev_docs),
+                broadcast_new=True,
+            ),
+    })
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
