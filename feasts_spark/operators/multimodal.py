@@ -2,11 +2,16 @@
 
 Treats media as opaque BinaryType payloads with a typed metadata struct.
 The Spark-side machinery — schemas, partition-friendly batching via
-mapInPandas, Arrow-safe binary transport, bounded batch sizes — is real and
-tested; the actual codecs are NOT available in this environment (no
-PIL/ffmpeg/librosa), so the decode step is a deterministic fake behind
-`decoder=` (production swaps in the real codec; `decoder=None` raises
-NotImplementedError to make the stub explicit).
+mapInPandas, Arrow-safe binary transport, bounded batch sizes — is real
+and tested. Codecs: uncompressed formats that need no external library
+are decoded FOR REAL in pure numpy/struct — 24-bit BI_RGB BMP images
+(decode_bmp/encode_bmp) and PCM16 mono WAV audio (decode_wav/encode_wav)
+— dispatched by magic bytes in `default_decode`. Compressed codecs
+(JPEG/MP4/...) are NOT available in this environment (no
+PIL/ffmpeg/librosa), so payloads that aren't BMP/WAV fall back to the
+deterministic `fake_decode` stand-in (video always does); production
+swaps in the real codec via `decoder=`, and `decoder=None` raises
+NotImplementedError to make the remaining stub explicit.
 
 Scale notes: decode is a map-only pass — no shuffle; Arrow batch bytes are
 bounded by `spark.sql.execution.arrow.maxRecordsPerBatch` and the media
@@ -50,9 +55,100 @@ def fake_decode(payload: bytes, kind: str) -> np.ndarray:
     raise ValueError(f"unknown media kind: {kind}")
 
 
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """24-bit BI_RGB BMP from an (H, W, 3) uint8 RGB array — bottom-up
+    rows, BGR byte order, rows padded to 4 bytes (the on-disk format)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape[0], arr.shape[1]
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # flip + BGR
+    size = 54 + body.size
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, body.size, 2835, 2835, 0, 0
+    )
+    return header + body.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """(H, W, 3) uint8 RGB from a 24-bit uncompressed BMP."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant: bpp={bpp} comp={comp}")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.frombuffer(payload, dtype=np.uint8, count=h * row_bytes, offset=offset)
+    rows = body.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """PCM16 mono RIFF/WAVE from float samples in [-1, 1]."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = np.round(pcm * 32767.0).astype("<i2")
+    data = pcm.tobytes()
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """float32 samples in [-1, 1] from a PCM16 mono RIFF/WAVE payload;
+    walks the chunk list, so extra chunks (LIST/fact) are skipped."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, n = 12, len(payload)
+    data = None
+    while pos + 8 <= n:
+        cid, csize = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"fmt ":
+            audio_fmt, channels, _, _, _, bits = struct.unpack_from(
+                "<HHIIHH", payload, pos + 8
+            )
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError("unsupported WAV variant (need PCM16 mono)")
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + csize]
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if data is None:
+        raise ValueError("WAV payload has no data chunk")
+    return (np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0)
+
+
+def default_decode(payload: bytes, kind: str) -> np.ndarray:
+    """Magic-byte dispatch: real numpy codecs for the uncompressed formats
+    (BMP, PCM WAV), the deterministic fake for everything else (JPEG/MP4/
+    opaque test payloads — no compressed codec exists in this env). An
+    opaque payload that merely STARTS with a magic prefix (e.g. text
+    bytes beginning "BM") fails structural validation and falls back to
+    the fake rather than raising."""
+    try:
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return decode_wav(payload)
+    except (ValueError, struct.error):
+        pass
+    return fake_decode(payload, kind)
+
+
 def extract_features(
     df: DataFrame,
-    decoder=fake_decode,
+    decoder=default_decode,
     payload_col: str = "payload",
     kind_col: str = "kind",
 ) -> DataFrame:
@@ -88,7 +184,7 @@ def extract_features(
 
 
 def resize_images(
-    df: DataFrame, width: int = 8, height: int = 8, decoder=fake_decode
+    df: DataFrame, width: int = 8, height: int = 8, decoder=default_decode
 ) -> DataFrame:
     """Decode -> nearest-neighbor resize -> re-encode raw bytes."""
     if decoder is None:
@@ -116,7 +212,7 @@ def resize_images(
 
 
 def sample_frames(
-    df: DataFrame, every_n: int = 2, decoder=fake_decode
+    df: DataFrame, every_n: int = 2, decoder=default_decode
 ) -> DataFrame:
     """Video frame sampling: explode every n-th frame as its own row."""
     if decoder is None:
@@ -137,25 +233,40 @@ def sample_frames(
 
 
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic opaque-media fixture table (payload = seeded bytes)."""
+    """Deterministic media fixture table. Image rows carry REAL 16x16
+    24-bit BMP payloads and audio rows REAL 1024-sample PCM16 WAV
+    payloads (decoded for real by default_decode); video rows carry an
+    opaque seeded payload that exercises the fake-codec fallback (no
+    compressed/container codec exists in this environment)."""
 
     def gen(batches):
         for pdf in batches:
             ids = pdf["id"].to_numpy()
-            kinds = [["image", "audio", "video"][int(i) % 3] for i in ids]
-            payloads = [
-                hashlib.sha256(f"{seed}-{int(i)}".encode()).digest() * 4
-                for i in ids
-            ]
-            meta = [
-                {
-                    "width": 16, "height": 16,
-                    "n_frames": 8 if k == "video" else 1,
-                    "sample_rate": 16000 if k == "audio" else 0,
-                    "codec": "fake",
-                }
-                for k in kinds
-            ]
+            kinds, payloads, meta = [], [], []
+            for i in ids:
+                k = ["image", "audio", "video"][int(i) % 3]
+                rng = np.random.RandomState((seed * 1_000_003 + int(i)) % (2**32))
+                if k == "image":
+                    p = encode_bmp(rng.randint(0, 256, (16, 16, 3)).astype(np.uint8))
+                    codec = "bmp24"
+                elif k == "audio":
+                    p = encode_wav(
+                        np.clip(rng.standard_normal(1024) * 0.1, -1, 1), 16000
+                    )
+                    codec = "pcm16"
+                else:
+                    p = hashlib.sha256(f"{seed}-{int(i)}".encode()).digest() * 4
+                    codec = "fake"
+                kinds.append(k)
+                payloads.append(p)
+                meta.append(
+                    {
+                        "width": 16, "height": 16,
+                        "n_frames": 8 if k == "video" else 1,
+                        "sample_rate": 16000 if k == "audio" else 0,
+                        "codec": codec,
+                    }
+                )
             yield pd.DataFrame(
                 {"media_id": ids, "kind": kinds, "payload": payloads, "meta": meta}
             )

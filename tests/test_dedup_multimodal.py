@@ -246,6 +246,56 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             extract_features(media, decoder=None)
 
+    def test_bmp_wav_codecs_roundtrip(self):
+        from feasts_spark.operators.multimodal import (
+            decode_bmp,
+            decode_wav,
+            default_decode,
+            encode_bmp,
+            encode_wav,
+        )
+
+        rng = np.random.RandomState(0)
+        for h, w in ((16, 16), (7, 5), (1, 1), (33, 31)):
+            img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+        for n in (1, 100, 16000):
+            s = np.clip(rng.standard_normal(n) * 0.3, -1, 1).astype(np.float32)
+            dec = decode_wav(encode_wav(s, 16000))
+            assert dec.shape == s.shape
+            assert float(np.max(np.abs(dec - s))) < 1.0 / 16384  # 1 LSB-ish
+        img = rng.randint(0, 256, (4, 4, 3)).astype(np.uint8)
+        assert np.array_equal(default_decode(encode_bmp(img), "image"), img)
+        assert default_decode(b"\x00" * 32, "video").shape == (8, 16, 16, 3)
+        # opaque payloads that merely start with a magic prefix fall back
+        # to the fake decoder instead of raising
+        assert default_decode(b"BMuch text, not a bitmap", "image").shape == (
+            16, 16, 3,
+        )
+        assert default_decode(b"RIFFxxxxWAVEgarbage", "audio").shape == (1024,)
+
+    def test_real_decode_end_to_end(self, spark):
+        # image features computed from REAL decoded BMP pixels must equal
+        # the locally computed per-channel mean/std of the same pixels
+        from feasts_spark.operators.multimodal import decode_bmp
+
+        media = synthesize_media(spark, n=6)
+        rows = media.filter(F.col("kind") == "image").toPandas()
+        feats = (
+            extract_features(media)
+            .filter(F.col("kind") == "image")
+            .toPandas()
+            .set_index("media_id")["feature"]
+        )
+        assert len(rows) >= 1
+        for r in rows.itertuples():
+            img = decode_bmp(bytes(r.payload)).astype(np.float64)
+            flat = img.reshape(-1, 3)
+            want = np.concatenate([flat.mean(axis=0), flat.std(axis=0)])
+            np.testing.assert_allclose(
+                np.array(feats[r.media_id]), want, rtol=1e-6
+            )
+
 
 class TestOnePermMinhash:
     """OPH signatures: same contract as the classical pass, O(S) hashing."""
