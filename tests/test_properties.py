@@ -94,3 +94,58 @@ class TestRle:
         np.testing.assert_array_equal(rebuilt, x)
         # maximality: no two adjacent runs share a value
         assert (np.diff(values) != 0).all()
+
+
+class TestArfimaFFT:
+    """The O(n log n) FFT ARFIMA likelihood vs the O(n^2) Durbin-Levinson
+    reference on arbitrary series — guards the closed-form gamma-ratio
+    factorization across the whole Brent search range."""
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(finite, min_size=2, max_size=120),
+        st.floats(min_value=1e-6, max_value=0.499999),
+    )
+    def test_fft_matches_dl(self, vals, d):
+        from feasts_spark.kernels.extras import (
+            _arfima_negloglik,
+            _arfima_negloglik_fft,
+        )
+
+        x = np.array(vals)
+        x = x - x.mean()
+        if not np.any(np.abs(x) > 1e-12):
+            return  # constant series: ssr=0 -> -inf in both, skip
+        a = _arfima_negloglik(d, x)
+        b = _arfima_negloglik_fft(d, x)
+        assert abs(a - b) / max(1.0, abs(a)) < 1e-7
+
+
+class TestMediaCodecs:
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(1, 24), st.integers(1, 24), st.integers(0, 2**31 - 1))
+    def test_bmp_roundtrip(self, h, w, seed):
+        from feasts_spark.operators.multimodal import decode_bmp, encode_bmp
+
+        img = np.random.RandomState(seed).randint(0, 256, (h, w, 3)).astype(
+            np.uint8
+        )
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.floats(
+                allow_nan=False, allow_infinity=False,
+                min_value=-1.0, max_value=1.0, width=32,
+            ),
+            min_size=1, max_size=400,
+        )
+    )
+    def test_wav_roundtrip(self, vals):
+        from feasts_spark.operators.multimodal import decode_wav, encode_wav
+
+        s = np.array(vals, dtype=np.float32)
+        dec = decode_wav(encode_wav(s))
+        assert dec.shape == s.shape
+        assert float(np.max(np.abs(dec - s))) < 1.0 / 16384
