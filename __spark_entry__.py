@@ -1343,9 +1343,11 @@ def q_dedup_incremental(spark, sf_dir):
     )
 
     _utc(spark)
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 120)
-    sig_old = minhash_signatures(d.filter(F.col("doc_id") < 80))
-    sig_new = minhash_signatures(d.filter(F.col("doc_id") >= 80))
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    # split at 300: the synthetic corpus has cross-split near-dups here
+    # (e.g. 45~413, 72~377 at sf0.01), so the driver row carries signal
+    sig_old = minhash_signatures(d.filter(F.col("doc_id") < 300))
+    sig_new = minhash_signatures(d.filter(F.col("doc_id") >= 300))
     out = minhash_lsh_incremental(sig_old, sig_new, broadcast_new=True)
     return out.select(
         "kind", "id_a", "id_b", _r4("est_jaccard").alias("est_jaccard")
