@@ -100,31 +100,100 @@ HURST_MAX_N = 65536
 
 NAN = float("nan")
 
+# kernel name -> output columns (single-period names; the seasonal triple
+# is period-suffixed by pack_columns in the multi-seasonality case)
+KERNEL_COLUMNS: dict[str, tuple[str, ...]] = {
+    "feat_stl": (
+        "trend_strength", "seasonal_strength", "seasonal_peak",
+        "seasonal_trough", "spikiness", "linearity", "curvature",
+        "stl_e_acf1", "stl_e_acf10",
+    ),
+    "feat_acf": (
+        "acf1", "acf10", "diff1_acf1", "diff1_acf10", "diff2_acf1",
+        "diff2_acf10", "season_acf1",
+    ),
+    "feat_pacf": ("pacf5", "diff1_pacf5", "diff2_pacf5", "season_pacf"),
+    "feat_spectral": ("spectral_entropy",),
+    "n_crossing_points": ("n_crossing_points",),
+    "longest_flat_spot": ("longest_flat_spot",),
+    "var_tiled_var": ("var_tiled_var",),
+    "var_tiled_mean": ("var_tiled_mean",),
+    "shift_level_max": ("shift_level_max", "shift_level_index"),
+    "shift_var_max": ("shift_var_max", "shift_var_index"),
+    "shift_kl_max": ("shift_kl_max", "shift_kl_index"),
+    "stat_arch_lm": ("stat_arch_lm",),
+    "guerrero": ("lambda_guerrero",),
+    "ljung_box": ("lb_stat", "lb_pvalue"),
+    "box_pierce": ("bp_stat", "bp_pvalue"),
+    "feat_intermittent": (
+        "zero_run_mean", "nonzero_squared_cv", "zero_start_prop",
+        "zero_end_prop",
+    ),
+    "unitroot_kpss": ("kpss_stat", "kpss_pvalue"),
+    "unitroot_pp": ("pp_stat", "pp_pvalue"),
+    "unitroot_ndiffs": ("ndiffs",),
+    "unitroot_nsdiffs": ("nsdiffs",),
+    "coef_hurst": ("coef_hurst",),
+}
 
-def pack_columns(periods: tuple[int, ...] | None = None) -> list[str]:
+
+def feature_set(
+    tags: tuple[str, ...] | list[str] | None = None,
+    names: tuple[str, ...] | list[str] | None = None,
+) -> tuple[str, ...]:
+    """fabletools feature_set(tags=...) over the FEATURE_REGISTRY: resolve
+    tags and/or explicit kernel names to the kernel-name tuple that
+    `features(..., select=)` accepts. Unknown names raise (a typo must
+    not silently select nothing)."""
+    out: list[str] = []
+    if names:
+        for nm in names:
+            if nm not in FEATURE_REGISTRY:
+                raise ValueError(f"unknown feature kernel: {nm!r}")
+            out.append(nm)
+    if tags:
+        tagset = set(tags)
+        for nm, (_, ktags) in FEATURE_REGISTRY.items():
+            if tagset & set(ktags) and nm not in out:
+                out.append(nm)
+    if not out:
+        raise ValueError("feature_set selected no kernels")
+    return tuple(out)
+
+
+def pack_columns(
+    periods: tuple[int, ...] | None = None,
+    select: tuple[str, ...] | None = None,
+) -> list[str]:
     """Static output columns for the pack.
 
     Single-period (periods=None or one entry): the legacy unsuffixed
     seasonal triple. Multi-seasonality: per-period suffixed columns
     seasonal_strength_<p>/seasonal_peak_<p>/seasonal_trough_<p>, matching
     the reference's <name>-suffixed output (features.R:95-108).
+    `select` (kernel names from feature_set()) restricts the columns to
+    the selected kernels' outputs, preserving canonical order.
     """
+    if select is None:
+        base = list(FEATURE_COLUMNS)
+    else:
+        allowed: set[str] = set()
+        for k in select:
+            allowed.update(KERNEL_COLUMNS[k])
+        base = [c for c in FEATURE_COLUMNS if c in allowed]
     if not periods or len(periods) == 1:
-        return FEATURE_COLUMNS
-    per_season = [
-        f"{base}_{p}"
-        for p in periods
-        for base in ("seasonal_strength", "seasonal_peak", "seasonal_trough")
-    ]
-    rest = [
-        c
-        for c in FEATURE_COLUMNS
-        if c not in ("seasonal_strength", "seasonal_peak", "seasonal_trough")
-    ]
-    return rest[:1] + per_season + rest[1:]  # trend_strength first, as before
+        return base
+    triple = ("seasonal_strength", "seasonal_peak", "seasonal_trough")
+    if not any(c in base for c in triple):
+        return base
+    per_season = [f"{b}_{p}" for p in periods for b in triple if b in base]
+    rest = [c for c in base if c not in triple]
+    if rest and rest[0] == "trend_strength":
+        return rest[:1] + per_season + rest[1:]  # trend_strength first
+    return per_season + rest
 
 
-def compute_feature_pack(x: np.ndarray, period=1) -> dict:
+def compute_feature_pack(x: np.ndarray, period=1, select=None) -> dict:
     """All features for one series; returns {col: float} over pack_columns.
 
     `period` may be an int or a tuple of ints. With multiple periods the
@@ -132,6 +201,11 @@ def compute_feature_pack(x: np.ndarray, period=1) -> dict:
     other period-parameterized kernel (ACF seasonal lag, tiling sizes,
     guerrero, nsdiffs) uses the PRIMARY (first) period, as the reference
     does when fabletools hands it a single .period.
+
+    `select` (kernel names, see feature_set()) runs only the selected
+    kernels and returns only their columns; values are IDENTICAL to the
+    full pack's (kernels share no state except feat_stl's seasonal
+    strength, which nsdiffs recomputes when feat_stl is deselected).
     """
     period_list = (
         tuple(int(p) for p in period)
@@ -140,7 +214,8 @@ def compute_feature_pack(x: np.ndarray, period=1) -> dict:
     )
     primary = period_list[0]
     multi = len(period_list) > 1
-    out = dict.fromkeys(pack_columns(period_list), NAN)
+    selected = set(select) if select is not None else set(FEATURE_REGISTRY)
+    out = dict.fromkeys(pack_columns(period_list, select), NAN)
     n = x.size
 
     def safe(fn, *a, **kw):
@@ -149,42 +224,48 @@ def compute_feature_pack(x: np.ndarray, period=1) -> dict:
         except Exception:
             return {}
 
-    stl = safe(feat_stl, x, period=period_list if multi else primary)
+    stl: dict = {}
+    if "feat_stl" in selected:
+        stl = safe(feat_stl, x, period=period_list if multi else primary)
     # single period: normalize the <name>-suffixed seasonal columns to the
     # legacy static names; multi: the suffixed names ARE the schema
     for k, v in stl.items():
         if not multi and k.startswith("seasonal_strength_"):
-            out["seasonal_strength"] = v
+            k = "seasonal_strength"
         elif not multi and k.startswith("seasonal_peak_"):
-            out["seasonal_peak"] = v
+            k = "seasonal_peak"
         elif not multi and k.startswith("seasonal_trough_"):
-            out["seasonal_trough"] = v
-        elif k in out:
+            k = "seasonal_trough"
+        if k in out:
             out[k] = v
     period = primary
-    for fn, kwargs in (
-        (feat_acf, {"period": period}),
-        (feat_pacf, {"period": period}),
-        (feat_spectral, {"period": period}),
-        (n_crossing_points, {}),
-        (longest_flat_spot, {}),
-        (var_tiled_var, {"period": period}),
-        (var_tiled_mean, {"period": period}),
-        (shift_level_max, {"period": period}),
-        (shift_var_max, {"period": period}),
-        (shift_kl_max, {"period": period}),
-        (stat_arch_lm, {}),
-        (guerrero, {"period": period}),
-        (ljung_box, {}),
-        (box_pierce, {}),
-        (feat_intermittent, {}),
-        (unitroot_kpss, {}),
-        (unitroot_pp, {}),
-        (unitroot_ndiffs, {}),
-        # reuse the pack's own feat_stl seasonal strength for the d=1 gate
-        (unitroot_nsdiffs, {"period": period,
-                            "strength0": stl.get(f"seasonal_strength_{period}")}),
-    ) + (((coef_hurst, {}),) if n <= HURST_MAX_N else ()):
+    for name, fn, kwargs in (
+        ("feat_acf", feat_acf, {"period": period}),
+        ("feat_pacf", feat_pacf, {"period": period}),
+        ("feat_spectral", feat_spectral, {"period": period}),
+        ("n_crossing_points", n_crossing_points, {}),
+        ("longest_flat_spot", longest_flat_spot, {}),
+        ("var_tiled_var", var_tiled_var, {"period": period}),
+        ("var_tiled_mean", var_tiled_mean, {"period": period}),
+        ("shift_level_max", shift_level_max, {"period": period}),
+        ("shift_var_max", shift_var_max, {"period": period}),
+        ("shift_kl_max", shift_kl_max, {"period": period}),
+        ("stat_arch_lm", stat_arch_lm, {}),
+        ("guerrero", guerrero, {"period": period}),
+        ("ljung_box", ljung_box, {}),
+        ("box_pierce", box_pierce, {}),
+        ("feat_intermittent", feat_intermittent, {}),
+        ("unitroot_kpss", unitroot_kpss, {}),
+        ("unitroot_pp", unitroot_pp, {}),
+        ("unitroot_ndiffs", unitroot_ndiffs, {}),
+        # reuse the pack's own feat_stl seasonal strength for the d=1
+        # gate; when feat_stl is deselected the kernel recomputes it
+        ("unitroot_nsdiffs", unitroot_nsdiffs,
+         {"period": period,
+          "strength0": stl.get(f"seasonal_strength_{period}")}),
+    ) + ((("coef_hurst", coef_hurst, {}),) if n <= HURST_MAX_N else ()):
+        if name not in selected:
+            continue
         for k, v in safe(fn, x, **kwargs).items():
             if k in out:
                 out[k] = v
@@ -199,6 +280,7 @@ def features(
     period=1,
     max_points: int = 2_000_000,
     min_points: int = 0,
+    select: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Wide feature row per key — features(tsibble, value, feature_set()).
 
@@ -217,7 +299,7 @@ def features(
         if isinstance(period, (list, tuple))
         else (int(period),)
     )
-    cols = pack_columns(period_list)
+    cols = pack_columns(period_list, select)
     key_type = df.schema[key_col].dataType.simpleString()
     schema = ", ".join(
         [f"{key_col} {key_type}"] + [f"{c} double" for c in cols]
@@ -240,7 +322,7 @@ def features(
             )
         order = np.argsort(pdf[order_col].to_numpy(), kind="stable")
         x = pdf[value_col].to_numpy(dtype=np.float64)[order]
-        row = compute_feature_pack(x, period=period_list)
+        row = compute_feature_pack(x, period=period_list, select=select)
         return pd.DataFrame([{key_col: pdf[key_col].iloc[0], **row}])
 
     pruned = df.select(key_col, order_col, value_col)

@@ -106,3 +106,77 @@ class TestMultiSeasonPack:
                 df, key_col="series_key", order_col="t", value_col="v",
                 period=1, max_points=100,
             ).collect()
+
+
+class TestFeatureSet:
+    def test_registry_columns_cover_pack(self):
+        from feasts_spark.operators.features import (
+            FEATURE_COLUMNS,
+            FEATURE_REGISTRY,
+            KERNEL_COLUMNS,
+        )
+
+        assert set(KERNEL_COLUMNS) == set(FEATURE_REGISTRY)
+        covered = {c for cols in KERNEL_COLUMNS.values() for c in cols}
+        assert covered == set(FEATURE_COLUMNS)
+
+    def test_feature_set_resolution(self):
+        from feasts_spark.operators.features import feature_set
+
+        assert feature_set(tags=("portmanteau",)) == ("box_pierce", "ljung_box")
+        assert "feat_acf" in feature_set(tags=("autocorrelation",))
+        assert feature_set(names=("guerrero",)) == ("guerrero",)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            feature_set(names=("nope",))
+        with _pytest.raises(ValueError):
+            feature_set(tags=("no-such-tag",))
+
+    def test_subset_matches_full_pack(self):
+        import numpy as np
+
+        from feasts_spark.operators.features import (
+            compute_feature_pack,
+            feature_set,
+        )
+
+        rng = np.random.RandomState(4)
+        x = np.cumsum(rng.standard_normal(300)) + 5 * np.sin(
+            np.arange(300) * 2 * np.pi / 12
+        )
+        full = compute_feature_pack(x, period=12)
+        sel = feature_set(tags=("autocorrelation", "unitroot"), names=("guerrero",))
+        sub = compute_feature_pack(x, period=12, select=sel)
+        assert set(sub) < set(full)
+        for k, v in sub.items():
+            assert (np.isnan(v) and np.isnan(full[k])) or v == full[k], k
+
+    def test_spark_select(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from feasts_spark.operators.features import feature_set, features
+        from feasts_spark.operators.rollup import rollup_raw
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        r = rollup_raw(ev, "1d", "user_id", "ts", "value")
+        sel = feature_set(tags=("acf",), names=("n_crossing_points",))
+        out = features(r, period=7, min_points=10, select=sel)
+        assert set(out.columns) == {
+            "series_key", "acf1", "acf10", "diff1_acf1", "diff1_acf10",
+            "diff2_acf1", "diff2_acf10", "season_acf1", "n_crossing_points",
+        }
+        full = features(r, period=7, min_points=10).select(
+            "series_key", "acf1", "n_crossing_points"
+        )
+        j = out.select("series_key", "acf1", "n_crossing_points").join(
+            full.withColumnRenamed("acf1", "acf1_f").withColumnRenamed(
+                "n_crossing_points", "ncp_f"
+            ),
+            "series_key",
+        )
+        bad = j.filter(
+            (F.col("acf1") != F.col("acf1_f"))
+            | (F.col("n_crossing_points") != F.col("ncp_f"))
+        ).count()
+        assert bad == 0 and j.count() > 0
