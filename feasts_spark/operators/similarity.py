@@ -203,22 +203,11 @@ def _ivf_centroids(df, id_col, vec_col, n_cells, seed, sample_n=4096,
     return cent
 
 
-def ann_ivf_topk(
-    df: DataFrame,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_cells: int = 8,
-    nprobe: int = 2,
-    seed: int = 7,
-    query_filter=None,
-) -> DataFrame:
-    """IVF approximate cosine top-k: coarse-quantize vectors into n_cells
-    (max-cosine centroid), queries probe their nprobe nearest cells, and
-    the join shuffles on cell ids — candidate work ~ nprobe/n_cells of
-    brute force. Centroids are trained once on a bounded seeded sample and
-    shipped in the UDF closure (k x dim floats — broadcast-sized)."""
-    cent = _ivf_centroids(df, id_col, vec_col, n_cells, seed)
+def _ivf_assign(df: DataFrame, cent: np.ndarray, id_col: str, vec_col: str,
+                nprobe: int) -> DataFrame:
+    """(id, vec, cell, probes) projection: nearest-centroid cell plus the
+    nprobe nearest cells for the query side. Map-only; cent ships in the
+    UDF closure (n_cells x dim floats — broadcast-sized)."""
 
     def assign_fn(batches):
         for pdf in batches:
@@ -237,10 +226,102 @@ def ann_ivf_topk(
             })
 
     vec_type = df.schema[vec_col].dataType.simpleString()
-    proj = df.select(id_col, vec_col).mapInPandas(
+    return df.select(id_col, vec_col).mapInPandas(
         assign_fn,
         schema=f"id long, vec {vec_type}, cell int, probes array<int>",
     )
+
+
+def ivf_build_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    seed: int = 7,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistable IVF index: (centroids, assignments).
+
+    centroids is a tiny (cell, centroid) frame (O(n_cells) rows — write it
+    next to the assignments table); assignments is (id, vec, cell) — at
+    scale, write it partitioned/bucketed BY CELL so ivf_query_topk's
+    cell join prunes to the probed partitions instead of scanning the
+    corpus per query batch. Training stays bounded: seeded 4096-row
+    total-ordered sample + driver-side Lloyd (see _ivf_centroids)."""
+    cent = _ivf_centroids(df, id_col, vec_col, n_cells, seed)
+    assignments = _ivf_assign(df, cent, id_col, vec_col, nprobe=1).select(
+        "id", "vec", "cell"
+    )
+    centroids = df.sparkSession.createDataFrame(
+        [(int(i), [float(v) for v in cent[i]]) for i in range(cent.shape[0])],
+        "cell int, centroid array<double>",
+    )
+    return centroids, assignments
+
+
+def ivf_query_topk(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Serve approximate cosine top-k for a query batch against a BUILT
+    index — the index is reused across query batches instead of being
+    retrained per call (build once per corpus snapshot, query at serving
+    cadence). Queries need not be index members; pass exclude_self=True
+    when they are (drops the trivial self-match). The centroids frame is
+    collected driver-side — O(n_cells) rows by construction."""
+    rows = sorted(centroids.collect(), key=lambda r: r["cell"])
+    cent = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    qproj = _ivf_assign(queries, cent, id_col, vec_col, nprobe)
+    cand = assignments.select(
+        F.col("id").alias("cand_id"), F.col("vec").alias("ec"),
+        F.col("cell").alias("ccell"),
+    )
+    q = qproj.select(
+        F.col("id").alias("query_id"), F.col("vec").alias("eq"),
+        F.explode("probes").alias("qcell"),
+    )
+    scored = q.join(cand, F.col("qcell") == F.col("ccell"))
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("cand_id"))
+    scored = (
+        scored.select(
+            "query_id", "cand_id",
+            F.expr(_COS.format(a="eq", b="ec")).alias("cos"),
+        )
+        .groupBy("query_id", "cand_id")
+        .agg(F.max("cos").alias("cos"))
+    )
+    wrank = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "cos")
+    )
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    nprobe: int = 2,
+    seed: int = 7,
+    query_filter=None,
+) -> DataFrame:
+    """IVF approximate cosine top-k: coarse-quantize vectors into n_cells
+    (max-cosine centroid), queries probe their nprobe nearest cells, and
+    the join shuffles on cell ids — candidate work ~ nprobe/n_cells of
+    brute force. Composed from ivf_build_index + ivf_query_topk (same
+    results as the pre-split implementation: assignment is row-wise, so
+    probing the filtered query set equals filtering the probed set)."""
+    cent = _ivf_centroids(df, id_col, vec_col, n_cells, seed)
+    proj = _ivf_assign(df, cent, id_col, vec_col, nprobe)
     cand = proj.select(
         F.col("id").alias("cand_id"), F.col("vec").alias("ec"),
         F.col("cell").alias("ccell"),

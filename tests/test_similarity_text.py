@@ -259,3 +259,59 @@ class TestEmbeddingDupClusters:
         )
         got = embedding_dup_clusters(df, threshold=0.999, method="brute").toPandas()
         assert set(got["id"]) == {0, 1}
+
+
+class TestIvfIndexServe:
+    def test_build_query_equals_end_to_end(self, spark, emb):
+        from feasts_spark.operators.similarity import (
+            ann_ivf_topk,
+            ivf_build_index,
+            ivf_query_topk,
+        )
+
+        qf = lambda c: c < 15  # noqa: E731
+        direct = ann_ivf_topk(
+            emb, k=5, n_cells=8, nprobe=3, query_filter=qf
+        ).toPandas()
+        centroids, assignments = ivf_build_index(emb, n_cells=8)
+        served = ivf_query_topk(
+            centroids, assignments, emb.filter(qf(F.col("vec_id"))),
+            k=5, nprobe=3, exclude_self=True,
+        ).toPandas()
+        key = ["query_id", "rank"]
+        a = direct.sort_values(key).reset_index(drop=True)
+        b = served.sort_values(key).reset_index(drop=True)
+        assert len(a) == len(b) > 0
+        assert (a["cand_id"].to_numpy() == b["cand_id"].to_numpy()).all()
+        np.testing.assert_allclose(
+            a["cos"].to_numpy(), b["cos"].to_numpy(), rtol=1e-12
+        )
+
+    def test_external_queries(self, spark, emb):
+        # queries NOT in the index: perturbed copies of corpus vectors —
+        # the serving path must return k neighbors per query and the
+        # perturbation source must rank first (it's the nearest vector)
+        from feasts_spark.operators.similarity import (
+            ivf_build_index,
+            ivf_query_topk,
+        )
+
+        centroids, assignments = ivf_build_index(emb, n_cells=8)
+        src = emb.filter(F.col("vec_id") < 5).toPandas()
+        rng = np.random.RandomState(0)
+        rows = []
+        for r in src.itertuples():
+            v = np.array(r.embedding, dtype=np.float64)
+            v = v + rng.standard_normal(v.size) * 1e-3 * np.linalg.norm(v)
+            rows.append((int(r.vec_id) + 100000, [float(x) for x in v]))
+        queries = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        out = ivf_query_topk(
+            centroids, assignments, queries, k=3, nprobe=3
+        ).toPandas()
+        assert set(out["query_id"]) == {100000 + i for i in range(5)}
+        assert (out.groupby("query_id").size() == 3).all()
+        top1 = out[out["rank"] == 1].set_index("query_id")["cand_id"]
+        for qid, cand in top1.items():
+            assert cand == qid - 100000
