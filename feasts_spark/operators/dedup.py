@@ -601,7 +601,10 @@ def minhash_lsh_incremental(
         .join(
             nbj.alias("b"),
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash")),
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            # a re-crawled doc carrying the same id in both snapshots
+            # would otherwise pair with itself (est 1.0, meaningless)
+            & (F.col("a.id") != F.col("b.id")),
         )
         .select(F.col("b.id").alias("id_a"), F.col("a.id").alias("id_b"))
         .distinct()

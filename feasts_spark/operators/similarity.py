@@ -275,6 +275,12 @@ def ivf_query_topk(
     when they are (drops the trivial self-match). The centroids frame is
     collected driver-side — O(n_cells) rows by construction."""
     rows = sorted(centroids.collect(), key=lambda r: r["cell"])
+    if [r["cell"] for r in rows] != list(range(len(rows))):
+        raise ValueError(
+            "centroids frame must carry contiguous cell ids 0..n-1 "
+            "(as produced by ivf_build_index); got "
+            f"{[r['cell'] for r in rows][:8]}..."
+        )
     cent = np.array([r["centroid"] for r in rows], dtype=np.float64)
     qproj = _ivf_assign(queries, cent, id_col, vec_col, nprobe)
     cand = assignments.select(
