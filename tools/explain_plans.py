@@ -191,6 +191,20 @@ def main() -> None:
             ),
     })
 
+    from feasts_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_query_topk,
+    )
+
+    _cent, _assign = ivf_build_index(emb, n_cells=8)
+    plans.update({
+        "ivf_query_topk (serve external queries vs built index: cell equi-join, no retrain)":
+            ivf_query_topk(
+                _cent, _assign,
+                emb.filter(F.col("vec_id") < 10), k=5, nprobe=2,
+            ),
+    })
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
