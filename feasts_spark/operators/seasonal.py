@@ -121,3 +121,96 @@ def gg_lag_data(
         )
         .filter(F.col("val_lag").isNotNull())
     )
+
+
+def gg_tsdisplay_data(
+    df: DataFrame,
+    period: str = "1d",
+    lag_max: int = 10,
+    key_col: str = "series_key",
+    ts_col: str = "bucket_ts",
+    value_col: str = "val_avg",
+) -> dict[str, DataFrame]:
+    """Data for the gg_tsdisplay panel (ggtime re-export, reference
+    graphics.R:20-22): the series itself, its ACF table, and the season
+    split — three frames a client renders side by side. Pure composition
+    of existing operators; each frame keeps its own documented plan
+    shape (projection / one applyInPandas shuffle / projection)."""
+    from feasts_spark.operators.cf import acf_table
+
+    series = df.select(
+        F.col(key_col), F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("val"),
+    )
+    acf = acf_table(
+        df, lag_max=lag_max, key_col=key_col, order_col=ts_col,
+        value_col=value_col,
+    )
+    season = gg_season_data(
+        df, period=period, key_col=key_col, ts_col=ts_col,
+        value_col=value_col, with_season_mean=False,
+    )
+    return {"series": series, "acf": acf, "season": season}
+
+
+def gg_tsresiduals_data(
+    components: DataFrame,
+    lag_max: int = 10,
+    key_col: str = "series_key",
+    ts_col: str = "bucket_ts",
+    remainder_col: str = "remainder",
+) -> dict[str, DataFrame]:
+    """Data for gg_tsresiduals (graphics.R:24-26): the same tsdisplay
+    panel over a decomposition's remainder, plus the histogram counts the
+    reference's third panel draws (binned driver-side-free: one groupBy
+    on the rounded residual)."""
+    if remainder_col not in components.columns:
+        # STL components name it `remainder`, classical_decomposition
+        # `random` (each matching its reference counterpart) — fail loud
+        # rather than deep in analysis so the caller knows to pass
+        # remainder_col explicitly.
+        raise ValueError(
+            f"remainder_col {remainder_col!r} not in components "
+            f"{components.columns}; pass remainder_col='random' for "
+            "classical_decomposition output"
+        )
+    panel = gg_tsdisplay_data(
+        components, period="1d", lag_max=lag_max, key_col=key_col,
+        ts_col=ts_col, value_col=remainder_col,
+    )
+    hist = (
+        components.select(
+            F.col(key_col),
+            F.round(F.col(remainder_col), 1).alias("bin"),
+        )
+        .groupBy(key_col, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return {"residuals": panel["series"], "acf": panel["acf"], "hist": hist}
+
+
+def arma_roots_data(spark, ar=(), ma=()) -> DataFrame:
+    """Inverse characteristic roots for the gg_arma plot (ggtime
+    re-export, graphics.R:28-30): rows (kind, root_idx, re, im, modulus)
+    — the unit-circle scatter gg_arma draws. Takes the fitted ARMA
+    coefficient vectors (model fitting itself is out of scope, as in the
+    reference where gg_arma receives a fable model). Driver-side numpy
+    on O(p+q) coefficients; returned as a DataFrame for plan uniformity."""
+    import numpy as np
+
+    rows = []
+    for kind, coefs in (("AR", ar), ("MA", ma)):
+        coefs = list(coefs)
+        if not coefs:
+            continue
+        # inverse roots of 1 - c1 z - ... - cp z^p (AR) / 1 + c z (MA uses +)
+        sign = -1.0 if kind == "AR" else 1.0
+        poly = np.r_[1.0, sign * np.asarray(coefs, dtype=np.float64)][::-1]
+        for i, r in enumerate(np.roots(poly)):
+            inv = 1.0 / r if r != 0 else complex(0.0)
+            rows.append(
+                (kind, i, float(inv.real), float(inv.imag), float(abs(inv)))
+            )
+    return spark.createDataFrame(
+        rows, "kind string, root_idx int, re double, im double, modulus double"
+    )

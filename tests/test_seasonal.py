@@ -6,7 +6,13 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from feasts_spark.operators.seasonal import gg_lag_data, gg_season_data
+from feasts_spark.operators.seasonal import (
+    arma_roots_data,
+    gg_lag_data,
+    gg_season_data,
+    gg_tsdisplay_data,
+    gg_tsresiduals_data,
+)
 
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
 
@@ -106,3 +112,68 @@ def test_gg_lag_validation(spark):
         gg_lag_data(df, lags=())
     with pytest.raises(ValueError):
         gg_lag_data(df, lags=(0, 1))
+
+
+# -------------------------------------------------------- gg_tsdisplay ----
+
+def test_gg_tsdisplay_panel_frames(spark):
+    df = _hourly(spark, 72)
+    panel = gg_tsdisplay_data(df, period="1d", lag_max=5)
+    assert set(panel) == {"series", "acf", "season"}
+    assert panel["series"].count() == 72
+    assert panel["series"].columns == ["series_key", "ts", "val"]
+    acf = panel["acf"].orderBy("lag").collect()
+    assert [r.lag for r in acf] == [1, 2, 3, 4, 5]
+    # linear ramp: acf(k) for the demeaned ramp matches numpy
+    vals = np.arange(72, dtype=float)
+    d = vals - vals.mean()
+    assert acf[0].acf == pytest.approx(np.dot(d[1:], d[:-1]) / np.dot(d, d))
+    season = panel["season"]
+    assert season.count() == 72 and "season_mean" not in season.columns
+
+
+def test_gg_tsresiduals_panel(spark):
+    rng = np.random.default_rng(11)
+    rows = [
+        ("k", T0 + dt.timedelta(hours=h), float(v))
+        for h, v in enumerate(rng.normal(size=48))
+    ]
+    comps = spark.createDataFrame(
+        rows, "series_key string, bucket_ts timestamp, remainder double"
+    )
+    panel = gg_tsresiduals_data(comps, lag_max=3)
+    assert set(panel) == {"residuals", "acf", "hist"}
+    assert panel["residuals"].count() == 48
+    assert panel["acf"].count() == 3
+    hist = panel["hist"].collect()
+    # histogram counts partition the rows and bins are 0.1-rounded residuals
+    assert sum(r.n for r in hist) == 48
+    expected_bins = {round(float(r[2]), 1) for r in rows}
+    assert {float(r.bin) for r in hist} == expected_bins
+
+
+# ------------------------------------------------------------ gg_arma ----
+
+def test_arma_roots_ar1_ma1(spark):
+    out = {
+        (r.kind, r.root_idx): r
+        for r in arma_roots_data(spark, ar=(0.5,), ma=(0.8,)).collect()
+    }
+    ar = out[("AR", 0)]
+    assert (ar.re, ar.im, ar.modulus) == pytest.approx((0.5, 0.0, 0.5))
+    ma = out[("MA", 0)]
+    assert (ma.re, ma.im, ma.modulus) == pytest.approx((-0.8, 0.0, 0.8))
+
+
+def test_arma_roots_ar2_complex_pair(spark):
+    # y_t = 1.0 y_{t-1} - 0.5 y_{t-2}: inverse roots are 0.5 +/- 0.5i
+    rows = arma_roots_data(spark, ar=(1.0, -0.5)).collect()
+    assert len(rows) == 2 and all(r.kind == "AR" for r in rows)
+    assert sorted(round(r.im, 6) for r in rows) == [-0.5, 0.5]
+    for r in rows:
+        assert r.re == pytest.approx(0.5)
+        assert r.modulus == pytest.approx(np.sqrt(0.5))
+        assert r.modulus < 1.0  # stationary region
+
+def test_arma_roots_empty(spark):
+    assert arma_roots_data(spark).count() == 0
