@@ -142,8 +142,15 @@ def main() -> None:
             turn_digest(tr),
     })
 
-    from feasts_spark.operators.seasonal import gg_lag_data, gg_season_data
+    from feasts_spark.operators.seasonal import (
+        gg_lag_data,
+        gg_season_data,
+        gg_tsresiduals_data,
+    )
 
+    resid_panel = gg_tsresiduals_data(
+        r1h.withColumnRenamed("val_avg", "remainder"), lag_max=3
+    )
     plans.update({
         "gg_season_data (+1 exchange over the input rollup: the (key,pos) mean window)":
             gg_season_data(r1h, period="1d"),
@@ -151,6 +158,8 @@ def main() -> None:
             gg_season_data(r1h, period="1d", with_season_mean=False),
         "gg_lag_data (+1 exchange: per-lag F.lag fused into ONE Window pass + explode)":
             gg_lag_data(r1h, lags=(1, 2, 3)),
+        "gg_tsresiduals hist frame (one groupBy on the 0.1-rounded residual)":
+            resid_panel["hist"],
     })
 
     from feasts_spark.operators.curation import (
