@@ -2560,6 +2560,7 @@ FROM tot t LEFT JOIN hit h USING (doc_id)
 
 CURATION_FRACTIONS = {"en": 0.5, "zh": 0.8, "es": 0.8, "de": 0.8, "fr": 0.8}
 CURATION_BUDGET = 800  # tokens per source; sf0.01 sources carry ~1.1-1.6k
+CURATION_RESERVOIR_K = 25  # exact-k per-lang reservoir in the pack
 
 
 def q_curation_pack(spark, sf_dir):
@@ -2573,6 +2574,7 @@ def q_curation_pack(spark, sf_dir):
     a single-lineage gram-window pipeline); the merge joins per-doc
     scalars on doc_id."""
     from feasts_spark.operators.curation import (
+        reservoir_per_group,
         stratified_sample,
         token_budget_cap,
     )
@@ -2615,8 +2617,17 @@ def q_curation_pack(spark, sf_dir):
         ).alias("text"),
     )
     pii = pii_stats(injected)
+    # exact-k per-lang reservoir rank (0 = not selected); shares the seeded
+    # uniform with the stratified sampler so the oracle replays one u
+    res = reservoir_per_group(
+        d, CURATION_RESERVOIR_K, strata_col="lang"
+    ).select("doc_id", "rs_rank")
     return (
-        samp.join(cap, "doc_id").join(spans, "doc_id").join(pii, "doc_id")
+        samp.join(cap, "doc_id")
+        .join(spans, "doc_id")
+        .join(pii, "doc_id")
+        .join(res, "doc_id", "left")
+        .withColumn("rs_rank", F.coalesce(F.col("rs_rank"), F.lit(0)).cast("long"))
     )
 
 
@@ -2689,6 +2700,11 @@ dup AS (
   WHERE gram IN (SELECT gram FROM sh) GROUP BY 1
 ),
 tot AS (SELECT doc_id, sum(cnt) AS n_win FROM c GROUP BY 1),
+res AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
+  FROM base
+),
 {pii_cte}
 SELECT b.doc_id, b.lang,
        floor(b.u * 1e4 + 0.500001::DOUBLE) / 1e4 AS sample_u,
@@ -2702,12 +2718,15 @@ SELECT b.doc_id, b.lang,
        CAST(coalesce(dup.n_dup, 0) AS BIGINT) AS n_dup_windows,
        floor(coalesce(dup.n_dup, 0) / tot.n_win * 1e4 + 0.500001::DOUBLE)
          / 1e4 AS dup_span_frac,
-       pii.n_emails, pii.n_urls, pii.n_ips, pii.n_phones, pii.scrub_md5
+       pii.n_emails, pii.n_urls, pii.n_ips, pii.n_phones, pii.scrub_md5,
+       CAST(CASE WHEN res.rn <= {CURATION_RESERVOIR_K} THEN res.rn
+                 ELSE 0 END AS BIGINT) AS rs_rank
 FROM base b
 JOIN cap USING (doc_id)
 JOIN tot USING (doc_id)
 LEFT JOIN dup USING (doc_id)
 JOIN pii USING (doc_id)
+JOIN res USING (doc_id)
 """
 
 

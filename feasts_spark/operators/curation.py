@@ -80,6 +80,79 @@ def stratified_sample(
     )
 
 
+def reservoir_per_group(
+    df: DataFrame,
+    k: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    oversample: float = 8.0,
+    candidate_floor: int = 512,
+) -> DataFrame:
+    """Exact-k deterministic reservoir sample per stratum.
+
+    Keeps, for each stratum, the ``k`` rows with the smallest seeded
+    md5-uniform (ties broken on id — a total order), i.e. a uniform
+    without-replacement sample of exactly ``min(k, n)`` rows per group
+    that is independent of partitioning, row order, and cluster size.
+    The per-stratum *fraction* sampler is stratified_sample; this is the
+    per-stratum *count* sampler LLM data-mixing recipes actually specify
+    ("200k docs per language", not "0.3% of each").
+
+    Returns the selected rows plus (sample_u, rs_rank) with rs_rank in
+    1..k ordered by the uniform.
+
+    Plan shape / 100 TB: ranking a whole stratum would sort billions of
+    rows per group, so the operator first prefilters CANDIDATES with
+    ``u * n_stratum < oversample*k + candidate_floor`` (n from a tiny
+    broadcast count agg — the filter runs inside the scan's codegen) and
+    ranks only those ~``oversample*k`` rows per stratum: one scan for
+    counts, one candidate scan, then a window over a few-thousand-row
+    frame. Candidates are exactly the global u-order prefix of each
+    stratum, so candidate ranks equal global ranks. Strata with
+    ``n <= oversample*k + candidate_floor`` keep every row as a candidate
+    (exactness is unconditional there); for larger strata an in-plan
+    guard raises loudly if the candidate draw under-fills (probability
+    <= exp(-Theta(k + candidate_floor)) — never a silent short sample).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    cap = float(oversample) * float(k) + float(candidate_floor)
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    cand = (
+        df.withColumn("sample_u", sample_uniform(id_col, seed))
+        .join(F.broadcast(counts), strata_col)
+        .filter(F.col("sample_u") * F.col("_n") < F.lit(cap))
+    )
+    w_rank = Window.partitionBy(strata_col).orderBy(
+        F.col("sample_u").asc(), F.col(id_col).asc()
+    )
+    guard_ok = F.count(F.lit(1)).over(Window.partitionBy(strata_col)) >= F.least(
+        F.lit(int(k)).cast("long"), F.col("_n")
+    )
+    return (
+        cand.withColumn(
+            "rs_rank",
+            F.when(
+                guard_ok, F.row_number().over(w_rank).cast("long")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("reservoir_per_group: stratum "),
+                        F.col(strata_col).cast("string"),
+                        F.lit(
+                            " drew fewer candidates than k; raise "
+                            "oversample/candidate_floor"
+                        ),
+                    )
+                )
+            ),
+        )
+        .filter(F.col("rs_rank") <= k)
+        .drop("_n")
+    )
+
+
 def token_budget_cap(
     df: DataFrame,
     budget_tokens: int,

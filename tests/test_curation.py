@@ -168,3 +168,88 @@ class TestDupSpans:
         assert (out["dup_span_frac"] <= 1).all()
         # the synthetic template-y corpus must share some 4-grams
         assert (out["n_dup_windows"] > 0).any()
+
+
+class TestReservoirPerGroup:
+    @staticmethod
+    def _u(doc_id, seed=42):
+        import hashlib
+
+        h = hashlib.md5(f"{seed}|{doc_id}".encode()).hexdigest()[:8]
+        return int(h, 16) / float(1 << 32)
+
+    def test_exact_k_matches_bruteforce(self, docs):
+        from feasts_spark.operators.curation import reservoir_per_group
+
+        out = reservoir_per_group(docs, 7, strata_col="lang").collect()
+        rows = docs.select("doc_id", "lang").collect()
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r.lang, []).append(r.doc_id)
+        for lang, ids in by_lang.items():
+            expect = sorted(ids, key=lambda i: (self._u(i), i))[:7]
+            got = sorted(
+                (r.doc_id for r in out if r.lang == lang),
+                key=lambda i: (self._u(i), i),
+            )
+            assert got == expect, lang
+        # ranks are 1..k in u-order within each stratum
+        for r in out:
+            assert 1 <= r.rs_rank <= 7
+
+    def test_small_stratum_keeps_all(self, spark):
+        from feasts_spark.operators.curation import reservoir_per_group
+
+        df = spark.createDataFrame(
+            [(i, "xx", "t") for i in range(3)], "doc_id long, lang string, text string"
+        )
+        out = reservoir_per_group(df, 10)
+        assert out.count() == 3
+
+    def test_partitioning_invariance(self, docs):
+        from feasts_spark.operators.curation import reservoir_per_group
+
+        a = {
+            (r.lang, r.doc_id)
+            for r in reservoir_per_group(docs, 5).select("lang", "doc_id").collect()
+        }
+        b = {
+            (r.lang, r.doc_id)
+            for r in reservoir_per_group(docs.repartition(17), 5)
+            .select("lang", "doc_id")
+            .collect()
+        }
+        assert a == b and len(a) > 0
+
+    def test_underfill_guard_raises(self, spark):
+        from feasts_spark.operators.curation import reservoir_per_group
+
+        n, k = 100, 10
+        df = spark.createDataFrame(
+            [(i, "en") for i in range(n)], "doc_id long, lang string"
+        )
+        us = sorted(self._u(i) * n for i in range(n))
+        # cap between the 2nd and 3rd candidate: exactly 2 candidates < k
+        cap = (us[1] + us[2]) / 2.0
+        with pytest.raises(Exception, match="reservoir_per_group"):
+            reservoir_per_group(
+                df, k, oversample=cap / k, candidate_floor=0
+            ).collect()
+
+    def test_validation(self, docs):
+        from feasts_spark.operators.curation import reservoir_per_group
+
+        with pytest.raises(ValueError):
+            reservoir_per_group(docs, 0)
+
+    def test_candidate_prefilter_plan(self, docs):
+        from feasts_spark.operators.curation import reservoir_per_group
+
+        plan = (
+            reservoir_per_group(docs, 5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # counts side broadcast, candidate filter before the rank window
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

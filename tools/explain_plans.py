@@ -163,6 +163,7 @@ def main() -> None:
     })
 
     from feasts_spark.operators.curation import (
+        reservoir_per_group,
         stratified_sample,
         token_budget_cap,
     )
@@ -180,6 +181,8 @@ def main() -> None:
             dup_span_stats(docs, n=4),
         "stratified_sample (pure projection: ZERO exchanges)":
             stratified_sample(docs, {"en": 0.5}, default_fraction=0.25),
+        "reservoir_per_group (broadcast count -> codegen candidate filter -> window on ~8k rows/stratum)":
+            reservoir_per_group(docs, 25),
         "token_budget_cap (scalar quality join + one source-keyed window)":
             token_budget_cap(docs, 800),
         "pii_stats (regex counters + chained scrub, ZERO exchanges)":
