@@ -1332,8 +1332,9 @@ def q_minhash_pack(spark, sf_dir):
 
 
 def q_dedup_incremental(spark, sf_dir):
-    """Snapshot-delta dedup: docs >= 80 are the 'new crawl', docs < 80 the
-    indexed corpus — LSH pairs for new docs only, never re-pairing
+    """Snapshot-delta dedup over docs < 500: docs >= 300 are the 'new
+    crawl', docs < 300 the indexed corpus — LSH pairs for new docs only,
+    never re-pairing
     old x old (operators/dedup.py minhash_lsh_incremental; rows-only:
     banding is hash-based, but full==incremental equivalence is asserted
     exactly in tests/test_dedup_multimodal.py)."""
@@ -2637,13 +2638,20 @@ def _curation_oracle() -> str:
     frac_case = " ".join(
         f"WHEN '{k}' THEN {v}::DOUBLE" for k, v in CURATION_FRACTIONS.items()
     )
-    pii_counts = ",\n         ".join(
-        "len(regexp_extract_all(text, '" + pat + "')) AS n_" + name + "s"
-        for name, pat, _tag in PII_PATTERNS
-    )
-    scrub = "text"
-    for _name, pat, tag in PII_PATTERNS:
-        scrub = "regexp_replace(" + scrub + ", '" + pat + "', '" + tag + "', 'g')"
+    # sequential counting, matching pii_stats: class k is counted on the
+    # text with classes 1..k-1 already scrubbed (overlap attribution)
+    count_parts = []
+    running = "text"
+    for name, pat, tag in PII_PATTERNS:
+        count_parts.append(
+            "len(regexp_extract_all(" + running + ", '" + pat + "')) AS n_"
+            + name + "s"
+        )
+        running = (
+            "regexp_replace(" + running + ", '" + pat + "', '" + tag + "', 'g')"
+        )
+    pii_counts = ",\n         ".join(count_parts)
+    scrub = running
     pii_cte = (
         """
 pii_in AS (

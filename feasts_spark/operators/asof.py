@@ -90,7 +90,15 @@ def asof_join(
         F.lit(1).alias("_side"),
         *(F.col(c) for c in left_cols if c != key_col),
         F.lit(None).cast(rv_type).alias("_rv"),
-        F.lit(0).alias("_tie"),
+        # typed to match the right side's _tie so any orderable
+        # right_order column (timestamp, string, ...) unions cleanly;
+        # the left value is never compared within a side, so a constant
+        # NULL is as good as 0
+        (
+            F.lit(None).cast(right.schema[right_order].dataType)
+            if right_order is not None
+            else F.lit(0)
+        ).alias("_tie"),
     )
 
     merged = r_tagged.unionByName(l_tagged)

@@ -65,10 +65,8 @@ def stratified_sample(
     """
     frac = None
     for k, v in sorted(fractions.items()):
-        branch = F.when(F.col(strata_col) == k, F.lit(float(v)))
-        frac = branch if frac is None else frac.when(
-            F.col(strata_col) == k, F.lit(float(v))
-        )
+        cond, lit = F.col(strata_col) == k, F.lit(float(v))
+        frac = F.when(cond, lit) if frac is None else frac.when(cond, lit)
     frac = (
         frac.otherwise(F.lit(float(default_fraction)))
         if frac is not None

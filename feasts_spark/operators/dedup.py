@@ -503,17 +503,39 @@ def minhash_lsh_bands(
     once per corpus (bucketed by (band, band_hash) via
     sources.tableio.write_bucketed) and join each new crawl delta against
     it — see minhash_lsh_incremental."""
+    if num_perm % num_bands != 0:
+        raise ValueError(
+            f"num_perm={num_perm} must divide evenly into num_bands={num_bands}"
+        )
     rows = num_perm // num_bands
+    # in-plan length guard: a signature built with a different num_perm
+    # would slice out-of-range bands whose empty concat hashes IDENTICALLY
+    # for every doc, silently degenerating the bucket join into a cross
+    # product — fail loud instead
+    sig_ok = F.size(F.col("signature")) == num_perm
     return signatures.select(
         "id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda bnd: F.xxhash64(
-                    F.concat_ws(
-                        ",", F.transform(
-                            F.slice(F.col("signature"), bnd * rows + 1, rows),
-                            lambda v: v.cast("string"),
+                lambda bnd: F.when(
+                    sig_ok,
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",", F.transform(
+                                F.slice(F.col("signature"), bnd * rows + 1, rows),
+                                lambda v: v.cast("string"),
+                            )
+                        )
+                    ),
+                ).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "minhash_lsh_bands: signature length "
+                            ),
+                            F.size(F.col("signature")).cast("string"),
+                            F.lit(f" != num_perm {num_perm}"),
                         )
                     )
                 ),
@@ -522,11 +544,8 @@ def minhash_lsh_bands(
     )
 
 
-def minhash_lsh_candidates(
-    signatures: DataFrame, num_bands: int = 32
-) -> DataFrame:
-    """Band the signature, bucket-join: candidate pairs per shared bucket."""
-    banded = minhash_lsh_bands(signatures, num_bands)
+def _band_pairs(banded: DataFrame) -> DataFrame:
+    """Self-join a (id, band, band_hash) table: distinct id_a < id_b pairs."""
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -539,6 +558,13 @@ def minhash_lsh_candidates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, num_bands: int = 32, num_perm: int = 128
+) -> DataFrame:
+    """Band the signature, bucket-join: candidate pairs per shared bucket."""
+    return _band_pairs(minhash_lsh_bands(signatures, num_bands, num_perm))
 
 
 def minhash_estimate(
@@ -573,6 +599,7 @@ def minhash_lsh_incremental(
     num_bands: int = 32,
     broadcast_new: bool = False,
     threshold: float | None = None,
+    num_perm: int = 128,
 ) -> DataFrame:
     """Dedup a new snapshot delta against an existing corpus WITHOUT
     re-pairing the corpus with itself.
@@ -592,9 +619,11 @@ def minhash_lsh_incremental(
     a new doc (id_a) with an existing doc (id_b), and kind='within_batch'
     pairs two new docs (id_a < id_b). Pass broadcast_new=True when the
     delta is small enough to ship to every executor (the usual case);
-    threshold filters the estimate if given."""
-    new_bands = minhash_lsh_bands(new_sigs, num_bands)
-    old_bands = minhash_lsh_bands(existing_sigs, num_bands)
+    threshold filters the estimate if given. `num_perm` must match the
+    signature width both frames were built with (guarded in-plan by
+    minhash_lsh_bands)."""
+    new_bands = minhash_lsh_bands(new_sigs, num_bands, num_perm)
+    old_bands = minhash_lsh_bands(existing_sigs, num_bands, num_perm)
     nbj = F.broadcast(new_bands) if broadcast_new else new_bands
     cross = (
         old_bands.alias("a")
@@ -633,9 +662,9 @@ def minhash_lsh_incremental(
             est_expr.alias("est_jaccard"),
         )
     )
-    within = minhash_estimate(
-        new_sigs, minhash_lsh_candidates(new_sigs, num_bands)
-    ).select(
+    # reuse the delta's banding lineage for the within-batch leg rather
+    # than re-banding new_sigs from scratch
+    within = minhash_estimate(new_sigs, _band_pairs(new_bands)).select(
         F.lit("within_batch").alias("kind"), "id_a", "id_b", "est_jaccard"
     )
     out = vs_index.unionByName(within)

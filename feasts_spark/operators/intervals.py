@@ -96,14 +96,18 @@ def interval_join(
     ikey = interval_key_col or key_col
     iv_cols = [c for c in intervals.columns if c != ikey]
     # end is exclusive: a bucket whose start equals end is never covered,
-    # so step back one tick before truncating. Guards for arbitrary
-    # interval tables (episodes never hit them): empty intervals
-    # (end <= start) are dropped — a range join matches nothing for them
-    # — and a sub-bucket interval starting ON a bucket boundary would
-    # truncate its stepped-back end BELOW its start, which sequence()
-    # rejects; clamping to the start bucket keeps the one covered bucket.
+    # so step back one tick — one MICROSECOND, the TimestampType precision,
+    # so an end like 11:00:00.000400 still covers its 11:00 bucket — before
+    # truncating. Guards for arbitrary interval tables (episodes never hit
+    # them): empty intervals (end <= start) are dropped — a range join
+    # matches nothing for them — and a sub-bucket interval starting ON a
+    # bucket boundary would truncate its stepped-back end BELOW its start,
+    # which sequence() rejects; clamping to the start bucket keeps the one
+    # covered bucket.
     start_b = F.date_trunc(trunc, F.col(start_col))
-    end_b = F.date_trunc(trunc, F.col(end_col) - F.expr("INTERVAL 1 SECONDS"))
+    end_b = F.date_trunc(
+        trunc, F.col(end_col) - F.expr("INTERVAL 1 MICROSECOND")
+    )
     expanded = intervals.filter(F.col(end_col) > F.col(start_col)).select(
         F.col(ikey).alias("_ikey"),
         *iv_cols,

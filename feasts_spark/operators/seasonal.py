@@ -159,6 +159,7 @@ def gg_tsresiduals_data(
     key_col: str = "series_key",
     ts_col: str = "bucket_ts",
     remainder_col: str = "remainder",
+    period: str = "1d",
 ) -> dict[str, DataFrame]:
     """Data for gg_tsresiduals (graphics.R:24-26): the same tsdisplay
     panel over a decomposition's remainder, plus the histogram counts the
@@ -175,7 +176,7 @@ def gg_tsresiduals_data(
             "classical_decomposition output"
         )
     panel = gg_tsdisplay_data(
-        components, period="1d", lag_max=lag_max, key_col=key_col,
+        components, period=period, lag_max=lag_max, key_col=key_col,
         ts_col=ts_col, value_col=remainder_col,
     )
     hist = (

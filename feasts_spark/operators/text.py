@@ -239,8 +239,10 @@ def repetition_scores(
 # pattern was parity-probed against DuckDB's RE2: no backreferences, no
 # lookaround, so Java regex (Spark) and RE2 (DuckDB) match identically —
 # that equivalence is what makes the pii columns oracle-able. Extend per
-# deployment; order matters for scrubbing (emails before URLs would also
-# work here because the classes cannot overlap, but keep it fixed anyway).
+# deployment; order matters: classes CAN overlap (an IP or email inside a
+# URL), so both the scrub and the per-class counts run sequentially in this
+# fixed order — each class is counted on the text with all earlier classes
+# already replaced, so counts describe exactly what the scrub replaced.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("url", r"https?://[A-Za-z0-9./_-]+", "<URL>"),
@@ -259,6 +261,11 @@ def pii_stats(
     the digest standing in for shipping the scrubbed text so the scrub
     itself is correctness-checked without materializing a second corpus.
 
+    Counts are SEQUENTIAL, in PII_PATTERNS order: each class is counted on
+    the text with all earlier classes already scrubbed, so overlapping
+    matches (an IP inside a URL) are attributed to exactly one class and
+    `sum(n_*)` equals the number of sentinels in the digested text.
+
     Plan shape: pure projection — no shuffle; the regex counters and the
     chained regexp_replace all evaluate inside the scan's whole-stage
     codegen, so at 100 TB this costs exactly one pass over the text column
@@ -270,7 +277,7 @@ def pii_stats(
     counts = []
     for name, pat, tag in PII_PATTERNS:
         counts.append(
-            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            F.size(F.regexp_extract_all(scrub, F.lit(pat), F.lit(0)))
             .alias(f"n_{name}s")
         )
         scrub = F.regexp_replace(scrub, pat, tag)

@@ -13,7 +13,16 @@ event-time timeout:
     session goes back into state;
   - the state row re-arms an event-time timeout at last_ts + gap; when
     the watermark crosses it with no new data the open session is
-    emitted and the state cleared.
+    emitted and the state reduced to a COUNTER-ONLY record (n_events=0)
+    holding the key's next session_id, so a later burst for the key
+    continues the 0-based id sequence instead of restarting at 0 and
+    colliding with already-emitted (key, session_id) rows;
+  - counter-only records carry their own event-time TTL
+    (`counter_ttl_seconds`, default 100x the gap) after which the key is
+    forgotten entirely — state stays bounded by the active-key set, at
+    the documented cost that a key silent for longer than the TTL
+    restarts its ids at 0 (exactly the batch semantics of re-running on
+    a fresh corpus).
 
 Output schema and session semantics (strict gap comparison, 0-based
 session_id per key in time order, duration in whole epoch seconds) match
@@ -45,15 +54,22 @@ def stream_sessionize(
     ts_col: str = "ts",
     value_col: str = "value",
     watermark: str = "10 minutes",
+    counter_ttl_seconds: int | None = None,
 ) -> DataFrame:
     """Append stream of CLOSED sessions per key.
 
     A session closes when the next event's gap is strictly greater than
     `gap_seconds` (same strict comparison as the batch operator) or when
     the event-time watermark passes last_ts + gap_seconds with no new
-    event for the key.
+    event for the key. After a timeout close the key's session counter is
+    retained for `counter_ttl_seconds` (default 100 * gap_seconds) so the
+    next session continues the id sequence; see module docstring.
     """
     gap_us = gap_seconds * 1_000_000
+    ttl_s = (
+        100 * gap_seconds if counter_ttl_seconds is None
+        else int(counter_ttl_seconds)
+    )
 
     def _emit(key, sid, start_us, end_us, n, vsum):
         return {
@@ -71,7 +87,18 @@ def stream_sessionize(
         k = key[0]
         if state.hasTimedOut:
             start_us, last_us, n, vsum, sid = state.get
-            state.remove()
+            if n == 0:
+                # counter-only record outlived its TTL: forget the key
+                state.remove()
+                return
+            # close the open session but RETAIN the id counter (n=0 marks
+            # "no open session") so a later burst continues the sequence;
+            # the retention record expires counter_ttl after the close
+            state.update((0, last_us, 0, 0.0, sid + 1))
+            ttl_ms = last_us // 1000 + (gap_seconds + ttl_s) * 1000
+            state.setTimeoutTimestamp(
+                max(ttl_ms, state.getCurrentWatermarkMs() + 1)
+            )
             yield pd.DataFrame([_emit(k, sid, start_us, last_us, n, vsum)])
             return
 
@@ -85,6 +112,10 @@ def stream_sessionize(
 
         if state.exists:
             start_us, last_us, n, vsum, sid = state.get
+            if n == 0:
+                # counter-only record: no open session to merge, but the
+                # id sequence continues from the retained counter
+                start_us, last_us, vsum = None, None, 0.0
         else:
             start_us, last_us, n, vsum, sid = None, None, 0, 0.0, 0
 

@@ -249,3 +249,31 @@ def test_ewma_kernel_extreme_alpha_finite(spark):
     for i in range(1, x.size):
         ref[i] = 0.97 * x[i] + 0.03 * ref[i - 1]
     np.testing.assert_allclose(ewma_kernel(x, 0.97), ref, rtol=1e-10)
+
+
+def test_asof_join_timestamp_tiebreak_column(spark):
+    """right_order may be ANY orderable column — a timestamp tiebreak must
+    not fail the union with the left side's tie slot (round-3 review
+    finding: the left literal 0 clashed with non-numeric tie types)."""
+    import datetime as dt
+
+    from feasts_spark.operators.asof import asof_join
+
+    t = dt.datetime(2024, 1, 1, 0, 0, 0)
+    right = spark.createDataFrame(
+        [
+            (1, t, 10.0, dt.datetime(2024, 1, 1, 5)),   # updated later
+            (1, t, 20.0, dt.datetime(2024, 1, 1, 9)),   # latest update wins
+        ],
+        "user_id long, bucket_ts timestamp, val_avg double, updated_at timestamp",
+    )
+    left = spark.createDataFrame(
+        [(1, t + dt.timedelta(minutes=5))], "user_id long, ts timestamp"
+    )
+    out = asof_join(
+        left, right, "user_id", "ts", "bucket_ts", ["val_avg"],
+        right_order="updated_at",
+    ).collect()
+    assert len(out) == 1
+    # the LAST right row in (ts, updated_at) order is the match
+    assert out[0].val_avg == 20.0

@@ -253,3 +253,36 @@ class TestReservoirPerGroup:
         )
         # counts side broadcast, candidate filter before the rank window
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestPiiOverlap:
+    def test_overlapping_classes_attributed_once(self, spark):
+        """An IP or email inside a URL must be attributed to exactly one
+        class: counts are sequential (each class counted after earlier
+        classes are scrubbed), so sum(n_*) == sentinels in the digest
+        (round-3 review finding: raw-text counts double-counted overlaps)."""
+        from feasts_spark.operators.text import PII_PATTERNS, pii_stats
+
+        rows = [
+            (0, "see http://192.168.0.1/x now"),       # IP inside URL
+            (1, "plain 192.168.0.1 and http://a.com"),  # disjoint
+            (2, "mail user@host.com via https://user_host.com/x"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in pii_stats(df).collect()}
+        # doc 0: the URL swallows the IP -> 1 URL, 0 IPs
+        assert (out[0].n_urls, out[0].n_ips) == (1, 0)
+        # doc 1: both classes present, disjoint
+        assert (out[1].n_urls, out[1].n_ips) == (1, 1)
+        # doc 2: email counted first, URL intact
+        assert (out[2].n_emails, out[2].n_urls) == (1, 1)
+        # invariant: total counts == sentinel occurrences in the scrub
+        import re
+
+        for doc_id, text in rows:
+            scrubbed = text
+            for _n, pat, tag in PII_PATTERNS:
+                scrubbed = re.sub(pat, tag, scrubbed)
+            r = out[doc_id]
+            total = r.n_emails + r.n_urls + r.n_ips + r.n_phones
+            assert total == len(re.findall(r"<(EMAIL|URL|IP|PHONE)>", scrubbed))

@@ -395,3 +395,53 @@ class TestReviewRegressions:
         # and converges fine with enough rounds
         ok = dup_clusters(chain, max_iter=15).toPandas()
         assert set(ok["label"]) == {0}
+
+
+class TestLshNumPermGuards:
+    def test_num_perm_mismatch_raises_in_plan(self, doc_df):
+        """Banding a 64-perm signature with the default num_perm=128 must
+        raise loudly — the out-of-range slices would otherwise hash every
+        doc's empty tail band identically, degenerating the bucket join
+        into a cross product (round-3 review finding)."""
+        from feasts_spark.operators.dedup import (
+            minhash_lsh_bands,
+            minhash_signatures,
+        )
+
+        sigs = minhash_signatures(doc_df, num_perm=64)
+        with pytest.raises(Exception, match="num_perm"):
+            minhash_lsh_bands(sigs, num_bands=32).collect()
+
+    def test_num_perm_threads_through(self, doc_df):
+        from feasts_spark.operators.dedup import (
+            minhash_estimate,
+            minhash_lsh_candidates,
+            minhash_lsh_incremental,
+            minhash_signatures,
+        )
+
+        old = minhash_signatures(doc_df.filter(F.col("doc_id") <= 2),
+                                 num_perm=64)
+        new = minhash_signatures(doc_df.filter(F.col("doc_id") > 2),
+                                 num_perm=64)
+        both = minhash_signatures(doc_df, num_perm=64)
+        pairs = minhash_estimate(
+            both, minhash_lsh_candidates(both, num_bands=16, num_perm=64)
+        )
+        # exact dup 0/1 must surface with estimate 1.0
+        r = pairs.filter((F.col("id_a") == 0) & (F.col("id_b") == 1)).collect()
+        assert len(r) == 1 and r[0].est_jaccard == 1.0
+        inc = minhash_lsh_incremental(
+            old, new, num_bands=16, num_perm=64
+        )
+        assert inc.count() > 0
+
+    def test_bands_validation(self, doc_df):
+        from feasts_spark.operators.dedup import (
+            minhash_lsh_bands,
+            minhash_signatures,
+        )
+
+        sigs = minhash_signatures(doc_df, num_perm=64)
+        with pytest.raises(ValueError, match="divide"):
+            minhash_lsh_bands(sigs, num_bands=48, num_perm=64)

@@ -379,3 +379,70 @@ def test_stream_sessionize_closes_carried_session_on_gap(spark, tmp_path):
     for col in ("session_id", "n_events", "session_start", "session_end",
                 "duration_s", "val_sum"):
         assert list(got[col]) == list(batch[col]), col
+
+
+def test_stream_sessionize_id_continues_after_timeout_close(spark, tmp_path):
+    """A session closed by the event-time TIMEOUT must leave the key's id
+    counter behind (counter-only state record): a later burst for the key
+    continues the 0-based sequence instead of restarting at session_id 0
+    and colliding with the already-emitted row (round-3 review finding)."""
+    from feasts_spark.operators.sessionize import session_stats
+    from feasts_spark.streaming.sessionize_stream import stream_sessionize
+
+    base = pd.Timestamp("2024-05-01 00:00:00")
+    mins = lambda m: base + pd.Timedelta(minutes=m)  # noqa: E731
+    batches = [
+        # b0: key 1 session 0
+        pd.DataFrame({"user_id": [1, 1, 1],
+                      "ts": [mins(m) for m in (0, 1, 2)],
+                      "value": [1.0, 2.0, 3.0]}),
+        # b1: key 2 advances the watermark past key 1's close
+        pd.DataFrame({"user_id": [2], "ts": [mins(5000)], "value": [9.0]}),
+        # b2: key 2 again -> key 1 has NO data this batch, so its open
+        # session closes via the timeout path (the buggy path)
+        pd.DataFrame({"user_id": [2], "ts": [mins(5010)], "value": [9.0]}),
+        # b3: key 1 returns -> must continue at session_id 1
+        pd.DataFrame({"user_id": [1, 1],
+                      "ts": [mins(6000), mins(6001)],
+                      "value": [4.0, 5.0]}),
+        # b4: watermark passes key 1's second close
+        pd.DataFrame({"user_id": [2], "ts": [mins(20000)], "value": [9.0]}),
+    ]
+    d = tmp_path / "sess_timeout_in"
+    d.mkdir()
+    for i, b in enumerate(batches):
+        b.assign(ts=b["ts"].astype("datetime64[us]")).to_parquet(
+            d / f"b{i}.parquet", index=False
+        )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        stream_sessionize(stream, gap_seconds=3600, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sess_timeout_ids")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("SELECT * FROM t_sess_timeout_ids WHERE series_key = 1")
+        .orderBy("session_id")
+        .toPandas()
+    )
+    key1 = pd.concat([b[b.user_id == 1] for b in batches], ignore_index=True)
+    batch = (
+        session_stats(
+            spark.createDataFrame(key1), gap_seconds=3600,
+            key_col="user_id", ts_col="ts", value_col="value",
+        )
+        .orderBy("session_id")
+        .toPandas()
+    )
+    assert list(got["session_id"]) == [0, 1]
+    for col in ("session_id", "n_events", "session_start", "session_end",
+                "duration_s", "val_sum"):
+        assert list(got[col]) == list(batch[col]), col

@@ -231,3 +231,27 @@ def test_interval_join_tolerates_degenerate_intervals(spark):
     )
     out = interval_join(probes, ivals, "k", "ts", tier="1h").collect()
     assert [(r.ts, r.episode_start) for r in out] == [(_ts(60), _ts(60))]
+
+
+def test_interval_join_subsecond_end_covers_final_bucket(spark):
+    """An interval ending 400ms into an hour must still cover that hour's
+    bucket: a probe at 11:00:00.1 inside [10:59:00, 11:00:00.4) has to
+    match, exactly as the naive range join would (round-3 review finding:
+    a 1-second stepback dropped the final bucket for sub-second ends)."""
+    import datetime as dt
+
+    from feasts_spark.operators.intervals import interval_join
+
+    iv = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 59, 0),
+          dt.datetime(2024, 1, 1, 11, 0, 0, 400_000))],
+        "user_id long, episode_start timestamp, episode_end timestamp",
+    )
+    probes = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 11, 0, 0, 100_000)),   # inside
+         (1, dt.datetime(2024, 1, 1, 11, 0, 0, 500_000)),   # past end
+         (1, dt.datetime(2024, 1, 1, 10, 59, 30))],          # inside
+        "user_id long, ts timestamp",
+    )
+    got = interval_join(probes, iv, "user_id", "ts", tier="1h").collect()
+    assert sorted(r.ts.microsecond for r in got) == [0, 100_000]
