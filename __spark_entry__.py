@@ -2562,6 +2562,7 @@ FROM tot t LEFT JOIN hit h USING (doc_id)
 CURATION_FRACTIONS = {"en": 0.5, "zh": 0.8, "es": 0.8, "de": 0.8, "fr": 0.8}
 CURATION_BUDGET = 800  # tokens per source; sf0.01 sources carry ~1.1-1.6k
 CURATION_RESERVOIR_K = 25  # exact-k per-lang reservoir in the pack
+CURATION_SPLITS = {"train": 0.8, "test": 0.1, "val": 0.1}
 
 
 def q_curation_pack(spark, sf_dir):
@@ -2575,6 +2576,7 @@ def q_curation_pack(spark, sf_dir):
     a single-lineage gram-window pipeline); the merge joins per-doc
     scalars on doc_id."""
     from feasts_spark.operators.curation import (
+        hash_split,
         reservoir_per_group,
         stratified_sample,
         token_budget_cap,
@@ -2623,12 +2625,15 @@ def q_curation_pack(spark, sf_dir):
     res = reservoir_per_group(
         d, CURATION_RESERVOIR_K, strata_col="lang"
     ).select("doc_id", "rs_rank")
+    # deterministic train/val/test assignment from the same seeded uniform
+    splits = hash_split(d, CURATION_SPLITS).select("doc_id", "split")
     return (
         samp.join(cap, "doc_id")
         .join(spans, "doc_id")
         .join(pii, "doc_id")
         .join(res, "doc_id", "left")
         .withColumn("rs_rank", F.coalesce(F.col("rs_rank"), F.lit(0)).cast("long"))
+        .join(splits, "doc_id")
     )
 
 
@@ -2728,7 +2733,9 @@ SELECT b.doc_id, b.lang,
          / 1e4 AS dup_span_frac,
        pii.n_emails, pii.n_urls, pii.n_ips, pii.n_phones, pii.scrub_md5,
        CAST(CASE WHEN res.rn <= {CURATION_RESERVOIR_K} THEN res.rn
-                 ELSE 0 END AS BIGINT) AS rs_rank
+                 ELSE 0 END AS BIGINT) AS rs_rank,
+       CASE WHEN b.u < 0.1 THEN 'test' WHEN b.u < 0.9 THEN 'train'
+            ELSE 'val' END AS split
 FROM base b
 JOIN cap USING (doc_id)
 JOIN tot USING (doc_id)

@@ -78,6 +78,43 @@ def stratified_sample(
     )
 
 
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row gets the split
+    label whose cumulative weight interval contains its seeded
+    md5-uniform. Weights must sum to 1 (validated to 1e-9).
+
+    The assignment is a pure function of (seed, id) — re-runs, repartitions
+    and cluster-size changes cannot move a document across splits, which is
+    the property that makes eval-set membership auditable (and is exactly
+    what DataFrame.randomSplit does NOT guarantee). Labels are assigned in
+    sorted-key order so the mapping is reproducible from the dict alone.
+
+    Plan shape: pure projection — zero exchanges, evaluates inside the
+    scan's whole-stage codegen at any scale.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError(f"split weights must be non-negative: {weights}")
+    u = sample_uniform(id_col, seed)
+    expr = None
+    acc = 0.0
+    names = sorted(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        branch = (u < F.lit(acc), F.lit(name))
+        expr = F.when(*branch) if expr is None else expr.when(*branch)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
 def reservoir_per_group(
     df: DataFrame,
     k: int,

@@ -286,3 +286,44 @@ class TestPiiOverlap:
             r = out[doc_id]
             total = r.n_emails + r.n_urls + r.n_ips + r.n_phones
             assert total == len(re.findall(r"<(EMAIL|URL|IP|PHONE)>", scrubbed))
+
+
+class TestHashSplit:
+    def test_split_matches_uniform_intervals(self, docs):
+        from feasts_spark.operators.curation import hash_split, sample_uniform
+
+        w = {"train": 0.8, "test": 0.1, "val": 0.1}
+        out = hash_split(docs, w).select(
+            "doc_id", "split", sample_uniform("doc_id").alias("u")
+        ).collect()
+        # sorted names: test, train, val -> intervals [0,.1),[.1,.9),[.9,1)
+        for r in out:
+            if r.u < 0.1:
+                assert r.split == "test"
+            elif r.u < 0.9:
+                assert r.split == "train"
+            else:
+                assert r.split == "val"
+
+    def test_partitioning_invariance_and_plan(self, docs):
+        from feasts_spark.operators.curation import hash_split
+
+        w = {"train": 0.9, "val": 0.1}
+        a = {(r.doc_id, r.split) for r in hash_split(docs, w).collect()}
+        b = {
+            (r.doc_id, r.split)
+            for r in hash_split(docs.repartition(13), w).collect()
+        }
+        assert a == b
+        plan = (
+            hash_split(docs, w)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan  # pure projection
+
+    def test_validation(self, docs):
+        from feasts_spark.operators.curation import hash_split
+
+        with pytest.raises(ValueError, match="sum to 1"):
+            hash_split(docs, {"train": 0.5, "val": 0.1})
+        with pytest.raises(ValueError, match="non-negative"):
+            hash_split(docs, {"train": 1.5, "val": -0.5})

@@ -163,6 +163,7 @@ def main() -> None:
     })
 
     from feasts_spark.operators.curation import (
+        hash_split,
         reservoir_per_group,
         stratified_sample,
         token_budget_cap,
@@ -183,6 +184,8 @@ def main() -> None:
             stratified_sample(docs, {"en": 0.5}, default_fraction=0.25),
         "reservoir_per_group (broadcast count -> codegen candidate filter -> window on ~8k rows/stratum)":
             reservoir_per_group(docs, 25),
+        "hash_split (deterministic train/val/test labels: pure projection, ZERO exchanges)":
+            hash_split(docs, {"train": 0.8, "test": 0.1, "val": 0.1}),
         "token_budget_cap (scalar quality join + one source-keyed window)":
             token_budget_cap(docs, 800),
         "pii_stats (regex counters + chained scrub, ZERO exchanges)":
