@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from feasts_spark.operators.rollup import rollup_raw
 from feasts_spark.streaming.rollup_stream import run_stream_once
@@ -446,3 +447,124 @@ def test_stream_sessionize_id_continues_after_timeout_close(spark, tmp_path):
     for col in ("session_id", "n_events", "session_start", "session_end",
                 "duration_s", "val_sum"):
         assert list(got[col]) == list(batch[col]), col
+
+
+class TestStreamFeatures:
+    @staticmethod
+    def _write_batches(tmp_path, batches, name):
+        d = tmp_path / name
+        d.mkdir()
+        for i, b in enumerate(batches):
+            b.assign(
+                bucket_ts=b["bucket_ts"].astype("datetime64[us]")
+            ).to_parquet(d / f"b{i}.parquet", index=False)
+        return d
+
+    @staticmethod
+    def _run(spark, d, qname, **kw):
+        from feasts_spark.streaming.features_stream import stream_features
+
+        stream = (
+            spark.readStream.schema(
+                "series_key long, bucket_ts timestamp, val_avg double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        q = (
+            stream_features(stream, **kw)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.sql(f"SELECT * FROM {qname}")
+
+    def test_snapshot_equals_batch_kernel(self, spark, tmp_path):
+        """The LAST snapshot per key must equal compute_feature_pack on
+        the trailing window of the merged corpus — same kernel, so this
+        pins the state merge / ordering / truncation logic."""
+        import numpy as np
+
+        from feasts_spark.operators.features import compute_feature_pack
+
+        base = pd.Timestamp("2024-03-01")
+        rng = np.random.default_rng(3)
+        v1 = rng.normal(10, 2, size=90)
+        v2 = np.sin(np.arange(80) * 2 * np.pi / 24) * 5 + 20
+        rows1 = pd.DataFrame({
+            "series_key": 1,
+            "bucket_ts": [base + pd.Timedelta(hours=h) for h in range(90)],
+            "val_avg": v1,
+        })
+        rows2 = pd.DataFrame({
+            "series_key": 2,
+            "bucket_ts": [base + pd.Timedelta(hours=h) for h in range(80)],
+            "val_avg": v2,
+        })
+        both = pd.concat([rows1, rows2], ignore_index=True)
+        # 3 micro-batches split by time, keys interleaved
+        batches = [
+            both[both.bucket_ts < base + pd.Timedelta(hours=30)],
+            both[(both.bucket_ts >= base + pd.Timedelta(hours=30))
+                 & (both.bucket_ts < base + pd.Timedelta(hours=60))],
+            both[both.bucket_ts >= base + pd.Timedelta(hours=60)],
+        ]
+        d = self._write_batches(tmp_path, batches, "feat_stream_in")
+        out = self._run(
+            spark, d, "t_feat_stream", period=24, window_points=64,
+            min_points=12,
+        ).toPandas()
+        assert set(out["series_key"]) == {1, 2}
+        for key, vals in ((1, v1), (2, v2)):
+            snaps = out[out.series_key == key].sort_values("window_end")
+            last = snaps.iloc[-1]
+            assert last["n_points"] == 64  # truncated to the window
+            expect = compute_feature_pack(vals[-64:], period=24)
+            for c, e in expect.items():
+                got = float(last[c])
+                if np.isnan(e):
+                    assert np.isnan(got), c
+                else:
+                    assert got == pytest.approx(e, rel=1e-12, abs=1e-12), c
+            # one snapshot per micro-batch that carried data for the key
+            assert len(snaps) == 3
+
+    def test_redelivered_point_replaces_and_min_points(self, spark, tmp_path):
+        from feasts_spark.operators.features import compute_feature_pack
+
+        base = pd.Timestamp("2024-03-01")
+        b0 = pd.DataFrame({
+            "series_key": [1] * 20 + [7] * 3,   # key 7 stays under min_points
+            "bucket_ts": [base + pd.Timedelta(hours=h) for h in range(20)]
+            + [base + pd.Timedelta(hours=h) for h in range(3)],
+            "val_avg": [float(h) for h in range(20)] + [1.0, 2.0, 3.0],
+        })
+        # re-deliver hour 5 with a corrected value
+        b1 = pd.DataFrame({
+            "series_key": [1],
+            "bucket_ts": [base + pd.Timedelta(hours=5)],
+            "val_avg": [99.0],
+        })
+        d = self._write_batches(tmp_path, [b0, b1], "feat_redeliver_in")
+        sel = ("n_crossing_points", "longest_flat_spot", "feat_acf")
+        out = self._run(
+            spark, d, "t_feat_redeliver", period=1, window_points=32,
+            min_points=10, select=sel,
+        ).toPandas()
+        assert set(out["series_key"]) == {1}  # key 7 never reaches min
+        last = out.sort_values("window_end").iloc[-1]
+        vals = np.array([float(h) for h in range(20)])
+        vals[5] = 99.0
+        expect = compute_feature_pack(vals, period=1, select=sel)
+        for c, e in expect.items():
+            assert float(last[c]) == pytest.approx(e, nan_ok=True), c
+        assert last["n_points"] == 20
+
+    def test_validation(self, spark):
+        from feasts_spark.streaming.features_stream import stream_features
+
+        with pytest.raises(ValueError, match="window_points"):
+            stream_features(spark.range(1), window_points=1, min_points=5)
