@@ -2626,14 +2626,17 @@ def q_curation_pack(spark, sf_dir):
         d, CURATION_RESERVOIR_K, strata_col="lang"
     ).select("doc_id", "rs_rank")
     # deterministic train/val/test assignment from the same seeded uniform
-    splits = hash_split(d, CURATION_SPLITS).select("doc_id", "split")
-    return (
+    # — hash_split is a pure projection of doc_id, so apply it to the
+    # final joined frame instead of paying an extra join
+    return hash_split(
         samp.join(cap, "doc_id")
         .join(spans, "doc_id")
         .join(pii, "doc_id")
         .join(res, "doc_id", "left")
-        .withColumn("rs_rank", F.coalesce(F.col("rs_rank"), F.lit(0)).cast("long"))
-        .join(splits, "doc_id")
+        .withColumn(
+            "rs_rank", F.coalesce(F.col("rs_rank"), F.lit(0)).cast("long")
+        ),
+        CURATION_SPLITS,
     )
 
 

@@ -505,7 +505,7 @@ def minhash_lsh_bands(
     it — see minhash_lsh_incremental."""
     if num_perm % num_bands != 0:
         raise ValueError(
-            f"num_perm={num_perm} must divide evenly into num_bands={num_bands}"
+            f"num_bands={num_bands} must divide num_perm={num_perm} evenly"
         )
     rows = num_perm // num_bands
     # in-plan length guard: a signature built with a different num_perm

@@ -26,8 +26,14 @@ event-time timeout:
 
 Output schema and session semantics (strict gap comparison, 0-based
 session_id per key in time order, duration in whole epoch seconds) match
-the batch operator exactly — asserted stream==batch in tests. The only
-shuffle keys on the session key, same as the batch window.
+the batch operator exactly for in-order streams and for in-watermark late
+events belonging to the open session (merge bounds are min/max-clamped) —
+asserted stream==batch in tests. Known divergence, the price of O(1)
+aggregate state per key: a late event EARLIER than the open session's
+start - gap merges into the open session instead of forming its own
+earlier session (the aggregate cannot re-partition history); run the
+batch operator for backfills older than that. The only shuffle keys on
+the session key, same as the batch window.
 """
 
 from __future__ import annotations
@@ -147,8 +153,16 @@ def stream_sessionize(
         segs = list(agg.itertuples())
         for i, row in enumerate(segs):
             if row.Index == 0 and last_us is not None:
-                # merge into the carried open session
-                cur = (start_us, int(row.last_ts), n + int(row.cnt),
+                # merge into the carried open session. Clamp with min/max:
+                # an in-watermark LATE event (ts <= carried last) must not
+                # regress the session end / re-arm the close timer early —
+                # the aggregates are additive, the bounds are not.
+                # Limitation (bounded-state tradeoff, see docstring): late
+                # data predating start - gap also lands here; aggregate
+                # state cannot re-partition history into a separate
+                # earlier session the way the batch operator would.
+                cur = (min(start_us, int(row.first_ts)),
+                       max(last_us, int(row.last_ts)), n + int(row.cnt),
                        vsum + float(row.vs), sid)
             else:
                 cur = (int(row.first_ts), int(row.last_ts), int(row.cnt),

@@ -542,11 +542,14 @@ class TestStreamFeatures:
             + [base + pd.Timedelta(hours=h) for h in range(3)],
             "val_avg": [float(h) for h in range(20)] + [1.0, 2.0, 3.0],
         })
-        # re-deliver hour 5 with a corrected value
+        # re-deliver hour 5 with a corrected value AND advance the window
+        # by one point, so the two snapshots have distinct window_end and
+        # "latest" is well-defined
         b1 = pd.DataFrame({
-            "series_key": [1],
-            "bucket_ts": [base + pd.Timedelta(hours=5)],
-            "val_avg": [99.0],
+            "series_key": [1, 1],
+            "bucket_ts": [base + pd.Timedelta(hours=5),
+                          base + pd.Timedelta(hours=20)],
+            "val_avg": [99.0, 20.0],
         })
         d = self._write_batches(tmp_path, [b0, b1], "feat_redeliver_in")
         sel = ("n_crossing_points", "longest_flat_spot", "feat_acf")
@@ -556,15 +559,82 @@ class TestStreamFeatures:
         ).toPandas()
         assert set(out["series_key"]) == {1}  # key 7 never reaches min
         last = out.sort_values("window_end").iloc[-1]
-        vals = np.array([float(h) for h in range(20)])
+        assert last["window_end"] == base + pd.Timedelta(hours=20)
+        vals = np.array([float(h) for h in range(21)])
         vals[5] = 99.0
         expect = compute_feature_pack(vals, period=1, select=sel)
         for c, e in expect.items():
             assert float(last[c]) == pytest.approx(e, nan_ok=True), c
-        assert last["n_points"] == 20
+        assert last["n_points"] == 21
 
     def test_validation(self, spark):
         from feasts_spark.streaming.features_stream import stream_features
 
         with pytest.raises(ValueError, match="window_points"):
             stream_features(spark.range(1), window_points=1, min_points=5)
+
+
+def test_stream_sessionize_late_event_does_not_regress_session_end(
+    spark, tmp_path
+):
+    """An in-watermark LATE event inside the open session must merge via
+    min/max-clamped bounds: the session end stays at the true max ts and
+    the close timer is not re-armed early (round-3 review finding: the
+    batch segment's last_ts overwrote the carried later end)."""
+    from feasts_spark.operators.sessionize import session_stats
+    from feasts_spark.streaming.sessionize_stream import stream_sessionize
+
+    base = pd.Timestamp("2024-05-01 00:00:00")
+    mins = lambda m: base + pd.Timedelta(minutes=m)  # noqa: E731
+    batches = [
+        pd.DataFrame({"user_id": [1, 1, 1],
+                      "ts": [mins(0), mins(1), mins(2)],
+                      "value": [1.0, 2.0, 3.0]}),
+        # a LATE event at 1.5m (watermark is still pre-epoch) plus a
+        # watermark advancer on key 2
+        pd.DataFrame({"user_id": [1, 2],
+                      "ts": [mins(1.5), mins(5000)],
+                      "value": [9.0, 0.0]}),
+        # advance watermark past key 1's close
+        pd.DataFrame({"user_id": [2], "ts": [mins(5020)], "value": [0.0]}),
+    ]
+    d = tmp_path / "sess_late_in"
+    d.mkdir()
+    for i, b in enumerate(batches):
+        b.assign(ts=b["ts"].astype("datetime64[us]")).to_parquet(
+            d / f"b{i}.parquet", index=False
+        )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        stream_sessionize(stream, gap_seconds=3600, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sess_late")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("SELECT * FROM t_sess_late WHERE series_key = 1")
+        .orderBy("session_id")
+        .toPandas()
+    )
+    key1 = pd.concat(
+        [b[b.user_id == 1] for b in batches], ignore_index=True
+    )
+    batch = (
+        session_stats(
+            spark.createDataFrame(key1), gap_seconds=3600,
+            key_col="user_id", ts_col="ts", value_col="value",
+        )
+        .orderBy("session_id")
+        .toPandas()
+    )
+    assert len(got) == 1
+    for col in ("session_id", "n_events", "session_start", "session_end",
+                "duration_s", "val_sum"):
+        assert list(got[col]) == list(batch[col]), col
