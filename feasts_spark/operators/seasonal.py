@@ -190,6 +190,32 @@ def gg_tsresiduals_data(
     return {"residuals": panel["series"], "acf": panel["acf"], "hist": hist}
 
 
+def arma_irf_data(spark, ar=(), ma=(), horizon: int = 24) -> DataFrame:
+    """Impulse-response data for the gg_irf plot (ggtime re-export,
+    reference graphics.R:32-34): rows (h, psi) — the MA(infinity) weights
+    psi_h of the ARMA(p,q) model, i.e. the response of y_{t+h} to a unit
+    shock at t. Standard recursion: psi_0 = 1,
+    psi_j = theta_j + sum_{i=1..min(j,p)} phi_i * psi_{j-i} (theta_j = 0
+    past q). As with gg_arma, model fitting is out of scope (the reference
+    receives a fable model); this is the O(p*horizon) driver-side data
+    prep behind the plot."""
+    import numpy as np
+
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1, got {horizon}")
+    phi = np.asarray(list(ar), dtype=np.float64)
+    theta = np.asarray(list(ma), dtype=np.float64)
+    psi = np.zeros(horizon + 1)
+    psi[0] = 1.0
+    for j in range(1, horizon + 1):
+        acc = theta[j - 1] if j <= theta.size else 0.0
+        for i in range(1, min(j, phi.size) + 1):
+            acc += phi[i - 1] * psi[j - i]
+        psi[j] = acc
+    rows = [(int(h), float(p)) for h, p in enumerate(psi)]
+    return spark.createDataFrame(rows, "h int, psi double")
+
+
 def arma_roots_data(spark, ar=(), ma=()) -> DataFrame:
     """Inverse characteristic roots for the gg_arma plot (ggtime
     re-export, graphics.R:28-30): rows (kind, root_idx, re, im, modulus)

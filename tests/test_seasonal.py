@@ -177,3 +177,25 @@ def test_arma_roots_ar2_complex_pair(spark):
 
 def test_arma_roots_empty(spark):
     assert arma_roots_data(spark).count() == 0
+
+
+def test_arma_irf_ar1_and_arma11(spark):
+    from feasts_spark.operators.seasonal import arma_irf_data
+
+    # AR(1): psi_h = phi^h
+    out = {r.h: r.psi for r in arma_irf_data(spark, ar=(0.6,), horizon=6).collect()}
+    for h in range(7):
+        assert out[h] == pytest.approx(0.6 ** h)
+    # ARMA(1,1): psi_1 = phi + theta, psi_j = phi * psi_{j-1} afterwards
+    out = {r.h: r.psi for r in
+           arma_irf_data(spark, ar=(0.5,), ma=(0.3,), horizon=5).collect()}
+    assert out[0] == 1.0
+    assert out[1] == pytest.approx(0.8)
+    for h in range(2, 6):
+        assert out[h] == pytest.approx(0.8 * 0.5 ** (h - 1))
+    # pure MA(2) truncates at q
+    out = {r.h: r.psi for r in
+           arma_irf_data(spark, ma=(0.4, 0.2), horizon=4).collect()}
+    assert [out[h] for h in range(5)] == pytest.approx([1.0, 0.4, 0.2, 0.0, 0.0])
+    with pytest.raises(ValueError):
+        arma_irf_data(spark, horizon=0)
