@@ -365,9 +365,135 @@ def run_scaling() -> dict:
     }
 
 
+SUBMIT_REPEATS = int(os.environ.get("BENCH_SUBMIT_REPEATS", "2"))
+SUBMIT_CONVS = int(os.environ.get("BENCH_SUBMIT_CONVS", "3000"))
+SUBMIT_SPAN_DAYS = int(os.environ.get("BENCH_SUBMIT_SPAN_DAYS", "2"))
+SUBMIT_LEVELS = os.environ.get("BENCH_SUBMIT_LEVELS", "2,8").split(",")
+
+
+def run_scaling_submit() -> dict:
+    """The north rule's deployment shape at two cluster sizes, verbatim:
+    the PACKAGED `spark-submit --py-files dist/feasts_spark.zip` rollup
+    job (salted 1m rollup -> 1h/1d cascade -> Gorilla chunks -> lineage
+    manifest, all tables written to parquet) run at pinned local[N] vs
+    local[4N], alternated SUBMIT_REPEATS times, min process_wall_s per
+    level (the job's own processing time — JVM/session startup is a fixed
+    cost that does not scale with executors and is excluded).
+
+    Complements `--scaling`, which measures the in-process query surface
+    on a larger corpus; this one proves the packaged artifact + real
+    spark-submit boundary scales the same way.
+    """
+    import shutil
+    import tempfile
+
+    subprocess.run(
+        ["bash", "tools/package.sh"], cwd=REPO, check=True,
+        capture_output=True,
+    )
+    # whale cap 20k turns (~5 days of 12s-median gaps): the corpus stays a
+    # handful of day-partitions instead of weeks of near-empty ones
+    forced_long = min(FORCED_LONG, 20_000)
+    cache = (
+        f"/tmp/feasts_submit_transcripts_{SUBMIT_CONVS}_{MAX_TURNS}"
+        f"_{forced_long}_{SUBMIT_SPAN_DAYS}d_dt"
+    )
+    meta = cache + ".meta.json"
+    if not os.path.exists(meta):
+        from pyspark.sql import functions as F
+
+        from feasts_spark.session import get_spark
+        from feasts_spark.sources.transcripts import synthesize_transcripts
+
+        spark = get_spark(int(CPUS), app_name="bench-submit-corpus")
+        # days(ts) partition layout — the shape the job is designed for
+        # (per-day units prune at the scan); see jobs/rollup_job.py
+        synthesize_transcripts(
+            spark, n_convs=SUBMIT_CONVS, max_turns=MAX_TURNS,
+            forced_long_turns=forced_long, span_days=SUBMIT_SPAN_DAYS,
+        ).withColumn("dt", F.to_date("ts")).write.mode(
+            "overwrite"
+        ).partitionBy("dt").parquet(cache)
+        n_turns = spark.read.parquet(cache).count()
+        with open(meta, "w") as f:
+            json.dump({"n_turns": n_turns}, f)
+        spark.stop()
+    with open(meta) as f:
+        n_turns = json.load(f)["n_turns"]
+
+    lo, hi = SUBMIT_LEVELS
+    factor = int(hi) / int(lo)
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable,
+               PYSPARK_DRIVER_PYTHON=sys.executable)
+    runs: dict[str, list[float]] = {lo: [], hi: []}
+    def one_leg(cores: str) -> float:
+        # warehouse on tmpfs: the sandbox's single virtio disk is the one
+        # resource a real cluster does NOT share across executors (each
+        # brings its own disks / talks to distributed storage), so leaving
+        # the writes on it measures the disk, not the engine — the same
+        # reasoning as spark.local.dir in run_scaling's methodology notes
+        shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        out_dir = tempfile.mkdtemp(prefix=f"submit_bench_{cores}_", dir=shm)
+        try:
+            proc = subprocess.run(
+                [
+                    "taskset", "-c", f"0-{int(cores) - 1}",
+                    "spark-submit", "--master", f"local[{cores}]",
+                    "--conf",
+                    f"spark.sql.shuffle.partitions={4 * int(cores)}",
+                    *(
+                        ["--conf", f"spark.local.dir={shm}/spark_submit_local"]
+                        if shm else []
+                    ),
+                    "--conf", "spark.sql.session.timeZone=UTC",
+                    "--conf",
+                    "spark.hadoop.parquet.hadoop.vectored.io.enabled=false",
+                    "--py-files",
+                    os.path.join(REPO, "dist/feasts_spark.zip"),
+                    os.path.join(REPO, "jobs/rollup_job.py"),
+                    "--input", cache, "--output", out_dir,
+                    "--tiers", "1m,1h,1d",
+                ],
+                cwd=REPO, env=env, capture_output=True, text=True,
+                timeout=1800,
+            )
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-8000:])
+            raise RuntimeError(f"spark-submit (local[{cores}]) failed")
+        m = json.loads(proc.stdout.strip().splitlines()[-1])
+        return float(m["process_wall_s"])
+
+    for _ in range(SUBMIT_REPEATS):
+        for cores in (lo, hi):
+            try:
+                runs[cores].append(one_leg(cores))
+            except RuntimeError:
+                # the shared virtio disk throws transient read failures
+                # under cross-tenant contention (FAILED_READ_FILE with the
+                # file intact on re-read) — one retry per leg
+                runs[cores].append(one_leg(cores))
+    best = {c: min(v) for c, v in runs.items()}
+    thr_lo, thr_hi = n_turns / best[lo], n_turns / best[hi]
+    eff = thr_hi / (factor * thr_lo)
+    return {
+        "metric": f"spark_submit_scaling_efficiency_{lo}_to_{hi}",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_transcript_turns": n_turns,
+        f"throughput_local{lo}_pts_per_sec": round(thr_lo),
+        f"throughput_local{hi}_pts_per_sec": round(thr_hi),
+        "best_process_wall_s": best,
+        "all_runs_s": runs,
+    }
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(run_scaling()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-submit":
+        print(json.dumps(run_scaling_submit()))
     elif len(sys.argv) > 2 and sys.argv[1] == "--single":
         print(json.dumps(run_bench(sys.argv[2], SF_DIR)))
     else:

@@ -54,15 +54,33 @@ def main() -> None:
     run = CheckpointedRun(spark, ckpt_dir, run_id=args.run_id)
 
     transcripts = spark.read.parquet(args.input)
+    # days(ts)-partitioned input (a `dt` partition column) is the layout
+    # this job is designed for: the per-day unit then PRUNES to one
+    # partition at the scan instead of rescanning the whole table per day
+    # (at 16 day-partitions that is 16x less IO; at a year of 100 TB it is
+    # the difference between feasible and not). Unpartitioned input still
+    # works via the to_date filter, paying the rescan.
+    has_dt = "dt" in transcripts.columns
     series = turn_series(transcripts)
-    days = sorted(
-        r["dt"].isoformat()
-        for r in series.select(F.to_date("ts").alias("dt")).distinct().collect()
-    )
+    if has_dt:
+        days = sorted(
+            str(r["dt"])
+            for r in transcripts.select("dt").distinct().collect()
+        )
+    else:
+        days = sorted(
+            r["dt"].isoformat()
+            for r in series.select(
+                F.to_date("ts").alias("dt")
+            ).distinct().collect()
+        )
     tiers = args.tiers.split(",")
 
     def process(day: str):
-        sub = series.filter(F.to_date("ts") == day)
+        if has_dt:
+            sub = turn_series(transcripts.filter(F.col("dt") == day))
+        else:
+            sub = series.filter(F.to_date("ts") == day)
         r = salted_rollup(
             sub, "1m", key_col="conv_id", ts_col="ts", value_col="value",
             heavy_threshold=args.heavy_threshold,
@@ -83,7 +101,14 @@ def main() -> None:
         r.unpersist()
         return n, h
 
+    import time
+
+    t0 = time.monotonic()
     metrics = run.run(days, process)
+    # processing wall time (excludes JVM/session startup): the number the
+    # two-cluster-size scaling evidence compares, since startup is a fixed
+    # cost that does not scale with executors
+    metrics["process_wall_s"] = round(time.monotonic() - t0, 3)
 
     if args.features:
         # Feature extraction over the finest written tier: per-conversation

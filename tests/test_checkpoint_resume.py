@@ -89,3 +89,53 @@ def test_reprocessing_is_idempotent(spark, sf_dir, workdir):
     process(parts[0])
     after = checksum_df(io.read("rollup_idem"))
     assert before == after
+
+
+def test_rollup_job_dt_partitioned_input_matches_flat(spark, tmp_path, monkeypatch):
+    """jobs/rollup_job.py with days(ts)-partitioned input (a `dt`
+    partition column, the layout the job targets at scale) must produce
+    byte-identical tier tables to the flat-input path — the pruned
+    per-day scan may not change results, only IO."""
+    import sys as _sys
+
+    sys_path_added = "/root/repo" in _sys.path or _sys.path.insert(0, "/root/repo")
+    from jobs.rollup_job import main
+
+    from feasts_spark.sources.transcripts import synthesize_transcripts
+
+    t = synthesize_transcripts(
+        spark, n_convs=40, max_turns=300, seed=5, span_days=2,
+        n_forced_long=1, forced_long_turns=500,
+    )
+    flat = str(tmp_path / "flat")
+    part = str(tmp_path / "part")
+    t.write.mode("overwrite").parquet(flat)
+    t.withColumn("dt", F.to_date("ts")).write.mode("overwrite").partitionBy(
+        "dt"
+    ).parquet(part)
+
+    outs = {}
+    for name, src in (("flat", flat), ("part", part)):
+        out = str(tmp_path / f"wh_{name}")
+        monkeypatch.setattr(
+            _sys, "argv",
+            ["rollup_job", "--input", src, "--output", out,
+             "--tiers", "1m,1h"],
+        )
+        main()
+        outs[name] = out
+
+    for tier in ("1m", "1h"):
+        a = (
+            spark.read.parquet(f"{outs['flat']}/rollup_{tier}")
+            .orderBy("series_key", "bucket_ts")
+            .drop("dt")
+        )
+        b = (
+            spark.read.parquet(f"{outs['part']}/rollup_{tier}")
+            .orderBy("series_key", "bucket_ts")
+            .drop("dt")
+        )
+        assert a.columns == b.columns
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+        assert a.count() == b.count() > 0
