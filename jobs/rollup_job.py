@@ -76,6 +76,17 @@ def main() -> None:
         )
     tiers = args.tiers.split(",")
 
+    import os
+    import time as _t
+
+    debug_timing = os.environ.get("ROLLUP_JOB_DEBUG_TIMING") == "1"
+    phase_s: dict[str, float] = {}
+
+    def _mark(label: str, t0: float) -> float:
+        if debug_timing:
+            phase_s[label] = round(_t.monotonic() - t0, 2)
+        return _t.monotonic()
+
     def process(day: str):
         if has_dt:
             sub = turn_series(transcripts.filter(F.col("dt") == day))
@@ -87,17 +98,21 @@ def main() -> None:
         ).persist()
         total_rows, checksum = 0, 0
         lower = r
+        t = _t.monotonic()
         for tier in tiers:
             cur = lower if tier == "1m" else rollup_cascade(lower, tier)
             out = cur.withColumn("dt", F.lit(day))
             io.overwrite_partitions(out, f"rollup_{tier}", ("dt",))
+            t = _mark(f"{day} rollup_{tier}", t)
             chunks = compress_chunks(
                 cur.withColumn("series_key", F.col("series_key").cast("string")),
                 tier,
             ).withColumn("dt", F.lit(day))
             io.overwrite_partitions(chunks, f"chunks_{tier}", ("dt",))
+            t = _mark(f"{day} chunks_{tier}", t)
             lower = cur
         n, h = checksum_df(r)
+        t = _mark(f"{day} checksum", t)
         r.unpersist()
         return n, h
 
@@ -109,6 +124,8 @@ def main() -> None:
     # two-cluster-size scaling evidence compares, since startup is a fixed
     # cost that does not scale with executors
     metrics["process_wall_s"] = round(time.monotonic() - t0, 3)
+    if debug_timing:
+        metrics["phase_s"] = phase_s
 
     if args.features:
         # Feature extraction over the finest written tier: per-conversation
