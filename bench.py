@@ -366,7 +366,11 @@ def run_scaling() -> dict:
 
 
 SUBMIT_REPEATS = int(os.environ.get("BENCH_SUBMIT_REPEATS", "2"))
-SUBMIT_CONVS = int(os.environ.get("BENCH_SUBMIT_CONVS", "3000"))
+# 20k convs (~24M turns over ~7 day-partitions): per-unit compute must
+# dominate the per-unit driver floor (plan analysis + commits, ~1-2s per
+# write action) for the ratio to measure the engine — at 3k convs the
+# floor is ~25% of the narrow leg and deflates efficiency to ~0.6.
+SUBMIT_CONVS = int(os.environ.get("BENCH_SUBMIT_CONVS", "20000"))
 SUBMIT_SPAN_DAYS = int(os.environ.get("BENCH_SUBMIT_SPAN_DAYS", "2"))
 SUBMIT_LEVELS = os.environ.get("BENCH_SUBMIT_LEVELS", "2,8").split(",")
 
@@ -439,6 +443,10 @@ def run_scaling_submit() -> dict:
                 [
                     "taskset", "-c", f"0-{int(cores) - 1}",
                     "spark-submit", "--master", f"local[{cores}]",
+                    # constant memory PER CORE, like a real cluster where
+                    # each added executor brings its own heap — the 1g
+                    # spark-submit default starves the wider leg
+                    "--driver-memory", f"{2 * int(cores)}g",
                     "--conf",
                     f"spark.sql.shuffle.partitions={4 * int(cores)}",
                     *(
@@ -453,6 +461,8 @@ def run_scaling_submit() -> dict:
                     os.path.join(REPO, "jobs/rollup_job.py"),
                     "--input", cache, "--output", out_dir,
                     "--tiers", "1m,1h,1d",
+                    # overlap unit driver floors with other units' compute
+                    "--unit-parallelism", "4",
                 ],
                 cwd=REPO, env=env, capture_output=True, text=True,
                 timeout=1800,

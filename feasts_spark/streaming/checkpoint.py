@@ -58,21 +58,53 @@ class CheckpointedRun:
         partitions: list[str],
         process_fn,
         fingerprint_fn=None,
+        max_parallel_units: int = 1,
     ) -> dict:
         """Process pending partitions; returns metrics.
 
         process_fn(partition) -> (row_count, checksum); must write its own
         output idempotently (TableIO.overwrite_partitions).
+
+        max_parallel_units > 1 submits that many units concurrently from a
+        driver thread pool: Spark's scheduler interleaves their jobs, so
+        one unit's driver-side floor (plan analysis, commit) overlaps
+        another's executor compute — the standard backfill shape, and on a
+        cluster the way a day-partition loop keeps the executors busy.
+        Units write DISJOINT partitions (overwrite-by-partition), so
+        concurrent commits do not contend on data; manifest appends are
+        serialized under a lock. Exactly-once-per-unit resume semantics
+        are unchanged: a unit is recorded only after its output is
+        durably written, and a crash mid-pool simply leaves fewer
+        recorded units for --resume to skip.
         """
         done = self.completed_partitions()
         pending = [p for p in partitions if p not in done]
         metrics = {"run_id": self.run_id, "total": len(partitions),
                    "skipped": len(partitions) - len(pending), "processed": 0}
-        for p in pending:
+
+        def unit(p: str) -> None:
             fp = fingerprint_fn(p) if fingerprint_fn else ""
             row_count, checksum = process_fn(p)
-            self.record(p, fp, row_count, checksum)
-            metrics["processed"] += 1
+            with lock:
+                self.record(p, fp, row_count, checksum)
+                metrics["processed"] += 1
+
+        if max_parallel_units <= 1:
+            import threading
+
+            lock = threading.Lock()
+            for p in pending:
+                unit(p)
+            return metrics
+
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        lock = threading.Lock()
+        with ThreadPoolExecutor(max_workers=max_parallel_units) as ex:
+            futures = [ex.submit(unit, p) for p in pending]
+            for f in futures:
+                f.result()  # surface the first unit failure
         return metrics
 
 

@@ -29,6 +29,9 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--heavy-threshold", type=int, default=1_000_000)
+    ap.add_argument("--unit-parallelism", type=int, default=1,
+                    help="day units processed concurrently (driver thread "
+                         "pool; units write disjoint partitions)")
     ap.add_argument("--features", action="store_true",
                     help="also write the per-conversation feature table")
     ap.add_argument("--feature-period", type=int, default=24)
@@ -119,7 +122,9 @@ def main() -> None:
     import time
 
     t0 = time.monotonic()
-    metrics = run.run(days, process)
+    metrics = run.run(
+        days, process, max_parallel_units=args.unit_parallelism
+    )
     # processing wall time (excludes JVM/session startup): the number the
     # two-cluster-size scaling evidence compares, since startup is a fixed
     # cost that does not scale with executors

@@ -139,3 +139,33 @@ def test_rollup_job_dt_partitioned_input_matches_flat(spark, tmp_path, monkeypat
         assert a.columns == b.columns
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
         assert a.count() == b.count() > 0
+
+
+def test_parallel_units_match_serial(spark, sf_dir, workdir):
+    """max_parallel_units > 1 must produce the same outputs and a complete
+    manifest — units write disjoint partitions, so concurrency may change
+    only wall time, never bytes."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    days = _partitions(events)
+
+    outs = {}
+    for name, par in (("ser", 1), ("par", 3)):
+        io = TableIO(spark, os.path.join(workdir, f"wh_{name}"))
+        run = CheckpointedRun(spark, os.path.join(workdir, f"ck_{name}"))
+
+        def process(day, io=io):
+            sub = events.filter(F.to_date("ts") == day)
+            r = rollup_raw(sub, "1h", "user_id", "ts", "value").withColumn(
+                "dt", F.lit(day)
+            )
+            io.overwrite_partitions(r, "rollup_1h", ("dt",))
+            return checksum_df(r)
+
+        m = run.run(days, process, max_parallel_units=par)
+        assert m["processed"] == len(days) and m["skipped"] == 0
+        assert len(run.completed_partitions()) == len(days)
+        outs[name] = io.read("rollup_1h")
+
+    a, b = outs["ser"], outs["par"]
+    assert a.count() == b.count() > 0
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

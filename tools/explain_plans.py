@@ -97,7 +97,7 @@ def main() -> None:
             r1m, "series_key", ["bucket_ts"], "val_avg"
         ),
         "pp_sql_1d (shared Spark/DuckDB SQL text)": spark.sql(pp_sql()),
-        "gorilla_compress_1m (span-bounded groups, one applyInPandas)":
+        "gorilla_compress_1m (span-bounded collect_list agg -> explicit repartition -> batch mapInPandas encode)":
             compress_chunks(r1m, "1m"),
         "gorilla_decompress (mapInPandas, NO shuffle)": decompress_chunks(
             compress_chunks(r1m, "1m")
