@@ -2539,11 +2539,11 @@ WITH toks AS (
 ), eg AS (
   SELECT DISTINCT doc_id, array_to_string(t[k:k+2], ' ') AS gram
   FROM toks CROSS JOIN dims
-  WHERE doc_id % 17 = 0 AND k <= greatest(len(t) - 2, 1)
+  WHERE doc_id % 17 = 0 AND k <= len(t) - 2
 ), tg AS (
   SELECT DISTINCT array_to_string(t[k:k+2], ' ') AS gram
   FROM toks CROSS JOIN dims
-  WHERE doc_id % 17 <> 0 AND k <= greatest(len(t) - 2, 1)
+  WHERE doc_id % 17 <> 0 AND k <= len(t) - 2
 ), tot AS (
   SELECT doc_id, count(*) AS n_grams FROM eg GROUP BY 1
 ), hit AS (
@@ -2707,7 +2707,7 @@ dims AS (
 g AS (
   SELECT doc_id, array_to_string(t[k:k+3], ' ') AS gram
   FROM toks CROSS JOIN dims
-  WHERE k <= greatest(len(t) - 3, 1)
+  WHERE k <= len(t) - 3
 ),
 c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
 sh AS (SELECT gram FROM c GROUP BY gram HAVING count(*) >= 2),
@@ -2730,9 +2730,10 @@ SELECT b.doc_id, b.lang,
        cap.cum_tokens,
        CASE WHEN cap.cum_tokens <= {CURATION_BUDGET} THEN 1 ELSE 0 END
          AS kept_by_budget,
-       CAST(tot.n_win AS BIGINT) AS n_windows,
+       CAST(coalesce(tot.n_win, 0) AS BIGINT) AS n_windows,
        CAST(coalesce(dup.n_dup, 0) AS BIGINT) AS n_dup_windows,
-       floor(coalesce(dup.n_dup, 0) / tot.n_win * 1e4 + 0.500001::DOUBLE)
+       floor(coalesce(dup.n_dup, 0) / greatest(coalesce(tot.n_win, 0), 1)
+             * 1e4 + 0.500001::DOUBLE)
          / 1e4 AS dup_span_frac,
        pii.n_emails, pii.n_urls, pii.n_ips, pii.n_phones, pii.scrub_md5,
        CAST(CASE WHEN res.rn <= {CURATION_RESERVOIR_K} THEN res.rn
@@ -2741,7 +2742,7 @@ SELECT b.doc_id, b.lang,
             ELSE 'val' END AS split
 FROM base b
 JOIN cap USING (doc_id)
-JOIN tot USING (doc_id)
+LEFT JOIN tot USING (doc_id)
 LEFT JOIN dup USING (doc_id)
 JOIN pii USING (doc_id)
 JOIN res USING (doc_id)
@@ -2901,9 +2902,13 @@ WITH tr AS (
 SELECT conv_id, count(*) AS n_turns,
        (min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1
         AND count(DISTINCT turn_idx) = count(*)) AS contiguous,
-       md5(string_agg(md5(text), '' ORDER BY turn_idx)) AS digest
+       md5(string_agg(md5(text), '' ORDER BY turn_idx, md5(text))) AS digest
 FROM tr GROUP BY conv_id
 """
+# digest ORDER BY (turn_idx, md5(text)): the Spark side sorts (i, h)
+# structs, so duplicate turn_idx ties break on the text hash — the
+# oracle replays the identical total order, keeping digests comparable
+# even for malformed (non-contiguous / duplicate-idx) conversations.
 
 
 def q_topk_event_types_1h(spark, sf_dir):

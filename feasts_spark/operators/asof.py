@@ -57,6 +57,15 @@ def asof_join(
     clash = set(value_cols) & set(left_cols)
     if clash:
         raise ValueError(f"value_cols collide with left columns: {sorted(clash)}")
+    # The output adds `match_ts`, and the union plan claims the
+    # underscore-internal names below — a left frame already carrying
+    # any of them would produce duplicate/ambiguous columns silently.
+    reserved = {"match_ts", "_k", "_ts", "_side", "_rv", "_tie"}
+    taken = reserved & (set(left_cols) | set(value_cols))
+    if taken:
+        raise ValueError(
+            f"columns reserved by asof_join present in input: {sorted(taken)}"
+        )
 
     # Tag and align the two sides onto one schema. Left rows carry nulls in
     # the right-value slot; right rows carry nulls in the left payload.

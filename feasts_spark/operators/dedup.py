@@ -83,6 +83,22 @@ def tokenize_expr(text_col: str):
     return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
 
 
+def _word_ngrams(toks, n: int):
+    """All word n-grams of a token array, in order — EMPTY for documents
+    with fewer than `n` tokens (no truncated shorter gram; see
+    ngram_containment / dup_span_stats docstrings). `ngram_jaccard_pairs`
+    deliberately keeps its own truncated-gram variant: there, the whole
+    short doc standing in as one shingle is what lets two identical
+    2-token docs still pair at n=3."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -175,15 +191,14 @@ def ngram_containment(
     when small and shuffle-joins on gram otherwise — at 100 TB you would
     additionally pre-bucket both sides by gram or insert a bloom filter,
     but the join key and reduction are already the scale-correct ones.
-    An eval doc with zero hits still gets a row (containment 0.0).
+    An eval doc with zero hits still gets a row (containment 0.0); an
+    eval doc with fewer than `n` tokens has NO word n-grams and emits no
+    row at all (it cannot be contaminated at this granularity) — it never
+    joins a truncated shorter gram against the training corpus (ADVICE
+    r03). Sub-n training docs likewise contribute no grams.
     """
     toks = tokenize_expr(text_col)
-    gram_arr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    )
+    gram_arr = F.array_distinct(_word_ngrams(toks, n))
     eval_grams = eval_df.select(
         F.col(id_col).alias("doc_id"), F.explode(gram_arr).alias("gram")
     )
@@ -224,7 +239,9 @@ def dup_span_stats(
 
     Returns (doc_id, n_windows, n_dup_windows, dup_span_frac) where a
     window is "dup" iff its exact n-token text occurs in >= 2 distinct
-    documents. Complements repetition_scores (WITHIN-doc repeats): a doc
+    documents. Documents with fewer than `n` tokens have no n-token
+    windows: they get a (0, 0, 0.0) row, never a truncated shorter
+    window. Complements repetition_scores (WITHIN-doc repeats): a doc
     can be internally clean yet largely copied from elsewhere — this is
     the filter that catches mirrored/boilerplate content.
 
@@ -242,13 +259,18 @@ def dup_span_stats(
     gram-keyed exchanges — kept as text here so the DuckDB twin is exact.
     """
     toks = tokenize_expr(text_col)
-    windows = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    # explode_outer keeps sub-n documents as a single NULL-gram row, so
+    # they still get a (0, 0, 0.0) stats row instead of a truncated
+    # shorter-than-n window or silently vanishing (ADVICE r03). The
+    # NULL-gram rows carry cnt=0 and never count as duplicated.
+    g = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(_word_ngrams(toks, n)).alias("gram"),
     )
-    g = df.select(F.col(id_col).alias("doc_id"), F.explode(windows).alias("gram"))
-    c = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
-    c = c.withColumn("n_docs", F.count(F.lit(1)).over(Window.partitionBy("gram")))
+    c = g.groupBy("doc_id", "gram").agg(
+        F.sum(F.when(F.col("gram").isNull(), 0).otherwise(1)).alias("cnt")
+    )
+    c = c.withColumn("n_docs", F.count(F.col("gram")).over(Window.partitionBy("gram")))
     per_doc = c.groupBy("doc_id").agg(
         F.sum("cnt").cast("long").alias("n_windows"),
         F.sum(F.when(F.col("n_docs") >= 2, F.col("cnt")).otherwise(0))
@@ -258,7 +280,10 @@ def dup_span_stats(
     return per_doc.withColumn(
         "dup_span_frac",
         F.floor(
-            F.col("n_dup_windows") / F.col("n_windows") * 1e4 + F.lit(0.500001)
+            F.col("n_dup_windows")
+            / F.greatest(F.col("n_windows"), F.lit(1))
+            * 1e4
+            + F.lit(0.500001)
         )
         / 1e4,
     )

@@ -39,6 +39,14 @@ def turn_digest(
     Output: conv_id, n_turns, contiguous (turn_idx is exactly 0..n-1),
     digest = md5 over the turn_idx-ordered concatenation of per-turn
     md5(text) hex strings.
+
+    Tie order: rows sharing a turn_idx (a malformed conversation —
+    contiguous=false) order by md5(text) within the index, because the
+    digest sorts (turn_idx, md5) struct pairs. A cross-engine
+    re-implementation must replay the same total order
+    (``ORDER BY turn_idx, md5(text)``) for digests to match on
+    malformed inputs; for contiguous=true streams plain
+    ``ORDER BY turn_idx`` is already total.
     """
     pair = F.struct(
         F.col(order_col).alias("i"), F.md5(F.col(text_col)).alias("h")

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from feasts_spark.operators.features import compute_feature_pack, pack_columns
@@ -41,11 +41,18 @@ from feasts_spark.operators.features import compute_feature_pack, pack_columns
 _STATE_SCHEMA = "ts_us array<long>, vals array<double>"
 
 
-def _out_schema(select) -> str:
+def _out_schema(select, key_type: "T.DataType") -> "T.StructType":
+    # The key keeps the INPUT column's type (string conv ids, long
+    # bucket keys, ...) — a hardcoded long would silently cast string
+    # keys to NULL and merge every series into one group (ADVICE r03).
     cols = pack_columns(None, select)
-    feat = ", ".join(f"{c} double" for c in cols)
-    return (
-        "series_key long, window_end timestamp, n_points long, " + feat
+    return T.StructType(
+        [
+            T.StructField("series_key", key_type),
+            T.StructField("window_end", T.TimestampType()),
+            T.StructField("n_points", T.LongType()),
+        ]
+        + [T.StructField(c, T.DoubleType()) for c in cols]
     )
 
 
@@ -73,7 +80,8 @@ def stream_features(
             f"window_points={window_points} must be >= min_points and >= 2"
         )
     cols = pack_columns(None, select)
-    out_schema = _out_schema(select)
+    key_type = stream.schema[key_col].dataType
+    out_schema = _out_schema(select, key_type)
     timeout = (
         GroupStateTimeout.EventTimeTimeout
         if idle_ttl_seconds is not None
@@ -131,7 +139,7 @@ def stream_features(
         yield pd.DataFrame([row])
 
     keyed = stream.select(
-        F.col(key_col).cast("long").alias("k"),
+        F.col(key_col).alias("k"),
         F.col(ts_col),
         F.col(value_col),
     ).withWatermark(ts_col, watermark)

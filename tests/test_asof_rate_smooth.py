@@ -81,6 +81,23 @@ def test_asof_join_exact_ts_and_tolerance(spark):
     assert row3["ref"] == 3.0
 
 
+def test_asof_join_rejects_reserved_column_names(spark):
+    """ADVICE r03: a left frame already carrying match_ts (or an
+    underscore-internal name) must raise instead of silently producing
+    duplicate/ambiguous output columns."""
+    import pytest
+
+    right = spark.createDataFrame(
+        [("a", _ts("2024-01-01T00:00:00"), 3.0)], ["k", "rts", "ref"]
+    )
+    for bad in ("match_ts", "_k", "_rv"):
+        left = spark.createDataFrame(
+            [("a", _ts("2024-01-01T00:10:00"), 1)], ["k", "ts", bad]
+        )
+        with pytest.raises(ValueError, match="reserved"):
+            asof_join(left, right, "k", "ts", "rts", ["ref"])
+
+
 # ---------------------------------------------------------------------------
 # M4
 # ---------------------------------------------------------------------------

@@ -152,6 +152,21 @@ class TestDupSpans:
         assert out.loc[0, "dup_span_frac"] == pytest.approx(0.3333)
         assert out.loc[2, "dup_span_frac"] == pytest.approx(0.0)
 
+    def test_sub_n_doc_gets_zero_windows_row(self, spark):
+        """ADVICE r03: a doc shorter than n tokens has NO n-token windows
+        — it must get a (0, 0, 0.0) row, not a truncated shorter window
+        that could spuriously match another short doc."""
+        df = spark.createDataFrame(
+            [(0, "a b"), (1, "a b"), (2, "a b c d e")],
+            "doc_id long, text string",
+        )
+        out = dup_span_stats(df, n=3).orderBy("doc_id").toPandas()
+        assert len(out) == 3
+        # identical 2-token docs share no 3-token window (there are none)
+        assert list(out["n_windows"]) == [0, 0, 3]
+        assert list(out["n_dup_windows"]) == [0, 0, 0]
+        assert list(out["dup_span_frac"]) == [0.0, 0.0, 0.0]
+
     def test_within_doc_repeat_not_counted(self, spark):
         # "x y z" twice inside ONE doc is internal repetition, not a
         # cross-document duplicated span

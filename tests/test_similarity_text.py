@@ -141,6 +141,24 @@ class TestText:
         assert out.loc[1, "n_hits"] == 0
         assert out.loc[1, "containment"] == pytest.approx(0.0)
 
+    def test_containment_sub_n_docs_emit_no_grams(self, spark):
+        """ADVICE r03: docs shorter than n have no n-grams — a 2-token
+        eval doc emits no row (nothing to contaminate), and a 2-token
+        train doc contributes no truncated gram for longer eval grams to
+        spuriously hit."""
+        ev = spark.createDataFrame(
+            [(0, "a b"), (1, "a b c")], "doc_id long, text string"
+        )
+        tr = spark.createDataFrame(
+            [(100, "a b"), (101, "x y z")], "doc_id long, text string"
+        )
+        out = ngram_containment(ev, tr, n=3).orderBy("doc_id").toPandas()
+        assert list(out["doc_id"]) == [1]  # sub-n eval doc 0: no row
+        # train doc 100 ("a b") must NOT have produced the truncated
+        # gram "a b"; eval doc 1's single gram "a b c" has no train hit
+        assert out.loc[0, "n_grams"] == 1
+        assert out.loc[0, "n_hits"] == 0
+
     def test_fingerprint_stability(self, spark, docs):
         a = fingerprints(docs).orderBy("doc_id").toPandas()
         b = fingerprints(docs).orderBy("doc_id").toPandas()

@@ -573,6 +573,71 @@ class TestStreamFeatures:
         with pytest.raises(ValueError, match="window_points"):
             stream_features(spark.range(1), window_points=1, min_points=5)
 
+    def test_string_keys_stay_distinct_series(self, spark, tmp_path):
+        """ADVICE r03: a string key column (conv ids) must come through
+        as distinct series with its native type — not silently cast to
+        NULL long and merged into one group."""
+        import numpy as np
+
+        from feasts_spark.operators.features import compute_feature_pack
+        from feasts_spark.streaming.features_stream import stream_features
+
+        base = pd.Timestamp("2024-03-01")
+        rows = pd.concat(
+            [
+                pd.DataFrame({
+                    "series_key": key,
+                    "bucket_ts": [
+                        base + pd.Timedelta(hours=h) for h in range(40)
+                    ],
+                    "val_avg": vals,
+                })
+                for key, vals in (
+                    ("conv-a", np.arange(40, dtype="float64")),
+                    ("conv-b", np.sin(np.arange(40) / 3.0) * 4 + 7),
+                )
+            ],
+            ignore_index=True,
+        )
+        d = tmp_path / "feat_stream_str"
+        d.mkdir()
+        rows.assign(
+            bucket_ts=rows["bucket_ts"].astype("datetime64[us]")
+        ).to_parquet(d / "b0.parquet", index=False)
+        stream = (
+            spark.readStream.schema(
+                "series_key string, bucket_ts timestamp, val_avg double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        q = (
+            stream_features(
+                stream, period=12, window_points=64, min_points=12,
+                select=("n_crossing_points", "longest_flat_spot"),
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_feat_stream_strkey")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.sql("SELECT * FROM t_feat_stream_strkey").toPandas()
+        assert dict(out.dtypes)["series_key"] == object
+        assert set(out["series_key"]) == {"conv-a", "conv-b"}
+        for key, vals in (
+            ("conv-a", np.arange(40, dtype="float64")),
+            ("conv-b", np.sin(np.arange(40) / 3.0) * 4 + 7),
+        ):
+            snap = out[out.series_key == key].iloc[-1]
+            expect = compute_feature_pack(
+                vals, period=12,
+                select=("n_crossing_points", "longest_flat_spot"),
+            )
+            for c, e in expect.items():
+                assert float(snap[c]) == pytest.approx(e, nan_ok=True), c
+
 
 def test_stream_sessionize_late_event_does_not_regress_session_end(
     spark, tmp_path
