@@ -66,46 +66,7 @@ def _r4(col: str):
 # Rollups (SURVEY.md §2.5)
 # ---------------------------------------------------------------------------
 
-def q_rollup_1m(spark, sf_dir):
-    from feasts_spark.operators.rollup import rollup_raw
 
-    _utc(spark)
-    r = rollup_raw(_events(spark, sf_dir), "1m", "user_id", "ts", "value")
-    return _round_cols(
-        r.select("series_key", "bucket_ts", "n_points", "val_sum", "val_min",
-                 "val_max", "val_avg"),
-        ["val_sum", "val_avg"],
-    )
-
-
-def _rollup_oracle(trunc: str) -> str:
-    return f"""
-    SELECT user_id AS series_key, date_trunc('{trunc}', ts) AS bucket_ts,
-           count(*) AS n_points, {_sql_r4('sum(value)')} AS val_sum,
-           min(value) AS val_min, max(value) AS val_max,
-           {_sql_r4('avg(value)')} AS val_avg
-    FROM events GROUP BY 1, 2
-    """
-
-
-def q_rollup_cascade(spark, sf_dir):
-    """BOTH cascade hops in one driver query (1m->1h and 1m->1h->1d,
-    tier-tagged union): the oracle recomputes each tier DIRECTLY from raw
-    events, so a green row proves the decomposable re-aggregation is
-    exact at every hop. One query, full cascade evidence — frees a
-    registry slot under the driver's checked-query cap."""
-    from feasts_spark.operators.rollup import rollup_cascade, rollup_raw
-
-    _utc(spark)
-    r1m = rollup_raw(_events(spark, sf_dir), "1m", "user_id", "ts", "value")
-    r1h = rollup_cascade(r1m, "1h")
-    r1d = rollup_cascade(r1h, "1d")
-    cols = ["series_key", "bucket_ts", "n_points", "val_sum", "val_min",
-            "val_max", "val_avg", "val_first", "val_last"]
-    out = r1h.select(F.lit("1h").alias("tier"), *cols).unionByName(
-        r1d.select(F.lit("1d").alias("tier"), *cols)
-    )
-    return _round_cols(out, ["val_sum", "val_avg"])
 
 
 def _cascade_oracle(trunc: str) -> str:
@@ -119,6 +80,83 @@ def _cascade_oracle(trunc: str) -> str:
            arg_min(value, ts) AS val_first, arg_max(value, ts) AS val_last
     FROM events GROUP BY 1, 2
     """
+
+
+_ROLLUP_PACK_COLS = ["series_key", "bucket_ts", "n_points", "val_sum",
+                     "val_min", "val_max", "val_avg", "val_first", "val_last"]
+
+
+def q_rollup_pack(spark, sf_dir):
+    """The full rollup surface in one tier-tagged driver row: the plain
+    1m rollup straight from raw, the SAME minute tier through the salted
+    two-phase skew path (operators/skew.py, heavy_threshold=40 so most
+    keys take the salted route at sf0.01), and the 1m->1h->1d cascade
+    re-aggregation. Every tier's oracle recomputes DIRECTLY from raw
+    events, so one green row proves (a) the base rollup, (b) salted ==
+    plain, and (c) cascade re-aggregation exact at every hop. Plain
+    decomposable aggregates — safe to pack (see the Catalyst CASE-packing
+    hazard note on q_usage_1h)."""
+    from feasts_spark.operators.rollup import rollup_cascade, rollup_raw
+    from feasts_spark.operators.skew import salted_rollup
+
+    _utc(spark)
+    e = _events(spark, sf_dir)
+    r1m = rollup_raw(e, "1m", "user_id", "ts", "value")
+    salted = salted_rollup(
+        e, "1m", key_col="user_id", ts_col="ts", value_col="value",
+        heavy_threshold=40,
+    )
+    r1h = rollup_cascade(r1m, "1h")
+    r1d = rollup_cascade(r1h, "1d")
+    out = None
+    for tag, df in (("1m", r1m), ("1m_salted", salted), ("1h", r1h),
+                    ("1d", r1d)):
+        part = df.select(F.lit(tag).alias("tier"), *_ROLLUP_PACK_COLS)
+        out = part if out is None else out.unionByName(part)
+    return _round_cols(out, ["val_sum", "val_avg"])
+
+
+def _rollup_pack_oracle() -> str:
+    parts = [
+        f"SELECT '{tag}' AS tier, * FROM ({_cascade_oracle(trunc)})"
+        for tag, trunc in (("1m", "minute"), ("1m_salted", "minute"),
+                           ("1h", "hour"), ("1d", "day"))
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+def q_props_rollup(spark, sf_dir):
+    """Hourly tier rollup over the numeric `k` field inside the events
+    table's JSON `props` column (operators/rollup.py props_field_rollup)
+    — metrics living in the property bag, not a typed column. Oracled by
+    DuckDB's json_extract_string; NULL/missing fields drop out on both
+    engines."""
+    from feasts_spark.operators.rollup import props_field_rollup
+
+    _utc(spark)
+    r = props_field_rollup(
+        _events(spark, sf_dir), "1h", "k", "user_id", "ts", "props"
+    )
+    return _round_cols(
+        r.select("series_key", "bucket_ts", "n_points", "val_sum", "val_min",
+                 "val_max", "val_avg", "val_first", "val_last"),
+        ["val_sum", "val_avg"],
+    )
+
+
+ORACLE_PROPS_ROLLUP = f"""
+WITH v AS (
+  SELECT user_id, ts,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS pv
+  FROM events
+)
+SELECT user_id AS series_key, date_trunc('hour', ts) AS bucket_ts,
+       count(*) AS n_points, {_sql_r4('sum(pv)')} AS val_sum,
+       min(pv) AS val_min, max(pv) AS val_max,
+       {_sql_r4('avg(pv)')} AS val_avg,
+       arg_min(pv, ts) AS val_first, arg_max(pv, ts) AS val_last
+FROM v WHERE pv IS NOT NULL GROUP BY 1, 2
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1132,12 +1170,11 @@ def q_stl_components_1d(spark, sf_dir):
     counts = r.groupBy("series_key").count().filter(F.col("count") > 14)
     r = r.join(counts.select("series_key"), "series_key")
     out = stl_components(r, periods=(7,), value_col="val_avg")
+    # unrounded + value: see the q_stl_multi_1h note (suite rounds after
+    # certifying the reconstruction identity on the raw components)
     return out.select(
-        "series_key", "bucket_ts",
-        _r4("trend").alias("trend"),
-        _r4("season_7").alias("season_7"),
-        _r4("remainder").alias("remainder"),
-        _r4("season_adjust").alias("season_adjust"),
+        "series_key", "bucket_ts", "val_avg",
+        "trend", "season_7", "remainder", "season_adjust",
     )
 
 
@@ -1318,17 +1355,24 @@ def q_minhash_oph_lsh(spark, sf_dir):
 
 
 def q_minhash_pack(spark, sf_dir):
-    """Both MinHash signature variants (classic k-hash `mh` and
-    one-permutation `oph`, the 10^9-doc scale path) through the same
-    LSH banding + estimate pipeline, tagged by variant — one registry
-    row carries driver evidence for both constructions."""
+    """The full MinHash surface in one variant-tagged driver row: both
+    signature constructions (classic k-hash `mh` and one-permutation
+    `oph`, the 10^9-doc scale path) through the same LSH banding +
+    estimate pipeline, plus the snapshot-delta incremental crawl dedup
+    (q_dedup_incremental, variants `inc_<kind>`). Rows-only — banding is
+    hash-based — but pytest pins estimate error bounds, determinism, and
+    exact full==incremental pair-set equivalence."""
     a = q_minhash_lsh(spark, sf_dir).select(
         F.lit("mh").alias("variant"), "id_a", "id_b", "est_jaccard"
     )
     b = q_minhash_oph_lsh(spark, sf_dir).select(
         F.lit("oph").alias("variant"), "id_a", "id_b", "est_jaccard"
     )
-    return a.unionByName(b)
+    c = q_dedup_incremental(spark, sf_dir).select(
+        F.concat(F.lit("inc_"), F.col("kind")).alias("variant"),
+        "id_a", "id_b", "est_jaccard",
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def q_dedup_incremental(spark, sf_dir):
@@ -1847,23 +1891,6 @@ FROM events GROUP BY 1, 2
 """
 
 
-def q_salted_rollup_1m(spark, sf_dir):
-    """Two-phase salted aggregation (heavy keys split across 16 salts, then
-    merged) must equal the plain rollup — the oracle IS the plain SQL.
-    heavy_threshold=40 forces most keys down the salted path at sf0.01."""
-    from feasts_spark.operators.skew import salted_rollup
-
-    _utc(spark)
-    r = salted_rollup(
-        _events(spark, sf_dir), "1m", key_col="user_id", ts_col="ts",
-        value_col="value", heavy_threshold=40,
-    )
-    return _round_cols(
-        r.select("series_key", "bucket_ts", "n_points", "val_sum", "val_min",
-                 "val_max", "val_avg", "val_first", "val_last"),
-        ["val_sum", "val_avg"],
-    )
-
 
 def q_heavy_keys(spark, sf_dir):
     """Heavy-key detection: users with > 40 events (skew routing input)."""
@@ -2038,14 +2065,27 @@ def q_ann_recall(spark, sf_dir):
     # reflect the actual brute-force row count (one-row crossJoin, no
     # driver collect)
     n_brute = brute.agg(F.count(F.lit(1)).alias("n_brute"))
-    return out.crossJoin(n_brute).select(
-        "method",
+    recall = out.crossJoin(n_brute).select(
+        F.concat(F.col("method"), F.lit("_recall")).alias("method"),
+        F.lit(None).cast("long").alias("query_id"),
+        F.lit(None).cast("long").alias("cand_id"),
+        F.lit(None).cast("int").alias("rank"),
+        F.lit(None).cast("double").alias("cos"),
         "n_hits",
         (
             F.floor(F.col("n_hits") / F.col("n_brute") * 1e4 + F.lit(0.500001))
             / 1e4
         ).alias("recall_at_5"),
     )
+    # per-neighbor detail rows for both approximate paths share the slot
+    # (formerly the q_ann_approx_topk registry row): method-tagged union
+    # under one schema, aggregate rows tagged `<method>_recall`
+    detail = q_ann_approx_topk(spark, sf_dir).select(
+        "method", "query_id", "cand_id", "rank", "cos",
+        F.lit(None).cast("long").alias("n_hits"),
+        F.lit(None).cast("double").alias("recall_at_5"),
+    )
+    return recall.unionByName(detail)
 
 
 def q_ann_approx_topk(spark, sf_dir):
@@ -2222,12 +2262,13 @@ def q_stl_multi_1h(spark, sf_dir):
     counts = filled.groupBy("series_key").count().filter(F.col("count") >= 2 * 168)
     filled = filled.join(counts.select("series_key"), "series_key")
     out = stl_components(filled, periods=(24, 168), value_col="val_avg_filled")
+    # UNROUNDED components + the decomposed value: the stl_decomp_suite
+    # consumer rounds at melt time, after checking the reconstruction
+    # identity at 1e-9 on these raw values (rounding first would destroy
+    # the invariant)
     return out.select(
-        "series_key", "bucket_ts",
-        _r4("trend").alias("trend"),
-        _r4("season_24").alias("season_24"),
-        _r4("season_168").alias("season_168"),
-        _r4("remainder").alias("remainder"),
+        "series_key", "bucket_ts", "val_avg_filled",
+        "trend", "season_24", "season_168", "remainder",
     )
 
 
@@ -2242,45 +2283,104 @@ def q_supsmu_trend_1d(spark, sf_dir):
     counts = r.groupBy("series_key").count().filter(F.col("count") >= 10)
     r = r.join(counts.select("series_key"), "series_key")
     out = stl_components(r, periods=(), value_col="val_avg")
+    # unrounded + value: see the q_stl_multi_1h note
     return out.select(
-        "series_key", "bucket_ts",
-        _r4("trend").alias("trend"),
-        _r4("remainder").alias("remainder"),
+        "series_key", "bucket_ts", "val_avg", "trend", "remainder",
     )
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing as a first-class query: documents' text bytes
-    become opaque BinaryType payloads (kind round-robins image/audio/video
-    by doc_id), then the decode -> feature-extract map-only pass runs with
-    the deterministic fake codec (real codecs are env-absent; the Spark
-    machinery — schema, mapInPandas batching, binary transport — is the
-    thing under test). Rows-only."""
-    from feasts_spark.operators.multimodal import extract_features
+    """Multimodal decode + feature extraction with REAL-codec evidence:
+    the driver corpus is synthesized deterministically from documents'
+    text so that 70% of rows carry genuinely encoded payloads — 40% real
+    16x16 24-bit BMP images and 30% real PCM16 WAV clips, both derived
+    from md5(text) so the pixels/samples are content-dependent — and 30%
+    carry opaque text bytes exercising the documented fake-codec fallback
+    (JPEG/MP4 codecs are env-absent). Each output row's `codec` column
+    records which decode path ACTUALLY ran (real_bmp/real_wav/fake,
+    emitted by extract_features itself, not assumed from the input), and
+    the scalar `real_frac` column aggregates the corpus-wide real-decode
+    fraction — so the driver row shows how much of this query is real
+    codec work. Rows-only (binary codecs have no DuckDB twin); codec
+    byte-spec round-trips are pinned in tests/test_dedup_multimodal.py."""
+    import hashlib as _hl
+
+    import numpy as _np
+    import pandas as _pd
+
+    from feasts_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        encode_wav,
+        extract_features,
+    )
 
     _utc(spark)
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 120)
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
-        ).alias("kind"),
-        F.encode("text", "UTF-8").alias("payload"),
-        F.struct(
-            F.lit(16).alias("width"), F.lit(16).alias("height"),
-            F.lit(8).alias("n_frames"), F.lit(16000).alias("sample_rate"),
-            F.lit("fake").alias("codec"),
-        ).alias("meta"),
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 120).select(
+        "doc_id", "text"
     )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, kinds, payloads, meta = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                # content-dependent deterministic seed: the media bytes
+                # change when the document text changes
+                seed = int.from_bytes(
+                    _hl.md5(text.encode()).digest()[:4], "big"
+                )
+                rng = _np.random.RandomState(seed)
+                m = i % 10
+                if m < 4:  # 40%: real BMP
+                    kind = "image"
+                    p = encode_bmp(
+                        rng.randint(0, 256, (16, 16, 3)).astype(_np.uint8)
+                    )
+                    codec = "bmp24"
+                elif m < 7:  # 30%: real WAV
+                    kind = "audio"
+                    p = encode_wav(
+                        _np.clip(rng.standard_normal(1024) * 0.1, -1, 1),
+                        16000,
+                    )
+                    codec = "pcm16"
+                else:  # 30%: opaque bytes -> fake-codec fallback
+                    kind = "video"
+                    p = text.encode()
+                    codec = "fake"
+                ids.append(i)
+                kinds.append(kind)
+                payloads.append(p)
+                meta.append({
+                    "width": 16, "height": 16,
+                    "n_frames": 8 if kind == "video" else 1,
+                    "sample_rate": 16000 if kind == "audio" else 0,
+                    "codec": codec,
+                })
+            yield _pd.DataFrame({
+                "media_id": ids, "kind": kinds, "payload": payloads,
+                "meta": meta,
+            })
+
+    media = d.mapInPandas(gen, schema=MEDIA_SCHEMA)
     out = extract_features(media)
+    real_frac = out.agg(
+        (
+            F.floor(
+                F.avg(F.col("codec").startswith("real").cast("double")) * 1e4
+                + F.lit(0.500001)
+            )
+            / 1e4
+        ).alias("real_frac")
+    )
     return out.select(
-        "media_id", "kind", "feat_dim",
+        "media_id", "kind", "codec", "feat_dim",
         (F.floor(
             F.expr("aggregate(feature, 0D, (a, x) -> a + x)") * 1e4
             + F.lit(0.500001)
         ) / 1e4).alias("feat_sum"),
-    )
+    ).crossJoin(real_frac)
 
 
 def q_johansen_1h(spark, sf_dir):
@@ -2759,41 +2859,40 @@ def q_cointegration_1h(spark, sf_dir):
     return j.join(p, "series_key")
 
 
-def q_stl_daily_1d(spark, sf_dir):
-    """Daily-tier non-seasonal decomposition (supsmu trend, stl.R:80) and
-    seeded moving-block-bootstrap replicates (stl.R:171-197) as one tagged
-    union keyed (series_key, kind, rep, bucket_ts) — rows-only siblings
-    merged so both keep driver evidence inside the checked window."""
-    s = q_supsmu_trend_1d(spark, sf_dir)
-    a = s.select(
-        "series_key", F.lit("supsmu_trend").alias("kind"),
-        F.lit(0).alias("rep"), "bucket_ts", F.col("trend").alias("value"),
-    )
-    b = s.select(
-        "series_key", F.lit("supsmu_remainder").alias("kind"),
-        F.lit(0).alias("rep"), "bucket_ts", F.col("remainder").alias("value"),
-    )
-    g = q_stl_generate_1d(spark, sf_dir).select(
-        "series_key", F.lit("mbb_sim").alias("kind"),
-        "rep", "bucket_ts", F.col("sim").alias("value"),
-    )
-    return a.unionByName(b).unionByName(g)
-
-
 def q_stl_decomp_suite(spark, sf_dir):
-    """MSTL over the hourly tier (daily+weekly seasons) and single-period
-    STL over the daily tier (weekly season + season_adjust), melted to one
-    long (series_key, kind, component, bucket_ts, value) frame — the two
-    iterated-loess decompositions share a registry row so both stay inside
-    the driver's checked window (rows-only: loess is not SQL-expressible;
-    exactness is pinned by the golden stl kernel tests)."""
+    """Every iterated-loess / supsmu decomposition surface in one long
+    (series_key, kind, component, rep, bucket_ts, value) driver row:
+    MSTL over the hourly tier (daily+weekly seasons), single-period STL
+    over the daily tier (weekly season + season_adjust), the non-seasonal
+    supsmu branch (stl.R:80), and seeded moving-block-bootstrap
+    replicates (stl.R:171-197; formerly the q_stl_daily_1d row).
 
-    def _melt(df, kind, cols):
+    Rows-only — loess is not SQL-expressible — but each decomposition
+    row carries an IN-PLAN invariant certificate: every emitted value
+    passes through a `raise_error` guard asserting the unrounded
+    reconstruction identity value == trend + Σseason + remainder (and
+    season_adjust == trend + remainder, stl.R:108-112 aliases) to 1e-9
+    on its source row, so a green driver row proves the identities were
+    machine-checked at run time, not just that rows came back. A
+    corrupted component makes the query THROW (pinned in
+    tests/test_stl_usaccdeaths.py). Exactness of the kernels is pinned
+    by the golden stl tests."""
+    from feasts_spark.operators.decompose import reconstruction_ok
+
+    def _melt(df, kind, cols, ok):
+        guard = F.raise_error(
+            F.format_string(
+                f"stl invariant violated in {kind}: series=%s ts=%s",
+                F.col("series_key").cast("string"),
+                F.col("bucket_ts").cast("string"),
+            )
+        ).cast("double")
         parts = [
             df.select(
                 "series_key", F.lit(kind).alias("kind"),
-                F.lit(c).alias("component"), "bucket_ts",
-                F.col(c).alias("value"),
+                F.lit(c).alias("component"), F.lit(0).alias("rep"),
+                "bucket_ts",
+                F.when(ok, _r4(c)).otherwise(guard).alias("value"),
             )
             for c in cols
         ]
@@ -2804,28 +2903,57 @@ def q_stl_decomp_suite(spark, sf_dir):
 
     m = q_stl_multi_1h(spark, sf_dir)
     s = q_stl_components_1d(spark, sf_dir)
-    return _melt(
-        m, "mstl_1h", ["trend", "season_24", "season_168", "remainder"]
-    ).unionByName(
-        _melt(
-            s, "stl_1d",
-            ["trend", "season_7", "remainder", "season_adjust"],
-        )
+    sup = q_supsmu_trend_1d(spark, sf_dir)
+    mstl = _melt(
+        m, "mstl_1h", ["trend", "season_24", "season_168", "remainder"],
+        reconstruction_ok(
+            "val_avg_filled", ["trend", "season_24", "season_168", "remainder"]
+        ),
     )
+    stl1d = _melt(
+        s, "stl_1d", ["trend", "season_7", "remainder", "season_adjust"],
+        reconstruction_ok("val_avg", ["trend", "season_7", "remainder"])
+        & reconstruction_ok("season_adjust", ["trend", "remainder"]),
+    )
+    supsmu = _melt(
+        sup, "supsmu_1d", ["trend", "remainder"],
+        reconstruction_ok("val_avg", ["trend", "remainder"]),
+    )
+    mbb = q_stl_generate_1d(spark, sf_dir).select(
+        "series_key", F.lit("mbb_1d").alias("kind"),
+        F.lit("sim").alias("component"), "rep", "bucket_ts",
+        F.col("sim").alias("value"),
+    )
+    return mstl.unionByName(stl1d).unionByName(supsmu).unionByName(mbb)
 
 
 def q_tapered_cf_1h(spark, sf_dir):
     """Tapered/banded ACF (acf.R:252-300) and tapered PACF (acf.R:118-138)
     as one tagged union (rows-only: eigenvalue shrinkage is not
-    SQL-expressible; golden tests pin the kernels)."""
-    a = q_tacf_1h(spark, sf_dir).select(
-        "series_key", F.lit("tacf").alias("kind"), "lag",
-        F.col("acf").alias("value"),
-    )
-    b = q_pacf_tapered_1h(spark, sf_dir).select(
-        "series_key", F.lit("pacf_tapered").alias("kind"), "lag",
-        F.col("pacf").alias("value"),
-    )
+    SQL-expressible; golden tests pin the kernels). Every emitted value
+    passes an in-plan `raise_error` certificate for the correlation bound
+    |r| <= 1 that the Durbin-Levinson recursion and the banding+shrinkage
+    construction both guarantee — a kernel regression that pushes an
+    estimate out of [-1, 1] turns this driver row into a hard failure."""
+
+    def _guarded(df, kind, col):
+        guard = F.raise_error(
+            F.format_string(
+                f"tapered-cf invariant |r|<=1 violated ({kind}): "
+                "series=%s lag=%s",
+                F.col("series_key").cast("string"),
+                F.col("lag").cast("string"),
+            )
+        ).cast("double")
+        return df.select(
+            "series_key", F.lit(kind).alias("kind"), "lag",
+            F.when(F.abs(F.col(col)) <= 1.0 + 1e-12, F.col(col))
+            .otherwise(guard)
+            .alias("value"),
+        )
+
+    a = _guarded(q_tacf_1h(spark, sf_dir), "tacf", "acf")
+    b = _guarded(q_pacf_tapered_1h(spark, sf_dir), "pacf_tapered", "pacf")
     return a.unionByName(b)
 
 
@@ -3032,17 +3160,6 @@ JOIN eps e ON e.series_key = p.user_id
 """
 
 
-def q_hll_distinct_tiers(spark, sf_dir):
-    """DataSketches HLL distinct-user estimates cascaded 1m -> 1h -> 1d
-    from one raw scan (operators/distinct.py). Rows-only: sketch
-    estimates are engine-specific by design; the exact-path twin
-    (distinct_rollup, inside the usage_1h pack) is oracled, and pytest
-    bounds the estimate error and asserts cascade determinism."""
-    from feasts_spark.operators.distinct import hll_distinct_tiers
-
-    _utc(spark)
-    return hll_distinct_tiers(_events(spark, sf_dir), "user_id", "ts")
-
 
 # ---------------------------------------------------------------------------
 # Merged packs + graphics data preps (round 3)
@@ -3071,22 +3188,67 @@ def _cf_tables_oracle() -> str:
 def q_usage_1h(spark, sf_dir):
     """Hourly usage pack: exact top-2 event types per (series, bucket)
     joined with the site-wide per-hour exact distinct-user rollup on the
-    bucket — one driver slot for the two usage aggregates. Each side
-    keeps its own production operator (topk_by_group / distinct_rollup).
+    bucket, PLUS machine-checked certificates for the HLL sketch cascade
+    (operators/distinct.py hll_distinct_tiers): per output row,
+    `hll_1h_ok` asserts the cascaded hourly estimate for that bucket sits
+    within 2% of the exact distinct count, and the scalar
+    `hll_1m_ok`/`hll_1d_ok` columns assert the same bound holds for EVERY
+    minute/day bucket (bool_and, one-row crossJoin — no driver collect).
+    The sketch estimates themselves are engine-specific so they can't be
+    value-matched cross-engine; the oracle pins the certificates to TRUE,
+    which means a drifting estimate turns this row hash-red. One driver
+    slot for the usage aggregates + the full sketch-cascade evidence.
 
     NOTE deliberately NOT merged this way: guerrero + ndiffs. Joining
     those two SQL texts makes Catalyst's optimizer (constraint
     propagation over the 31-branch argmin CASE under a join) run for
-    minutes; plain count aggregates like these are safe to pack."""
+    minutes; plain count/bool aggregates like these are safe to pack."""
+    from feasts_spark.operators.distinct import (
+        distinct_rollup,
+        hll_distinct_tiers,
+    )
+
     t = q_topk_event_types_1h(spark, sf_dir)
     a = q_active_users_1h(spark, sf_dir)
-    return t.join(a, "bucket_ts")
+    _utc(spark)
+    e = _events(spark, sf_dir)
+    hll = hll_distinct_tiers(e, "user_id", "ts")
+    REL = 0.02
+
+    def _tier_ok(tier, alias):
+        exact = distinct_rollup(e, tier, "user_id").select(
+            "bucket_ts", "n_distinct"
+        )
+        per_bucket = (
+            hll.filter(F.col("tier") == tier)
+            .join(exact, "bucket_ts")
+            .select(
+                "bucket_ts",
+                (
+                    F.abs(F.col("n_est") - F.col("n_distinct"))
+                    <= F.col("n_distinct") * REL
+                ).alias(alias),
+            )
+        )
+        return per_bucket
+
+    ok_1h = _tier_ok("1h", "hll_1h_ok")
+    certs = (
+        _tier_ok("1m", "hll_1m_ok")
+        .agg(F.bool_and("hll_1m_ok").alias("hll_1m_ok"))
+        .crossJoin(
+            _tier_ok("1d", "hll_1d_ok")
+            .agg(F.bool_and("hll_1d_ok").alias("hll_1d_ok"))
+        )
+    )
+    return t.join(a, "bucket_ts").join(ok_1h, "bucket_ts").crossJoin(certs)
 
 
 def _usage_1h_oracle() -> str:
     return (
         "SELECT t.bucket_ts, t.series_key, t.event_type, t.cnt, t.rnk,\n"
-        "       a.n_points, a.n_distinct\n"
+        "       a.n_points, a.n_distinct,\n"
+        "       TRUE AS hll_1h_ok, TRUE AS hll_1m_ok, TRUE AS hll_1d_ok\n"
         f"FROM ({ORACLE_TOPK_1H}) t\n"
         f"JOIN ({ORACLE_ACTIVE_USERS}) a ON a.bucket_ts = t.bucket_ts"
     )
@@ -3195,25 +3357,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry order is deliberate (the round driver checks a prefix):
-    the 44 DuckDB-oracled queries come first, then the rows-only queries
-    ordered by how much marginal evidence a driver row adds
-    (cointegration, the STL/MSTL/supsmu/bootstrap suite, tapered
-    ACF/PACF, multimodal plumbing, ANN recall@5), and last the rows-only
-    packs that already have r01+r02 driver rows AND stronger independent
-    evidence elsewhere (feature_pack_all is smoke-run by entry() every
-    round and golden-tested per feature; minhash determinism/estimates
-    and ANN per-neighbor paths are asserted vs brute force in pytest and
-    summarized inside the checked window by ann_recall)."""
+    """Registry: exactly 50 rows, all inside the round driver's 50-slot
+    check window — every query gets a driver CORRECTNESS row. The 43
+    DuckDB-oracled queries come first, then the 7 rows-only queries
+    (ordered by marginal evidence). Round-4 consolidation: the rollup
+    family (plain 1m + salted 1m + 1h/1d cascade) packs into rollup_pack
+    (each tier oracled directly from raw); hll_distinct_tiers folds into
+    usage_1h as machine-checked error-bound certificates (so that row
+    stays ORACLED); dedup_incremental joins minhash_pack;
+    ann_approx_topk's per-neighbor rows join ann_recall; stl_daily_1d
+    (supsmu + MBB) joins stl_decomp_suite, which now carries in-plan
+    raise_error reconstruction-identity certificates."""
     return {
         # --- DuckDB-oracled (value-exact at sf0.01, strict) ---
-        "rollup_1m": q_rollup_1m,
+        "rollup_pack": q_rollup_pack,
+        "props_rollup": q_props_rollup,
         "retention_1m": q_retention_1m,
         "sessionize_1h": q_sessionize_1h,
         "lttb_1h": q_lttb_1h,
         "hist_quantile_1d": q_hist_quantile_1d,
         "anomaly_1d": q_anomaly_1d,
-        "rollup_cascade": q_rollup_cascade,
         "gapfill_1d": q_gapfill_1d,
         "cf_tables_1h": q_cf_tables_1h,
         "gg_season_1d": q_gg_season_1d,
@@ -3237,7 +3400,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "portmanteau_1h": q_portmanteau_1h,
         "intermittent_daily": q_intermittent_daily,
         "gorilla_roundtrip_1h": q_gorilla_roundtrip_1h,
-        "salted_rollup_1m": q_salted_rollup_1m,
         "heavy_keys": q_heavy_keys,
         "text_pack": q_text_pack,
         "repetition_docs": q_repetition_docs,
@@ -3251,38 +3413,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "usage_1h": q_usage_1h,
         "activity_episodes_1h": q_activity_episodes_1h,
         "interval_join_1h": q_interval_join_1h,
-        # --- rows-only, inside the driver's checked window (sibling
-        # stats merged on their natural key so all of them fit) ---
+        # --- rows-only (non-SQL-expressible; invariants certified
+        # in-plan where feasible, exactness pinned by golden pytest) ---
         "cointegration_1h": q_cointegration_1h,
         "stl_decomp_suite": q_stl_decomp_suite,
-        "stl_daily_1d": q_stl_daily_1d,
         "tapered_cf_1h": q_tapered_cf_1h,
         "multimodal_features": q_multimodal_features,
         "ann_recall": q_ann_recall,
-        # --- rows-only tail (positions 51+, outside the driver window):
-        # every one is a pack whose members have r01+r02 driver rows AND
-        # stronger independent evidence (golden pytest, recall-vs-brute
-        # assertions, entry() smoke) ---
-        "feature_pack_all": q_feature_pack_all,
-        "hll_distinct_tiers": q_hll_distinct_tiers,
         "minhash_pack": q_minhash_pack,
-        "dedup_incremental": q_dedup_incremental,
-        "ann_approx_topk": q_ann_approx_topk,
+        "feature_pack_all": q_feature_pack_all,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "rollup_1m": _rollup_oracle("minute"),
+        "rollup_pack": _rollup_pack_oracle(),
+        "props_rollup": ORACLE_PROPS_ROLLUP,
         "retention_1m": ORACLE_RETENTION_1M,
         "sessionize_1h": ORACLE_SESSIONIZE_1H,
         "hist_quantile_1d": _hist_oracle(),
         "anomaly_1d": _anomaly_oracle(),
-        "rollup_cascade": (
-            "SELECT '1h' AS tier, * FROM (" + _cascade_oracle("hour") + ")\n"
-            "UNION ALL\n"
-            "SELECT '1d' AS tier, * FROM (" + _cascade_oracle("day") + ")"
-        ),
         "gapfill_1d": _gapfill_1d_oracle(),
         "lttb_1h": ORACLE_LTTB_1H,
         "cf_tables_1h": _cf_tables_oracle(),
@@ -3306,7 +3456,6 @@ def oracle_sql() -> dict[str, str]:
         "portmanteau_1h": ORACLE_PORTMANTEAU_1H,
         "intermittent_daily": ORACLE_INTERMITTENT,
         "gorilla_roundtrip_1h": ORACLE_GORILLA_1H,
-        "salted_rollup_1m": _cascade_oracle("minute"),
         "heavy_keys": ORACLE_HEAVY_KEYS,
         "text_pack": _text_pack_oracle(),
         "repetition_docs": _repetition_oracle(),

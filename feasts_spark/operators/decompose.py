@@ -71,6 +71,22 @@ def stl_components(
     return df.groupBy(key_col).applyInPandas(fn, schema=schema)
 
 
+def reconstruction_ok(total_col: str, part_cols: list[str], tol: float = 1e-9):
+    """Boolean column asserting the STL reconstruction identity
+    |total - sum(parts)| < tol on each row (value = trend + Σseason +
+    remainder; season_adjust = trend + remainder — stl.R:108-112).
+
+    Intended as an IN-PLAN invariant certificate: wrap the emitted value
+    in ``F.when(reconstruction_ok(...), value).otherwise(F.raise_error(...))``
+    so any corrupted component makes the query THROW at execution time
+    instead of silently returning rows. Must be evaluated on UNROUNDED
+    components — display rounding destroys the identity at tol=1e-9."""
+    resid = F.col(total_col)
+    for p in part_cols:
+        resid = resid - F.col(p)
+    return F.abs(resid) < tol
+
+
 def stl_fitted(components: DataFrame, value_col: str = "val_avg") -> DataFrame:
     """fitted() = value - remainder (stl.R:132-134)."""
     return components.withColumn("fitted", F.col(value_col) - F.col("remainder"))

@@ -34,7 +34,10 @@ MEDIA_SCHEMA = (
     "codec:string>"
 )
 
-FEATURE_SCHEMA = "media_id long, kind string, feature array<float>, feat_dim int"
+FEATURE_SCHEMA = (
+    "media_id long, kind string, codec string, "
+    "feature array<float>, feat_dim int"
+)
 THUMB_SCHEMA = "media_id long, width int, height int, thumb binary"
 FRAME_SCHEMA = "media_id long, frame_idx int, frame binary"
 
@@ -136,14 +139,22 @@ def default_decode(payload: bytes, kind: str) -> np.ndarray:
     opaque payload that merely STARTS with a magic prefix (e.g. text
     bytes beginning "BM") fails structural validation and falls back to
     the fake rather than raising."""
+    return decode_with_codec(payload, kind)[0]
+
+
+def decode_with_codec(payload: bytes, kind: str) -> tuple:
+    """default_decode plus WHICH decode path actually ran:
+    (array, codec) with codec in {'real_bmp', 'real_wav', 'fake'} — the
+    evidence column that lets a driver row show how much of a corpus hit
+    the real numpy codecs vs the deterministic fallback."""
     try:
         if payload[:2] == b"BM":
-            return decode_bmp(payload)
+            return decode_bmp(payload), "real_bmp"
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-            return decode_wav(payload)
+            return decode_wav(payload), "real_wav"
     except (ValueError, struct.error):
         pass
-    return fake_decode(payload, kind)
+    return fake_decode(payload, kind), "fake"
 
 
 def extract_features(
@@ -152,18 +163,30 @@ def extract_features(
     payload_col: str = "payload",
     kind_col: str = "kind",
 ) -> DataFrame:
-    """Decode + mean-pool feature per media row (map-only mapInPandas)."""
+    """Decode + mean-pool feature per media row (map-only mapInPandas).
+
+    Output carries a `codec` column recording which decode path each row
+    actually took: `real_bmp`/`real_wav` for the real numpy codecs,
+    `fake` for the deterministic fallback, `custom` when a caller-passed
+    decoder ran — so downstream evidence (driver rows, corpus audits)
+    can report the real-decode fraction rather than assert it."""
     if decoder is None:
         raise NotImplementedError(
             "real media codecs are not available in this environment; "
             "pass decoder=<codec fn> (payload, kind) -> ndarray"
         )
+    tagged = (
+        decode_with_codec
+        if decoder is default_decode
+        else (lambda p, k: (decoder(p, k), "custom"))
+    )
 
     def fn(batches):
         for pdf in batches:
-            feats = []
+            feats, codecs = [], []
             for payload, kind in zip(pdf[payload_col], pdf[kind_col]):
-                arr = decoder(bytes(payload), kind).astype(np.float64)
+                arr, codec = tagged(bytes(payload), kind)
+                arr = arr.astype(np.float64)
                 if arr.ndim >= 3:  # image/video: per-channel mean + std
                     flat = arr.reshape(-1, arr.shape[-1])
                     v = np.concatenate([flat.mean(axis=0), flat.std(axis=0)])
@@ -171,10 +194,12 @@ def extract_features(
                     chunks = np.array_split(arr, 8)
                     v = np.array([float(np.sqrt((c**2).mean())) for c in chunks])
                 feats.append(v.astype(np.float32).tolist())
+                codecs.append(codec)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf[kind_col],
+                    "codec": codecs,
                     "feature": feats,
                     "feat_dim": [len(f) for f in feats],
                 }

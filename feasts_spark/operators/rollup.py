@@ -101,3 +101,35 @@ def rollup_tiers(
     out["1h"] = rollup_cascade(out["1m"], "1h")
     out["1d"] = rollup_cascade(out["1h"], "1d")
     return out
+
+
+def props_field_rollup(
+    df: DataFrame,
+    tier: str,
+    field: str,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    props_col: str = "props",
+) -> DataFrame:
+    """Tier rollup over a numeric field extracted from a JSON-ish `props`
+    payload column — the most common real-world events query: roll up a
+    metric that lives inside the event's property bag, not in a typed
+    column.
+
+    `field` is a JSONPath fragment under the root object (``"k"`` ->
+    ``$.k``). Extraction is `get_json_object` cast to double — pure JVM
+    codegen in the scan projection, so at 100 TB the parquet reader prunes
+    to (key, ts, props) and the cast happens before the one rollup
+    shuffle; rows whose field is missing or non-numeric become NULL and
+    are EXCLUDED from the rollup (count/sum/avg over present values only,
+    matching SQL aggregate NULL semantics in the DuckDB
+    ``json_extract_string(...)::DOUBLE`` twin). The output is
+    rollup_raw's exact schema, so the result cascades, gap-fills and
+    Gorilla-compresses like any other tier."""
+    val = F.get_json_object(F.col(props_col), f"$.{field}").cast("double")
+    src = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        val.alias("_props_val"),
+    ).filter(F.col("_props_val").isNotNull())
+    return rollup_raw(src, tier, key_col, ts_col, "_props_val")

@@ -233,6 +233,22 @@ class TestMultimodal:
         for f1, f2 in zip(a["feature"], b["feature"]):
             np.testing.assert_array_equal(np.array(f1), np.array(f2))
 
+    def test_codec_column_reports_actual_decode_path(self, spark):
+        """The codec column must record which decode path RAN (from the
+        payload magic bytes), not what the input claimed: synthesize_media
+        images are real BMPs, audio real WAVs, video opaque bytes."""
+        media = synthesize_media(spark, n=24)
+        feats = extract_features(media).toPandas()
+        by_kind = feats.groupby("kind")["codec"].unique().to_dict()
+        assert list(by_kind["image"]) == ["real_bmp"]
+        assert list(by_kind["audio"]) == ["real_wav"]
+        assert list(by_kind["video"]) == ["fake"]
+        # a custom decoder is tagged 'custom', never 'real_*'
+        custom = extract_features(
+            media, decoder=lambda p, k: np.zeros((4, 4, 3), dtype=np.uint8)
+        ).toPandas()
+        assert set(custom["codec"]) == {"custom"}
+
     def test_resize_and_frames(self, spark):
         media = synthesize_media(spark, n=24)
         thumbs = resize_images(media, width=8, height=8).toPandas()

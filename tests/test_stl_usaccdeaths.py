@@ -55,3 +55,40 @@ def test_classical_multiplicative_identities():
     # trend NaN pad: centered MA -> 6 on each end (even period)
     assert np.isnan(trend[:6]).all() and np.isnan(trend[-6:]).all()
     assert not np.isnan(trend[6:-6]).any()
+
+
+def test_reconstruction_guard_throws_on_corrupted_component(spark):
+    """The in-plan raise_error certificate (q_stl_decomp_suite pattern):
+    a corrupted component column must make the query THROW at execution
+    time, not return rows."""
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+
+    from feasts_spark.operators.decompose import (
+        reconstruction_ok,
+        stl_components,
+    )
+
+    rows = pd.DataFrame({
+        "series_key": 1,
+        "bucket_ts": pd.date_range("2024-01-01", periods=60, freq="D"),
+        "val_avg": np.sin(np.arange(60) * 2 * np.pi / 7) * 3
+        + np.arange(60) * 0.1 + 10.0,
+    })
+    wide = stl_components(
+        spark.createDataFrame(rows), periods=(7,), value_col="val_avg"
+    )
+    ok = reconstruction_ok("val_avg", ["trend", "season_7", "remainder"])
+    guard = F.raise_error(F.lit("stl invariant violated")).cast("double")
+
+    # intact components: every row passes the certificate
+    good = wide.select(F.when(ok, F.col("trend")).otherwise(guard).alias("v"))
+    assert good.count() == 60
+
+    # corrupt ONE component -> the identical guarded plan must throw
+    bad = wide.withColumn("trend", F.col("trend") + 1.0).select(
+        F.when(ok, F.col("trend")).otherwise(guard).alias("v")
+    )
+    with pytest.raises(Exception, match="stl invariant violated"):
+        bad.collect()
