@@ -202,7 +202,12 @@ def run_bench(cores: str, sf_dir: str) -> dict:
 
     import numpy as _np
 
-    from feasts_spark.operators.compression import gorilla_decode, gorilla_encode
+    from feasts_spark.operators.compression import (
+        gorilla_decode,
+        gorilla_decode_indexed,
+        gorilla_encode,
+        gorilla_encode_indexed,
+    )
 
     rng = _np.random.RandomState(3)
     n_pts = 200_000
@@ -215,6 +220,13 @@ def run_bench(cores: str, sf_dir: str) -> dict:
     t0 = time.time()
     gorilla_decode(payload)
     micro["gorilla_decode_pts_per_sec"] = round(n_pts / (time.time() - t0))
+    _, tag_idx = gorilla_encode_indexed(ts_us, vals)
+    gorilla_decode_indexed(payload, tag_idx)  # warm
+    t0 = time.time()
+    gorilla_decode_indexed(payload, tag_idx)
+    micro["gorilla_decode_indexed_pts_per_sec"] = round(
+        n_pts / (time.time() - t0)
+    )
 
     from feasts_spark.operators.dedup import (
         minhash_signatures,

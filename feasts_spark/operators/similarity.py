@@ -232,12 +232,48 @@ def _ivf_assign(df: DataFrame, cent: np.ndarray, id_col: str, vec_col: str,
     )
 
 
+def ivf_params(
+    n_rows: int,
+    max_cells: int = 4096,
+    per_cell: int = 64,
+    sample_cap: int = 262_144,
+) -> dict:
+    """Corpus-size-scaled IVF training parameters (the faiss guidance,
+    documented so the numbers survive review):
+
+      n_cells  = clip(round(sqrt(N)), 1, max_cells) — sqrt(N) balances
+                 the two serving costs (nprobe centroid comparisons vs
+                 N/n_cells candidates per probed cell), giving ~sqrt(N)
+                 points per cell. The cap keeps driver-side Lloyd
+                 tractable (cost ~ sample_n * n_cells * dim per iter);
+                 past ~16M rows the cells simply get larger — raise
+                 nprobe, or shard the corpus / use a two-level quantizer.
+      sample_n = clip(per_cell * n_cells, 4096, sample_cap) — ≥ ~64
+                 training points per centroid (k-means needs 30-256 per
+                 cell to place centroids stably); the cap bounds driver
+                 memory (sample_cap * dim * 8 bytes) and the per_cell
+                 floor degrades gracefully under it.
+      nprobe   = clip(round(n_cells / 16), 2, n_cells) — ~6% of cells,
+                 the usual recall/latency starting point; callers tune.
+
+    A 500-row test corpus gets (22 cells, 4096 sample) — every row
+    trains; 10^9 rows get (4096 cells, 262144 sample): a 0.26-per-mille
+    deterministic hash sample with 64 points per cell, not a fixed 4096
+    rows spread over the corpus."""
+    n_rows = max(int(n_rows), 1)
+    n_cells = max(1, min(int(round(n_rows ** 0.5)), max_cells))
+    sample_n = max(4096, min(per_cell * n_cells, sample_cap))
+    nprobe = max(2, min(int(round(n_cells / 16)), n_cells))
+    return {"n_cells": n_cells, "sample_n": sample_n, "nprobe": nprobe}
+
+
 def ivf_build_index(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 8,
+    n_cells: int | None = 8,
     seed: int = 7,
+    sample_n: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the persistable IVF index: (centroids, assignments).
 
@@ -245,9 +281,20 @@ def ivf_build_index(
     next to the assignments table); assignments is (id, vec, cell) — at
     scale, write it partitioned/bucketed BY CELL so ivf_query_topk's
     cell join prunes to the probed partitions instead of scanning the
-    corpus per query batch. Training stays bounded: seeded 4096-row
-    total-ordered sample + driver-side Lloyd (see _ivf_centroids)."""
-    cent = _ivf_centroids(df, id_col, vec_col, n_cells, seed)
+    corpus per query batch. Training stays bounded: seeded total-ordered
+    hash sample + driver-side Lloyd (see _ivf_centroids).
+
+    Pass n_cells=None to derive n_cells AND the training sample size from
+    the corpus count via ivf_params (one count() job at build time —
+    build runs once per corpus snapshot)."""
+    if n_cells is None:
+        p = ivf_params(df.count())
+        n_cells = p["n_cells"]
+        sample_n = sample_n if sample_n is not None else p["sample_n"]
+    cent = _ivf_centroids(
+        df, id_col, vec_col, n_cells, seed,
+        **({"sample_n": sample_n} if sample_n is not None else {}),
+    )
     assignments = _ivf_assign(df, cent, id_col, vec_col, nprobe=1).select(
         "id", "vec", "cell"
     )
@@ -315,8 +362,8 @@ def ann_ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 8,
-    nprobe: int = 2,
+    n_cells: int | None = 8,
+    nprobe: int | None = 2,
     seed: int = 7,
     query_filter=None,
 ) -> DataFrame:
@@ -325,8 +372,22 @@ def ann_ivf_topk(
     the join shuffles on cell ids — candidate work ~ nprobe/n_cells of
     brute force. Composed from ivf_build_index + ivf_query_topk (same
     results as the pre-split implementation: assignment is row-wise, so
-    probing the filtered query set equals filtering the probed set)."""
-    cent = _ivf_centroids(df, id_col, vec_col, n_cells, seed)
+    probing the filtered query set equals filtering the probed set).
+
+    n_cells=None scales n_cells, the training sample, and (when nprobe
+    is also None) nprobe from the corpus count — see ivf_params."""
+    sample_n = None
+    if n_cells is None:
+        p = ivf_params(df.count())
+        n_cells, sample_n = p["n_cells"], p["sample_n"]
+        if nprobe is None:
+            nprobe = p["nprobe"]
+    if nprobe is None:
+        raise ValueError("nprobe=None requires n_cells=None (auto params)")
+    cent = _ivf_centroids(
+        df, id_col, vec_col, n_cells, seed,
+        **({"sample_n": sample_n} if sample_n is not None else {}),
+    )
     proj = _ivf_assign(df, cent, id_col, vec_col, nprobe)
     cand = proj.select(
         F.col("id").alias("cand_id"), F.col("vec").alias("ec"),

@@ -157,3 +157,74 @@ try:
         assert np.array_equal(vals.view(np.uint64), v2.view(np.uint64))
 except ImportError:  # pragma: no cover
     pass
+
+
+# --- tag-index sidecar (round 4): payload byte-identical, index spec, ---
+# --- vectorized decode == sequential decode -----------------------------
+
+def test_indexed_sidecar_spec_and_equivalence():
+    from feasts_spark.operators.compression import (
+        gorilla_decode_indexed,
+        gorilla_encode_indexed,
+    )
+
+    for ts, vals in _cases():
+        payload, idx = gorilla_encode_indexed(ts, vals)
+        # payload byte format unchanged by the sidecar
+        assert payload == gorilla_encode(ts, vals)
+        # sidecar spec: version byte + one uint8 entry-length per point
+        # 1..n-1, and the lengths account for every bit past the header
+        assert idx[0] == 1
+        n = len(ts)
+        assert len(idx) == 1 + max(n - 1, 0)
+        if n >= 2:
+            header_bits = 160
+            body_bits = int(np.frombuffer(idx, np.uint8, offset=1)
+                            .astype(np.int64).sum())
+            total = header_bits + body_bits
+            assert (total + 7) // 8 == len(payload)
+        ts2, v2 = gorilla_decode_indexed(payload, idx)
+        np.testing.assert_array_equal(ts, ts2)
+        assert np.array_equal(
+            np.asarray(vals, np.float64).view(np.uint64), v2.view(np.uint64)
+        )
+        # missing / foreign-version sidecar falls back to the scan path
+        ts3, v3 = gorilla_decode_indexed(payload, None)
+        np.testing.assert_array_equal(ts, ts3)
+        ts4, _ = gorilla_decode_indexed(payload, b"\x7f" + idx[1:])
+        np.testing.assert_array_equal(ts, ts4)
+
+
+try:
+    from hypothesis import given as _given, settings as _settings
+    from hypothesis import strategies as _st
+
+    @_settings(max_examples=40, deadline=None)
+    @_given(
+        n=_st.integers(min_value=0, max_value=300),
+        seed=_st.integers(min_value=0, max_value=2**31 - 1),
+        grid=_st.booleans(),
+        decimals=_st.integers(min_value=0, max_value=3),
+    )
+    def test_indexed_decode_matches_sequential_random(n, seed, grid, decimals):
+        from feasts_spark.operators.compression import (
+            gorilla_decode_indexed,
+            gorilla_encode_indexed,
+        )
+
+        rng = np.random.RandomState(seed)
+        if grid:
+            ts = np.arange(n, dtype=np.int64) * 60_000_000 + 1_700_000_000_000_000
+        else:
+            ts = np.cumsum(rng.randint(1, 10**7, n)).astype(np.int64)
+        vals = np.round(rng.standard_normal(n) * 10.0**rng.randint(0, 6), decimals)
+        if n and rng.rand() < 0.5:
+            vals[:: max(1, n // 5)] = vals[0]
+        payload, idx = gorilla_encode_indexed(ts, vals)
+        a_ts, a_v = gorilla_decode_indexed(payload, idx)
+        b_ts, b_v = gorilla_decode(payload)
+        np.testing.assert_array_equal(a_ts, b_ts)
+        assert np.array_equal(a_v.view(np.uint64), b_v.view(np.uint64))
+        np.testing.assert_array_equal(a_ts, ts)
+except ImportError:  # pragma: no cover
+    pass
