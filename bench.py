@@ -377,12 +377,80 @@ def run_scaling() -> dict:
     }
 
 
+# corpus-scale curation evidence: the 500-doc sf0.1 suite number is
+# session-overhead-dominated (419-506 docs/s was mostly fixed cost) and
+# useless as a scaling claim; these sizes put suite compute 30-100x above
+# the per-query floor, and the two sizes showing ~flat docs/s IS the
+# linear-scaling evidence (all suite stages are scans + bounded-key
+# shuffles; nothing is superlinear in corpus size)
+CURATION_SIZES = [
+    int(x) for x in os.environ.get(
+        "BENCH_CURATION_SIZES", "50000,200000"
+    ).split(",")
+]
+CURATION_REPEATS = int(os.environ.get("BENCH_CURATION_REPEATS", "3"))
+
+
+def run_curation_scale() -> dict:
+    """Curation-suite throughput at two corpus sizes (docs/s at each +
+    their ratio): repetition filters + cross-doc dup spans + quality-first
+    token-budget cap, joined per doc — the all-JVM pipeline a corpus
+    build runs over every document. Corpora come from the deterministic
+    all-codegen synthesizer (sources/documents.py), cached to parquet so
+    timing measures the suite, not generation. Min-of-N per size
+    (contended host; same estimator as the headline bench)."""
+    from feasts_spark.operators.curation import token_budget_cap
+    from feasts_spark.operators.dedup import dup_span_stats
+    from feasts_spark.operators.text import repetition_scores
+    from feasts_spark.session import get_spark
+    from feasts_spark.sources.documents import synthesize_documents
+
+    spark = get_spark(int(CPUS), app_name="bench-curation-scale")
+    out: dict = {
+        "metric": "curation_suite_docs_per_sec_at_scale",
+        "unit": "docs/sec",
+        "cores": CPUS,
+        "sizes": {},
+    }
+    for n in CURATION_SIZES:
+        cache = f"/tmp/feasts_curation_docs_{n}"
+        if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+            synthesize_documents(spark, n).write.mode("overwrite").parquet(
+                cache
+            )
+        docs = spark.read.parquet(cache)
+        runs = []
+        for _ in range(CURATION_REPEATS):
+            t0 = time.time()
+            materialize(
+                repetition_scores(docs, ns=(2, 3))
+                .join(dup_span_stats(docs, n=4), "doc_id")
+                .join(token_budget_cap(docs, 80_000), "doc_id")
+            )
+            runs.append(time.time() - t0)
+        out["sizes"][str(n)] = {
+            "docs_per_sec": round(n / min(runs)),
+            "best_s": round(min(runs), 2),
+            "all_runs_s": [round(r, 2) for r in runs],
+        }
+    lo, hi = str(CURATION_SIZES[0]), str(CURATION_SIZES[-1])
+    out["value"] = out["sizes"][hi]["docs_per_sec"]
+    out["throughput_ratio_large_vs_small"] = round(
+        out["sizes"][hi]["docs_per_sec"] / out["sizes"][lo]["docs_per_sec"], 3
+    )
+    spark.stop()
+    return out
+
+
 SUBMIT_REPEATS = int(os.environ.get("BENCH_SUBMIT_REPEATS", "2"))
-# 20k convs (~24M turns over ~7 day-partitions): per-unit compute must
-# dominate the per-unit driver floor (plan analysis + commits, ~1-2s per
-# write action) for the ratio to measure the engine — at 3k convs the
-# floor is ~25% of the narrow leg and deflates efficiency to ~0.6.
-SUBMIT_CONVS = int(os.environ.get("BENCH_SUBMIT_CONVS", "20000"))
+# 60k convs (~72M turns): per-unit compute must dominate the per-unit
+# driver floor (plan analysis + commits, ~1-2s per write action) for the
+# ratio to measure the engine — at 3k convs the floor was ~25% of the
+# narrow leg (efficiency ~0.6), at 20k still ~15-20% of the WIDE leg
+# (0.75-0.82); at 60k the wide leg runs ~3 min and the floor drops under
+# 5%, which is also the real deployment shape: production day partitions
+# are orders of magnitude larger than any per-unit constant.
+SUBMIT_CONVS = int(os.environ.get("BENCH_SUBMIT_CONVS", "60000"))
 SUBMIT_SPAN_DAYS = int(os.environ.get("BENCH_SUBMIT_SPAN_DAYS", "2"))
 SUBMIT_LEVELS = os.environ.get("BENCH_SUBMIT_LEVELS", "2,8").split(",")
 
@@ -516,6 +584,8 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-submit":
         print(json.dumps(run_scaling_submit()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--curation-scale":
+        print(json.dumps(run_curation_scale()))
     elif len(sys.argv) > 2 and sys.argv[1] == "--single":
         print(json.dumps(run_bench(sys.argv[2], SF_DIR)))
     else:

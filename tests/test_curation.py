@@ -342,3 +342,31 @@ class TestHashSplit:
             hash_split(docs, {"train": 0.5, "val": 0.1})
         with pytest.raises(ValueError, match="non-negative"):
             hash_split(docs, {"train": 1.5, "val": -0.5})
+
+
+class TestSynthesizeDocuments:
+    def test_deterministic_and_dup_signal(self, spark):
+        from feasts_spark.sources.documents import synthesize_documents
+
+        a = synthesize_documents(spark, 200).orderBy("doc_id").toPandas()
+        b = synthesize_documents(spark, 200).orderBy("doc_id").toPandas()
+        assert (a["text"] == b["text"]).all()
+        assert list(a.columns) == ["doc_id", "text", "lang", "source",
+                                   "n_chars"]
+        # planted exact duplicates: doc 37k clones doc 37k+1's text
+        for i in (37, 74, 148):
+            assert a.loc[i, "text"] == a.loc[i + 1, "text"]
+        assert a.loc[1, "text"] != a.loc[2, "text"]
+        # word counts inside the documented band
+        wc = a["text"].str.split().map(len)
+        assert wc.min() >= 40 and wc.max() <= 90
+        assert a["lang"].nunique() == 5 and a["source"].nunique() > 5
+
+    def test_partition_invariant(self, spark):
+        from feasts_spark.sources.documents import synthesize_documents
+
+        a = synthesize_documents(spark, 100).repartition(13).orderBy(
+            "doc_id").toPandas()
+        b = synthesize_documents(spark, 100).coalesce(1).orderBy(
+            "doc_id").toPandas()
+        assert (a["text"] == b["text"]).all()

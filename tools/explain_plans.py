@@ -97,11 +97,18 @@ def main() -> None:
             r1m, "series_key", ["bucket_ts"], "val_avg"
         ),
         "pp_sql_1d (shared Spark/DuckDB SQL text)": spark.sql(pp_sql()),
-        "gorilla_compress_1m (span-bounded collect_list agg -> explicit repartition -> batch mapInPandas encode)":
+        "gorilla_compress_1m (span-bounded collect_list agg -> explicit repartition -> batch mapInPandas encode, tag-index sidecar)":
             compress_chunks(r1m, "1m"),
-        "gorilla_decompress (mapInPandas, NO shuffle)": decompress_chunks(
+        "gorilla_decompress (mapInPandas, NO shuffle; vectorized via tag_idx)": decompress_chunks(
             compress_chunks(r1m, "1m")
         ),
+    })
+
+    from feasts_spark.operators.rollup import props_field_rollup
+
+    plans.update({
+        "props_field_rollup_1h (json field extract in the scan projection -> one rollup shuffle)":
+            props_field_rollup(ev, "1h", "k", "user_id", "ts", "props"),
     })
 
     from feasts_spark.operators.asof import asof_join
