@@ -3476,10 +3476,13 @@ def oracle_sql() -> dict[str, str]:
         "unitroot_1d": __import__(
             "feasts_spark.functions.sql_features", fromlist=["ndiffs_sql"]
         ).ndiffs_sql(),
-        # stl_decomp_suite, feature_pack_all, stl_daily_1d,
-        # cointegration_1h, tapered_cf_1h: non-SQL-expressible (iterated
-        # loess, optimizers, eigen decompositions, seeded bootstrap) —
-        # rows-only checks; exactness via golden pytest suite.
-        # minhash/ann/multimodal: hash-banding + env-stubbed codecs —
-        # recall vs brute force asserted in tests + ann_recall.
+        # The 7 rows-only queries: stl_decomp_suite / feature_pack_all /
+        # cointegration_1h / tapered_cf_1h are non-SQL-expressible
+        # (iterated loess, optimizers, eigen decompositions, seeded
+        # bootstrap) — exactness via golden pytest, and the stl/tapered
+        # rows additionally carry in-plan raise_error invariant
+        # certificates; minhash_pack / ann_recall / multimodal_features
+        # are hash-banding + binary codecs — recall vs brute force and
+        # full==incremental equivalence asserted in pytest, codec mix
+        # reported by the multimodal row's codec/real_frac columns.
     }
