@@ -2034,12 +2034,16 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_ann_recall(spark, sf_dir):
-    """Recall@5 of both approximate ANN paths against the brute-force
-    top-5, computed in-Spark per method — the accuracy/scan trade-off as
-    a first-class per-round metric (rows-only: the approximate methods
-    are probabilistic by design; the brute baseline itself is oracled
-    via ann_topk)."""
-    from feasts_spark.operators.similarity import ann_ivf_topk, ann_lsh_topk
+    """Recall@5 of all three approximate ANN paths against the
+    brute-force top-5, computed in-Spark per method — the accuracy/scan
+    trade-off as a first-class per-round metric (rows-only: the
+    approximate methods are probabilistic by design; the brute baseline
+    itself is oracled via ann_topk)."""
+    from feasts_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_lsh_topk,
+        ann_pq_topk,
+    )
 
     _utc(spark)
     e = _emb(spark, sf_dir)
@@ -2049,6 +2053,9 @@ def q_ann_recall(spark, sf_dir):
     for method, df in (
         ("lsh", ann_lsh_topk(e, k=5, n_planes=4, query_filter=qf)),
         ("ivf", ann_ivf_topk(e, k=5, n_cells=8, nprobe=2, query_filter=qf)),
+        # PQ/ADC memory-bound path: 64-d float -> 16 uint8 codes (16x),
+        # 4k-shortlist exact re-rank (the Jégou serving recipe)
+        ("pq", ann_pq_topk(e, k=5, m=16, n_codes=64, query_filter=qf)),
     ):
         hits = df.select("query_id", "cand_id").join(
             brute, ["query_id", "cand_id"]
@@ -2098,7 +2105,25 @@ def q_ann_approx_topk(spark, sf_dir):
     b = q_ann_ivf_topk(spark, sf_dir).select(
         F.lit("ivf").alias("method"), "query_id", "cand_id", "rank", "cos"
     )
-    return a.unionByName(b)
+    c = q_ann_pq_topk(spark, sf_dir).select(
+        F.lit("pq").alias("method"), "query_id", "cand_id", "rank", "cos"
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ADC approximate cosine top-5 (the
+    memory-bound scale path: 64-d float -> 16 uint8 codes + exact
+    re-rank of the ADC shortlist) — rows-only; recall vs brute force
+    asserted in tests/test_similarity_pq.py."""
+    from feasts_spark.operators.similarity import ann_pq_topk
+
+    _utc(spark)
+    out = ann_pq_topk(
+        _emb(spark, sf_dir), k=5, m=16, n_codes=64,
+        query_filter=lambda c: c < 10,
+    )
+    return out.select("query_id", "cand_id", "rank", _r4("cos").alias("cos"))
 
 
 def q_ann_ivf_topk(spark, sf_dir):

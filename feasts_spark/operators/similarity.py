@@ -417,6 +417,288 @@ def ann_ivf_topk(
     )
 
 
+def _seeded_sample(df: DataFrame, id_col: str, vec_col: str,
+                   sample_n: int) -> np.ndarray:
+    """Deterministic bounded training sample: (pmod(xxhash64(id)), id) is a
+    TOTAL order, so hash-collision ties cannot reorder between runs or
+    cluster layouts. O(sample_n * dim) driver memory regardless of corpus
+    size — the full table is never collected."""
+    samp = np.array(
+        df.select(vec_col, F.col(id_col).alias("_id"))
+        .orderBy(F.pmod(F.xxhash64(id_col), F.lit(1_000_003)), F.col("_id"))
+        .limit(sample_n)
+        .toPandas()[vec_col]
+        .tolist(),
+        dtype=np.float64,
+    )
+    if samp.size == 0:
+        raise ValueError("vector table is empty")
+    return samp
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 256,
+    seed: int = 7,
+    sample_n: int = 65_536,
+    iters: int = 8,
+) -> DataFrame:
+    """Train a product quantizer (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011): split the d dims into m
+    contiguous subspaces and k-means each to n_codes centroids. A vector
+    then compresses to m uint8 codes (+1 float norm) — 64-d float64
+    embeddings (512 B) become 8 B codes, a 64x memory cut, which is what
+    lets a 100 TB embedding corpus's index live in cluster RAM while the
+    raw vectors stay in object storage.
+
+    Training is bounded like IVF's: seeded total-ordered hash sample
+    (never the corpus) + driver-side per-subspace Lloyd — cost
+    O(sample_n * n_codes * d) per iteration, independent of table size.
+
+    Returns the persistable codebook frame (subspace, code, centroid) —
+    m * n_codes rows; write it next to the codes table.
+    """
+    samp = _seeded_sample(df, id_col, vec_col, sample_n)
+    dim = samp.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    n_codes = min(n_codes, samp.shape[0])
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_codes, dsub))
+    for s in range(m):
+        x = samp[:, s * dsub:(s + 1) * dsub]
+        cent = x[rng.choice(x.shape[0], n_codes, replace=False)]
+        for _ in range(iters):
+            # ||x-c||^2 argmin == argmin(-2 x.c + ||c||^2); x term constant
+            d2 = -2.0 * (x @ cent.T) + (cent * cent).sum(axis=1)
+            assign = np.argmin(d2, axis=1)
+            for c in np.unique(assign):
+                cent[c] = x[assign == c].mean(axis=0)
+        books[s] = cent
+    rows = [
+        (int(s), int(c), [float(v) for v in books[s, c]])
+        for s in range(m)
+        for c in range(n_codes)
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    )
+
+
+def _codebooks_np(codebooks: DataFrame) -> np.ndarray:
+    """Collect the (tiny, m*n_codes-row) codebook frame to a contiguous
+    (m, n_codes, dsub) array, validating the id layout."""
+    rows = sorted(codebooks.collect(), key=lambda r: (r["subspace"], r["code"]))
+    m = rows[-1]["subspace"] + 1
+    n_codes = rows[-1]["code"] + 1
+    if len(rows) != m * n_codes or [
+        (r["subspace"], r["code"]) for r in rows
+    ] != [(s, c) for s in range(m) for c in range(n_codes)]:
+        raise ValueError(
+            "codebooks frame must carry contiguous (subspace 0..m-1, "
+            "code 0..n-1) ids as produced by pq_train"
+        )
+    return np.array([r["centroid"] for r in rows], dtype=np.float64).reshape(
+        m, n_codes, -1
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress vectors to (id, codes: m bytes, norm): per-subspace
+    nearest-codeword ids packed into one BinaryType value, plus the exact
+    L2 norm (1 float) so cosine can be served from codes alone. Map-only
+    mapInPandas — the codebook ships in the closure (m * n_codes * dsub
+    floats, broadcast-sized); no shuffle, scales linearly with the scan."""
+    books = _codebooks_np(codebooks)
+    m, _, dsub = books.shape
+    # (m, dsub*m) padded layout avoided: per-subspace argmin below
+    books_sq = (books * books).sum(axis=2)  # (m, n_codes)
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if mat.shape[1] != m * dsub:
+                raise ValueError(
+                    f"pq_encode: dim {mat.shape[1]} != codebook {m * dsub}"
+                )
+            codes = np.empty((mat.shape[0], m), dtype=np.uint8)
+            for s in range(m):
+                x = mat[:, s * dsub:(s + 1) * dsub]
+                d2 = -2.0 * (x @ books[s].T) + books_sq[s]
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "codes": [c.tobytes() for c in codes],
+                "norm": np.linalg.norm(mat, axis=1),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(
+        fn, schema="id long, codes binary, norm double"
+    )
+
+
+def pq_query_topk(
+    codebooks: DataFrame,
+    codes_df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Serve approximate cosine top-k from PQ codes via asymmetric
+    distance computation (ADC): each query builds an (m, n_codes) lookup
+    table of subspace dot products once, then every candidate scores as m
+    table gathers + a sum — no candidate vector is ever decompressed.
+
+    Distribution shape: the query batch is collected driver-side (serving
+    batches are O(Q) by design — same contract as ivf_query_topk's
+    centroid collect) and its LUTs ship in the closure; the codes table is
+    scanned map-only with a per-partition top-k (argpartition), so the
+    shuffle carries only Q * k rows PER PARTITION into the final global
+    top-k window — the corpus itself never shuffles. At 1000 executors
+    over 10^9 codes that is a few-MB exchange after a RAM-resident scan.
+    """
+    books = _codebooks_np(codebooks)
+    m, _, dsub = books.shape
+    qrows = queries.select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+    ).collect()
+    if not qrows:
+        raise ValueError("pq_query_topk: empty query batch")
+    qids = np.array([r["_qid"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["_qv"] for r in qrows], dtype=np.float64)
+    if qmat.shape[1] != m * dsub:
+        raise ValueError(
+            f"pq_query_topk: query dim {qmat.shape[1]} != codebook {m * dsub}"
+        )
+    qnorm = np.linalg.norm(qmat, axis=1) + 1e-12
+    # luts[q, s, c] = <q_s, codeword_sc>; approx dot = sum_s luts[q,s,code_s]
+    luts = np.einsum("qsd,scd->qsc", qmat.reshape(-1, m, dsub), books)
+
+    def fn(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["codes"]), dtype=np.uint8
+            ).reshape(n, m)
+            cnorm = pdf["norm"].to_numpy(dtype=np.float64) + 1e-12
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            sub = np.arange(m)
+            frames = []
+            for qi in range(qids.shape[0]):
+                dots = luts[qi][sub, codes].sum(axis=1)
+                cos = dots / (qnorm[qi] * cnorm)
+                if exclude_self:
+                    cos = np.where(ids == qids[qi], -np.inf, cos)
+                kk = min(k, n)
+                top = np.argpartition(-cos, kk - 1)[:kk]
+                keep = top[np.isfinite(cos[top])]
+                frames.append(pd.DataFrame({
+                    "query_id": qids[qi],
+                    "cand_id": ids[keep],
+                    "cos": cos[keep],
+                }))
+            yield pd.concat(frames, ignore_index=True)
+
+    local = codes_df.select("id", "codes", "norm").mapInPandas(
+        fn, schema="query_id long, cand_id long, cos double"
+    )
+    wrank = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "cos")
+    )
+
+
+def pq_rerank(
+    shortlist: DataFrame,
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine re-rank of an ADC shortlist — the standard PQ serving
+    recipe (quantized scan prunes the corpus, exact math fixes the
+    near-tie ordering quantization scrambles). shortlist carries
+    (query_id, cand_id); raw vectors are fetched from `candidates` via a
+    BROADCAST of the shortlist (Q * len(shortlist) rows, tiny by
+    construction), so the corpus is scanned once and never shuffled."""
+    eq = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("eq")
+    )
+    ec = candidates.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("ec")
+    )
+    pairs = shortlist.select("query_id", "cand_id").distinct()
+    scored = (
+        ec.join(F.broadcast(pairs), "cand_id")
+        .join(F.broadcast(eq), "query_id")
+        .select(
+            "query_id", "cand_id",
+            F.expr(_COS.format(a="eq", b="ec")).alias("cos"),
+        )
+    )
+    wrank = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "cos")
+    )
+
+
+def ann_pq_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 256,
+    seed: int = 7,
+    query_filter=None,
+    rerank: int = 4,
+) -> DataFrame:
+    """PQ/ADC approximate cosine top-k end to end (train -> encode ->
+    ADC shortlist -> exact re-rank), the memory-bound ANN path
+    complementing LSH (bucketed candidate pruning) and IVF (cell
+    pruning): PQ scans EVERY candidate but at m bytes each, trading
+    compute for a corpus whose index fits in RAM. Compose with IVF for
+    both (encode per cell, probe then ADC-scan).
+
+    rerank > 0 takes the ADC top (rerank * k) per query and re-scores
+    those pairs with exact cosine on the raw vectors (see pq_rerank) —
+    ADC alone ranks near-tie neighbors within quantization noise;
+    rerank=0 serves straight from codes."""
+    books = pq_train(df, id_col, vec_col, m=m, n_codes=n_codes, seed=seed)
+    codes = pq_encode(df, books, id_col, vec_col)
+    q = df.select(id_col, vec_col)
+    if query_filter is not None:
+        q = q.filter(query_filter(F.col(id_col)))
+    shortlist_k = k * rerank if rerank else k
+    adc = pq_query_topk(
+        books, codes, q, k=shortlist_k, id_col=id_col, vec_col=vec_col,
+        exclude_self=True,
+    )
+    if not rerank:
+        return adc
+    return pq_rerank(adc, df, q, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def embedding_dup_clusters(
     df: DataFrame,
     threshold: float = 0.95,
