@@ -2034,13 +2034,14 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_ann_recall(spark, sf_dir):
-    """Recall@5 of all three approximate ANN paths against the
+    """Recall@5 of all four approximate ANN paths against the
     brute-force top-5, computed in-Spark per method — the accuracy/scan
     trade-off as a first-class per-round metric (rows-only: the
     approximate methods are probabilistic by design; the brute baseline
     itself is oracled via ann_topk)."""
     from feasts_spark.operators.similarity import (
         ann_ivf_topk,
+        ann_ivfpq_topk,
         ann_lsh_topk,
         ann_pq_topk,
     )
@@ -2056,6 +2057,10 @@ def q_ann_recall(spark, sf_dir):
         # PQ/ADC memory-bound path: 64-d float -> 16 uint8 codes (16x),
         # 4k-shortlist exact re-rank (the Jégou serving recipe)
         ("pq", ann_pq_topk(e, k=5, m=16, n_codes=64, query_filter=qf)),
+        # IVFADC composed path: cell pruning + residual codes + re-rank
+        ("ivfpq", ann_ivfpq_topk(
+            e, k=5, n_cells=8, nprobe=4, m=16, n_codes=64, query_filter=qf,
+        )),
     ):
         hits = df.select("query_id", "cand_id").join(
             brute, ["query_id", "cand_id"]
@@ -2096,9 +2101,11 @@ def q_ann_recall(spark, sf_dir):
 
 
 def q_ann_approx_topk(spark, sf_dir):
-    """Both approximate ANN scale paths (LSH hyperplane banding and IVF
-    coarse quantization) as one method-tagged union — per-neighbor detail
-    rows complementing ann_recall's per-method aggregate."""
+    """The approximate ANN scale paths (LSH hyperplane banding, IVF
+    coarse quantization, PQ/ADC codes) as one method-tagged union —
+    per-neighbor detail rows complementing ann_recall's per-method
+    aggregate (ivfpq appears only in the recall rows: its per-neighbor
+    detail is the composition of the ivf and pq rows already here)."""
     a = q_ann_lsh_topk(spark, sf_dir).select(
         F.lit("lsh").alias("method"), "query_id", "cand_id", "rank", "cos"
     )

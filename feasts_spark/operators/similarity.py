@@ -462,9 +462,18 @@ def pq_train(
     m * n_codes rows; write it next to the codes table.
     """
     samp = _seeded_sample(df, id_col, vec_col, sample_n)
+    books = _pq_lloyd(samp, m, n_codes, seed, iters, ctx="pq_train")
+    return _books_frame(df.sparkSession, books)
+
+
+def _pq_lloyd(samp: np.ndarray, m: int, n_codes: int, seed: int,
+              iters: int, ctx: str) -> np.ndarray:
+    """Per-subspace Lloyd over a driver-resident training sample; returns
+    the (m, n_codes, dsub) codebook tensor. Shared by pq_train (raw
+    vectors) and ivfpq_build_index (cell residuals)."""
     dim = samp.shape[1]
     if dim % m:
-        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+        raise ValueError(f"{ctx}: dim {dim} not divisible by m={m}")
     dsub = dim // m
     n_codes = min(n_codes, samp.shape[0])
     rng = np.random.default_rng(seed)
@@ -479,12 +488,17 @@ def pq_train(
             for c in np.unique(assign):
                 cent[c] = x[assign == c].mean(axis=0)
         books[s] = cent
+    return books
+
+
+def _books_frame(spark, books: np.ndarray) -> DataFrame:
+    m, n_codes = books.shape[0], books.shape[1]
     rows = [
         (int(s), int(c), [float(v) for v in books[s, c]])
         for s in range(m)
         for c in range(n_codes)
     ]
-    return df.sparkSession.createDataFrame(
+    return spark.createDataFrame(
         rows, "subspace int, code int, centroid array<double>"
     )
 
@@ -693,6 +707,225 @@ def ann_pq_topk(
     adc = pq_query_topk(
         books, codes, q, k=shortlist_k, id_col=id_col, vec_col=vec_col,
         exclude_self=True,
+    )
+    if not rerank:
+        return adc
+    return pq_rerank(adc, df, q, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ivfpq_build_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    m: int = 8,
+    n_codes: int = 256,
+    seed: int = 7,
+    sample_n: int = 65_536,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build an IVFADC index (Jégou et al. 2011, §"IVFADC"): a coarse
+    quantizer buckets vectors into cells, and a product quantizer encodes
+    each vector's RESIDUAL from its cell centroid — residuals concentrate
+    near zero, so the same code budget quantizes them far more finely
+    than raw vectors, and serving gets cell pruning (IVF) and compressed
+    candidates (PQ) in one index.
+
+    Everything runs in UNIT-NORMALIZED space (the coarse quantizer is
+    spherical, see _ivf_centroids), so residuals are `v/|v| − c_cell` —
+    computing them from RAW vectors would fold the corpus's norm spread
+    back into the residuals and forfeit exactly the concentration that
+    motivates residual coding under cosine. The exact raw norm is still
+    stored per vector so dot-product serving stays possible from codes.
+
+    Returns (centroids, codebooks, codes):
+      centroids — (cell, centroid), O(n_cells) rows;
+      codebooks — (subspace, code, centroid) residual codebooks,
+                  m * n_codes rows;
+      codes     — (id, cell, codes: m bytes, norm), one row per vector.
+    At scale, write `codes` PARTITIONED BY cell: ivfpq_query_topk filters
+    on probed cells, so the scan prunes to nprobe/n_cells of the corpus
+    before touching any bytes. Training is bounded exactly like IVF's and
+    PQ's: seeded total-ordered hash samples + driver-side Lloyd; the
+    corpus is never collected.
+    """
+    cent = _ivf_centroids(df, id_col, vec_col, n_cells, seed)
+    samp = _seeded_sample(df, id_col, vec_col, sample_n)
+    sampn = samp / (np.linalg.norm(samp, axis=1, keepdims=True) + 1e-12)
+    resid = sampn - cent[np.argmax(sampn @ cent.T, axis=1)]
+    books = _pq_lloyd(resid, m, n_codes, seed + 1, iters=8,
+                      ctx="ivfpq_build_index")
+    dsub = books.shape[2]
+    books_sq = (books * books).sum(axis=2)
+
+    def encode_fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if mat.shape[1] != m * dsub:
+                raise ValueError(
+                    f"ivfpq encode: dim {mat.shape[1]} != codebook {m * dsub}"
+                )
+            matn = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12)
+            cells = np.argmax(matn @ cent.T, axis=1)
+            res = matn - cent[cells]
+            codes = np.empty((mat.shape[0], m), dtype=np.uint8)
+            for s in range(m):
+                x = res[:, s * dsub:(s + 1) * dsub]
+                d2 = -2.0 * (x @ books[s].T) + books_sq[s]
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "cell": cells.astype(np.int32),
+                "codes": [c.tobytes() for c in codes],
+                "norm": np.linalg.norm(mat, axis=1),
+            })
+
+    codes_df = df.select(id_col, vec_col).mapInPandas(
+        encode_fn, schema="id long, cell int, codes binary, norm double"
+    )
+    spark = df.sparkSession
+    centroids = spark.createDataFrame(
+        [(int(i), [float(v) for v in cent[i]]) for i in range(cent.shape[0])],
+        "cell int, centroid array<double>",
+    )
+    return centroids, _books_frame(spark, books), codes_df
+
+
+def ivfpq_query_topk(
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    codes_df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Serve approximate cosine top-k from an IVFADC index: candidates
+    come only from each query's nprobe nearest cells, and score without
+    decompression via the residual decomposition over the UNIT vector
+    v̂ = v/|v| the index encodes (see ivfpq_build_index):
+    cos(q, v) = dot(q, v̂)/|q| = (dot(q, c_cell) + dot(q, v̂ − c_cell))/|q|
+              ≈ (dot(q, c_cell) + Σ_s LUT[q, s, code_s]) / |q|
+    — the centroid term is one gather from a precomputed (Q, n_cells)
+    matrix, the residual term m LUT gathers, both exact in the
+    decomposition (only the residual is quantized).
+
+    Distribution shape: queries collect driver-side (O(Q) serving
+    contract, like ivf_query_topk / pq_query_topk); the codes scan is
+    map-only over `cell IN (probed)` — partition-pruned when the codes
+    table is written partitioned by cell — with per-partition top-k, so
+    only Q * k rows per partition reach the final window."""
+    crows = sorted(centroids.collect(), key=lambda r: r["cell"])
+    if [r["cell"] for r in crows] != list(range(len(crows))):
+        raise ValueError(
+            "centroids frame must carry contiguous cell ids 0..n-1 "
+            "(as produced by ivfpq_build_index)"
+        )
+    cent = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    books = _codebooks_np(codebooks)
+    m, _, dsub = books.shape
+    qrows = queries.select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+    ).collect()
+    if not qrows:
+        raise ValueError("ivfpq_query_topk: empty query batch")
+    qids = np.array([r["_qid"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["_qv"] for r in qrows], dtype=np.float64)
+    if qmat.shape[1] != m * dsub:
+        raise ValueError(
+            f"ivfpq_query_topk: query dim {qmat.shape[1]} != "
+            f"codebook {m * dsub}"
+        )
+    qnorm = np.linalg.norm(qmat, axis=1) + 1e-12
+    qc = qmat @ cent.T  # (Q, n_cells): the dot(q, c_cell) term
+    nprobe = min(nprobe, cent.shape[0])
+    # probe order under cosine == order of qc within a query (positive
+    # per-row scaling), so qc serves both purposes
+    probes = np.argsort(-qc, axis=1)[:, :nprobe]
+    luts = np.einsum("qsd,scd->qsc", qmat.reshape(-1, m, dsub), books)
+    probed = sorted({int(c) for row in probes for c in row})
+
+    def fn(batches):
+        sub = np.arange(m)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["codes"]), dtype=np.uint8
+            ).reshape(n, m)
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            frames = []
+            for qi in range(qids.shape[0]):
+                mask = np.isin(cells, probes[qi])
+                if exclude_self:
+                    mask &= ids != qids[qi]
+                if not mask.any():
+                    continue
+                dots = (
+                    qc[qi, cells[mask]]
+                    + luts[qi][sub, codes[mask]].sum(axis=1)
+                )
+                cos = dots / qnorm[qi]
+                kk = min(k, cos.shape[0])
+                top = np.argpartition(-cos, kk - 1)[:kk]
+                frames.append(pd.DataFrame({
+                    "query_id": qids[qi],
+                    "cand_id": ids[mask][top],
+                    "cos": cos[top],
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    local = (
+        codes_df.filter(F.col("cell").isin(probed))
+        .select("id", "cell", "codes")  # norm unused under cosine: prune it
+        .mapInPandas(fn, schema="query_id long, cand_id long, cos double")
+    )
+    wrank = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "cos")
+    )
+
+
+def ann_ivfpq_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    n_codes: int = 256,
+    seed: int = 7,
+    query_filter=None,
+    rerank: int = 4,
+) -> DataFrame:
+    """IVFADC approximate cosine top-k end to end (build -> probe ->
+    ADC-scan probed cells -> exact re-rank): the composed scale path —
+    IVF prunes the scan to nprobe/n_cells of the corpus, PQ shrinks what
+    remains to m bytes a vector, and the broadcast re-rank (pq_rerank)
+    restores exact ordering on the shortlist. This is the shape that
+    serves 10^9+ vectors: the codes index fits in cluster RAM, raw
+    vectors stay in object storage and are touched only for the
+    Q * rerank * k shortlist rows."""
+    cents, books, codes = ivfpq_build_index(
+        df, id_col, vec_col, n_cells=n_cells, m=m, n_codes=n_codes,
+        seed=seed,
+    )
+    q = df.select(id_col, vec_col)
+    if query_filter is not None:
+        q = q.filter(query_filter(F.col(id_col)))
+    shortlist_k = k * rerank if rerank else k
+    adc = ivfpq_query_topk(
+        cents, books, codes, q, k=shortlist_k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, exclude_self=True,
     )
     if not rerank:
         return adc

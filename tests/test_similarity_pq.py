@@ -186,3 +186,159 @@ class TestPqServe:
             pq_query_topk(
                 books, codes, clustered.filter(F.col("vec_id") < 0), k=3
             )
+
+
+class TestIvfPq:
+    """IVFADC: coarse cells + PQ over residuals (Jégou et al. 2011)."""
+
+    def test_recall_with_rerank(self, spark, clustered):
+        """Probing half the cells + exact re-rank: >= 0.9 recall@5 on the
+        near-tie clustered corpus."""
+        from feasts_spark.operators.similarity import ann_ivfpq_topk
+
+        qf = lambda c: c < 25  # noqa: E731
+        exact = brute_force_topk(clustered, k=5, query_filter=qf).toPandas()
+        approx = ann_ivfpq_topk(
+            clustered, k=5, n_cells=16, nprobe=8, m=16, n_codes=256,
+            query_filter=qf, rerank=4,
+        ).toPandas()
+        hits = total = 0
+        for qid, grp in exact.groupby("query_id"):
+            truth = set(grp["cand_id"])
+            got = set(approx[approx["query_id"] == qid]["cand_id"])
+            hits += len(truth & got)
+            total += len(truth)
+        assert total == 125
+        assert hits / total >= 0.9, f"recall {hits / total:.2f}"
+
+    def test_candidates_come_only_from_probed_cells(self, spark, clustered):
+        """The cell-pruning contract: every served candidate's cell is in
+        its query's probe set (recomputed independently here)."""
+        from feasts_spark.operators.similarity import (
+            ivfpq_build_index,
+            ivfpq_query_topk,
+        )
+
+        cents, books, codes = ivfpq_build_index(
+            clustered, n_cells=16, m=8, n_codes=64
+        )
+        q = clustered.filter(F.col("vec_id") < 15)
+        out = ivfpq_query_topk(
+            cents, books, codes, q, k=5, nprobe=3, exclude_self=True
+        ).toPandas()
+        assert (out.groupby("query_id").size() <= 5).all()
+        cent = np.array(
+            [r["centroid"] for r in sorted(
+                cents.collect(), key=lambda r: r["cell"])]
+        )
+        cell_of = codes.select("id", "cell").toPandas().set_index("id")["cell"]
+        qv = {
+            r["vec_id"]: np.array(r["embedding"])
+            for r in q.collect()
+        }
+        for row in out.itertuples():
+            probes = np.argsort(-(qv[row.query_id] @ cent.T))[:3]
+            assert cell_of[row.cand_id] in probes
+            assert row.cand_id != row.query_id
+
+    def test_residual_adc_beats_raw_pq_adc(self, spark, clustered):
+        """The reason IVFADC quantizes residuals: at the SAME code budget
+        and full probe coverage (no pruning penalty), residual ADC must
+        recall at least as well as raw-vector PQ ADC on clustered data —
+        residuals concentrate near zero so the codebook spends its
+        resolution where the data is. Budget m=16/n_codes=256 (128 bits):
+        below that, BOTH paths drown in the corpus's same-cluster
+        near-ties (measured 0.24 vs 0.24 at m=8/64) and the comparison is
+        noise; at it the gap is real (measured 0.504 vs 0.416)."""
+        from feasts_spark.operators.similarity import (
+            ann_ivfpq_topk,
+            ann_pq_topk,
+        )
+
+        qf = lambda c: c < 25  # noqa: E731
+        exact = brute_force_topk(clustered, k=5, query_filter=qf).toPandas()
+
+        def recall(approx):
+            hits = 0
+            for qid, grp in exact.groupby("query_id"):
+                got = set(approx[approx["query_id"] == qid]["cand_id"])
+                hits += len(set(grp["cand_id"]) & got)
+            return hits / len(exact)
+
+        r_ivfpq = recall(ann_ivfpq_topk(
+            clustered, k=5, n_cells=16, nprobe=16, m=16, n_codes=256,
+            query_filter=qf, rerank=0,
+        ).toPandas())
+        r_pq = recall(ann_pq_topk(
+            clustered, k=5, m=16, n_codes=256, query_filter=qf, rerank=0,
+        ).toPandas())
+        assert r_ivfpq >= r_pq, f"ivfpq {r_ivfpq:.2f} < pq {r_pq:.2f}"
+        assert r_ivfpq >= 0.45
+
+    def test_external_queries(self, spark, clustered):
+        """Serving queries that are not index members: the perturbation
+        source must come back top-1 after re-rank."""
+        from feasts_spark.operators.similarity import (
+            ivfpq_build_index,
+            ivfpq_query_topk,
+            pq_rerank,
+        )
+
+        cents, books, codes = ivfpq_build_index(
+            clustered, n_cells=16, m=16, n_codes=256
+        )
+        src = clustered.filter(F.col("vec_id") < 5).toPandas()
+        rng = np.random.RandomState(1)
+        rows = []
+        for r in src.itertuples():
+            v = np.array(r.embedding, dtype=np.float64)
+            v = v + rng.standard_normal(v.size) * 1e-3 * np.linalg.norm(v)
+            rows.append((int(r.vec_id) + 100000, [float(x) for x in v]))
+        queries = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        short = ivfpq_query_topk(cents, books, codes, queries, k=12, nprobe=8)
+        out = pq_rerank(short, clustered, queries, k=3).toPandas()
+        assert (out.groupby("query_id").size() == 3).all()
+        top1 = out[out["rank"] == 1].set_index("query_id")["cand_id"]
+        for qid, cand in top1.items():
+            assert cand == qid - 100000
+
+    def test_encode_partition_invariant(self, spark, clustered):
+        from feasts_spark.operators.similarity import ivfpq_build_index
+
+        _, _, a = ivfpq_build_index(
+            clustered.repartition(3), n_cells=8, m=4, n_codes=32
+        )
+        _, _, b = ivfpq_build_index(
+            clustered.coalesce(1), n_cells=8, m=4, n_codes=32
+        )
+        pa = a.toPandas().sort_values("id").reset_index(drop=True)
+        pb = b.toPandas().sort_values("id").reset_index(drop=True)
+        assert (pa["cell"] == pb["cell"]).all()
+        assert (pa["codes"] == pb["codes"]).all()
+
+    def test_error_paths(self, spark, clustered):
+        from feasts_spark.operators.similarity import (
+            ivfpq_build_index,
+            ivfpq_query_topk,
+        )
+
+        cents, books, codes = ivfpq_build_index(
+            clustered, n_cells=4, m=8, n_codes=16
+        )
+        with pytest.raises(ValueError, match="empty query batch"):
+            ivfpq_query_topk(
+                cents, books, codes,
+                clustered.filter(F.col("vec_id") < 0), k=3,
+            )
+        bad = spark.createDataFrame(
+            [(1, [0.0] * 16)], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="query dim"):
+            ivfpq_query_topk(cents, books, codes, bad, k=3)
+        with pytest.raises(ValueError, match="contiguous cell ids"):
+            ivfpq_query_topk(
+                cents.filter(F.col("cell") > 0), books, codes,
+                clustered.filter(F.col("vec_id") < 3), k=3,
+            )
