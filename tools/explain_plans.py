@@ -227,6 +227,21 @@ def main() -> None:
             ),
     })
 
+    from feasts_spark.operators.similarity import (
+        ivfpq_build_index,
+        ivfpq_query_topk,
+    )
+
+    _pcent, _pbooks, _pcodes = ivfpq_build_index(emb, n_cells=8, m=16,
+                                                 n_codes=64)
+    plans.update({
+        "ivfpq_query_topk (IVFADC serve: cell-pruned map-only ADC scan + Qk-row window)":
+            ivfpq_query_topk(
+                _pcent, _pbooks, _pcodes,
+                emb.filter(F.col("vec_id") < 10), k=5, nprobe=4,
+            ),
+    })
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
