@@ -175,3 +175,40 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_bucket_a")
         spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_ivfpq_serve_plan_shape(spark):
+    """IVFADC serving's scale contract: the codes scan is filtered to the
+    probed cells BEFORE the Python ADC stage (partition-prunable when the
+    codes table is written partitioned by cell), no join anywhere (the
+    LUTs ship in the closure), and exactly one exchange — the final
+    top-k window over the Q*k rows each partition emits."""
+    from feasts_spark.operators.similarity import (
+        ivfpq_build_index,
+        ivfpq_query_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents, books, codes = ivfpq_build_index(emb, n_cells=8, m=8, n_codes=32)
+    out = ivfpq_query_topk(
+        cents, books, codes, emb.filter(F.col("vec_id") < 5), k=5, nprobe=2
+    )
+    plan = formatted_plan(out)
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    s = plan_summary(out)
+    assert s["n_exchanges"] == 1, s["plan"]
+    # the probed-cell filter must sit BELOW the ADC serve stage (so a
+    # cell-partitioned codes table would prune at the scan) — in the tree
+    # section, top-down: serve MapInPandas, then the Filter, then the
+    # build-time encode MapInPandas (codes is in-flight in this test; a
+    # persisted codes table replaces everything below the Filter with a
+    # pruned scan)
+    tree = plan.split("\n\n")[0].splitlines()
+    py_idx = [i for i, ln in enumerate(tree) if "MapInPandas" in ln]
+    filt_idx = [i for i, ln in enumerate(tree) if "Filter" in ln]
+    assert len(py_idx) == 2, tree
+    assert any(py_idx[0] < i < py_idx[1] for i in filt_idx), \
+        "cell filter not between the ADC serve stage and the codes source"
+    # and that in-tree Filter is really the probed-cell pruning predicate
+    assert any("Condition" in ln and "cell#" in ln and " IN " in ln
+               for ln in plan.splitlines()), plan
