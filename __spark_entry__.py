@@ -90,13 +90,21 @@ def q_rollup_pack(spark, sf_dir):
     """The full rollup surface in one tier-tagged driver row: the plain
     1m rollup straight from raw, the SAME minute tier through the salted
     two-phase skew path (operators/skew.py, heavy_threshold=40 so most
-    keys take the salted route at sf0.01), and the 1m->1h->1d cascade
-    re-aggregation. Every tier's oracle recomputes DIRECTLY from raw
-    events, so one green row proves (a) the base rollup, (b) salted ==
-    plain, and (c) cascade re-aggregation exact at every hop. Plain
-    decomposable aggregates — safe to pack (see the Catalyst CASE-packing
-    hazard note on q_usage_1h)."""
-    from feasts_spark.operators.rollup import rollup_cascade, rollup_raw
+    keys take the salted route at sf0.01), the 1m->1h->1d cascade
+    re-aggregation, and the 1h tier rebuilt via LATE-DATA INCREMENTAL
+    REFRESH (a deterministic ~10% of events withheld as the late batch,
+    then rollup_refresh merges only the invalidated buckets — the
+    continuous-aggregate out-of-order path). Every tier's oracle
+    recomputes DIRECTLY from raw events, so one green row proves (a) the
+    base rollup, (b) salted == plain, (c) cascade re-aggregation exact at
+    every hop, and (d) refresh == full recompute. Plain decomposable
+    aggregates — safe to pack (see the Catalyst CASE-packing hazard note
+    on q_usage_1h)."""
+    from feasts_spark.operators.rollup import (
+        rollup_cascade,
+        rollup_raw,
+        rollup_refresh,
+    )
     from feasts_spark.operators.skew import salted_rollup
 
     _utc(spark)
@@ -108,9 +116,14 @@ def q_rollup_pack(spark, sf_dir):
     )
     r1h = rollup_cascade(r1m, "1h")
     r1d = rollup_cascade(r1h, "1d")
+    is_late = F.pmod(F.xxhash64("event_id"), F.lit(10)) == 0
+    refreshed = rollup_refresh(
+        rollup_raw(e.filter(~is_late), "1h", "user_id", "ts", "value"),
+        e.filter(is_late), "1h", "user_id", "ts", "value",
+    )
     out = None
     for tag, df in (("1m", r1m), ("1m_salted", salted), ("1h", r1h),
-                    ("1d", r1d)):
+                    ("1d", r1d), ("1h_refresh", refreshed)):
         part = df.select(F.lit(tag).alias("tier"), *_ROLLUP_PACK_COLS)
         out = part if out is None else out.unionByName(part)
     return _round_cols(out, ["val_sum", "val_avg"])
@@ -120,7 +133,9 @@ def _rollup_pack_oracle() -> str:
     parts = [
         f"SELECT '{tag}' AS tier, * FROM ({_cascade_oracle(trunc)})"
         for tag, trunc in (("1m", "minute"), ("1m_salted", "minute"),
-                           ("1h", "hour"), ("1d", "day"))
+                           ("1h", "hour"), ("1d", "day"),
+                           # refresh == full recompute: same hourly oracle
+                           ("1h_refresh", "hour"))
     ]
     return "\nUNION ALL\n".join(parts)
 
