@@ -227,6 +227,18 @@ def main() -> None:
             ),
     })
 
+    from feasts_spark.operators.rollup import rollup_refresh
+
+    _late = ev.filter(F.pmod(F.xxhash64("event_id"), F.lit(10)) == 0)
+    _ontime = ev.filter(F.pmod(F.xxhash64("event_id"), F.lit(10)) != 0)
+    plans.update({
+        "rollup_refresh_1h (broadcast invalidation set; tier rows never shuffle)":
+            rollup_refresh(
+                rollup_raw(_ontime, "1h", "user_id", "ts", "value"),
+                _late, "1h", "user_id", "ts", "value",
+            ),
+    })
+
     from feasts_spark.operators.similarity import (
         ivfpq_build_index,
         ivfpq_query_topk,
