@@ -149,3 +149,89 @@ class TestRefreshPlan:
         scan_depths = [len(ln) - len(ln.lstrip()) for ln in tree
                        if "Scan parquet" in ln]
         assert len(scan_depths) >= 3  # tier scan reused + late scans
+
+
+class TestStreamingComposition:
+    def test_beyond_watermark_stragglers_recovered_by_refresh(
+        self, spark, tmp_path
+    ):
+        """The composed out-of-order architecture: Structured Streaming
+        finalizes buckets at the watermark (append mode DROPS rows later
+        than it — asserted here, not assumed), and the batch
+        rollup_refresh then folds exactly those dropped stragglers into
+        the streamed tier, landing bitwise on the full recompute. This is
+        the production shape: stream owns in-watermark lateness, an async
+        refresh owns the tail."""
+        from feasts_spark.streaming.rollup_stream import stream_rollup
+
+        base = pd.Timestamp("2024-05-01 00:00:00")
+        b0 = pd.DataFrame({
+            "series_key": ["k"] * 3,
+            "ts": [base + pd.Timedelta(minutes=m) for m in (5, 65, 125)],
+            "value": [1.0, 2.0, 3.0],
+        })
+        # batch 1: a far-future sentinel closes every real bucket; batch 2:
+        # a straggler for hour 0, now far outside the 10m watermark. The
+        # straggler must ride one batch BEHIND the sentinel — the global
+        # watermark in effect during a micro-batch is the one computed
+        # from the PREVIOUS batch's max event time (observed on the
+        # progress feed: a straggler sharing the sentinel's batch is NOT
+        # dropped), so the drop only provably happens in batch 2.
+        straggler_ts = base + pd.Timedelta(minutes=30)
+        b1 = pd.DataFrame({
+            "series_key": ["k"],
+            "ts": [base + pd.Timedelta(hours=50)],
+            "value": [99.0],
+        })
+        b2 = pd.DataFrame({
+            "series_key": ["k"], "ts": [straggler_ts], "value": [10.0],
+        })
+        d = tmp_path / "straggler_in"
+        d.mkdir()
+        import os
+        import time
+
+        now = time.time()
+        for i, b in enumerate((b0, b1, b2)):
+            p = d / f"b{i}.parquet"
+            b.assign(ts=b["ts"].astype("datetime64[us]")).to_parquet(
+                p, index=False
+            )
+            # FileStreamSource batches in mtime order — make it explicit
+            os.utime(p, (now + i * 10, now + i * 10))
+        stream = (
+            spark.readStream
+            .schema("series_key string, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        q = (
+            stream_rollup(stream, "1h", key_col="series_key",
+                          watermark="10 minutes")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_straggler")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        streamed = spark.sql(
+            "SELECT * FROM t_straggler WHERE bucket_ts < '2024-05-02'"
+        )
+        got = streamed.orderBy("bucket_ts").toPandas()
+        # the straggler was dropped: hour 0 closed with the on-time row only
+        assert list(got["n_points"]) == [1, 1, 1]
+        assert got.iloc[0]["val_sum"] == 1.0
+
+        late = spark.createDataFrame(
+            [("k", straggler_ts.to_pydatetime(), 10.0)],
+            "series_key string, ts timestamp, value double",
+        )
+        refreshed = rollup_refresh(
+            streamed, late, "1h", "series_key", "ts", "value"
+        )
+        all_rows = spark.createDataFrame(
+            pd.concat([b0, b2]),  # on-time rows + the straggler, no sentinel
+        )
+        full = rollup_raw(all_rows, "1h", "series_key", "ts", "value")
+        _tiers_equal(refreshed.toPandas()[COLS], full.toPandas()[COLS])
