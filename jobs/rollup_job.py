@@ -5,7 +5,14 @@ Usage:
   tools/package.sh   # builds dist/feasts_spark.zip
   spark-submit --py-files dist/feasts_spark.zip jobs/rollup_job.py \
       --input /path/transcripts --output /path/warehouse \
-      [--checkpoint /path/ckpt] [--tiers 1m,1h,1d] [--resume]
+      [--checkpoint /path/ckpt] [--tiers 1m,1h,1d] [--resume] \
+      [--refresh-input /path/late_batch --run-id refresh-<batch>]
+
+With --refresh-input the job skips the base build and instead folds a
+late-arriving transcript batch into the existing warehouse: only the day
+partitions the batch touches are read, refreshed
+(operators.rollup.rollup_refresh — clean buckets pass through untouched)
+and rewritten, tier by tier, chunks included.
 
 The job processes one day-partition at a time (days(ts) layout), writing
 each tier with idempotent overwrite-by-partition and recording a manifest
@@ -39,6 +46,15 @@ def main() -> None:
     ap.add_argument("--retention", action="store_true",
                     help="drop aged-out day partitions per tier policy "
                          "after the rollup units complete")
+    ap.add_argument("--refresh-input", default=None,
+                    help="late-arriving transcripts parquet: instead of a "
+                         "base build, incrementally refresh the existing "
+                         "tier tables — only the day partitions the late "
+                         "batch touches are read and rewritten "
+                         "(operators.rollup.rollup_refresh). The batch "
+                         "must contain only rows not already rolled up "
+                         "(invalidation-log contract); give each refresh "
+                         "batch its own --run-id")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -65,7 +81,15 @@ def main() -> None:
     # works via the to_date filter, paying the rescan.
     has_dt = "dt" in transcripts.columns
     series = turn_series(transcripts)
-    if has_dt:
+    if args.refresh_input:
+        if args.retention:
+            raise SystemExit(
+                "--retention and --refresh-input are separate passes: "
+                "refresh rewrites dirty day partitions, retention drops "
+                "aged ones — run them as two invocations"
+            )
+        days = []  # refresh mode derives its own unit list from the batch
+    elif has_dt:
         days = sorted(
             str(r["dt"])
             for r in transcripts.select("dt").distinct().collect()
@@ -119,12 +143,71 @@ def main() -> None:
         r.unpersist()
         return n, h
 
+    def refresh_unit(day: str):
+        """Refresh one dirty day partition: merge the late batch's rows
+        for this day into the finest tier (clean buckets pass through a
+        broadcast anti join bitwise-untouched), re-cascade the coarser
+        tiers from the refreshed day (day-sized, not corpus-sized), and
+        rewrite this day's tier + chunk partitions idempotently. A day
+        absent from the base tables (a wholly-late day) materializes from
+        the late rollup alone."""
+        from feasts_spark.operators.rollup import rollup_refresh
+
+        late_sub = late_series.filter(F.to_date("ts") == day)
+        existing = (
+            io.read(f"rollup_{tiers[0]}")
+            .filter(F.col("dt") == day)
+            .drop("dt")
+        )
+        # localCheckpoint (eager), NOT persist: the loop below OVERWRITES
+        # the very files this plan reads — a lazily re-evaluated lineage
+        # (cache miss/eviction) would re-scan the refreshed partition and
+        # double-count the late rows in every coarser tier. Checkpointing
+        # truncates the lineage before the first overwrite commits.
+        refreshed = rollup_refresh(
+            existing, late_sub, tiers[0],
+            key_col="conv_id", ts_col="ts", value_col="value",
+        ).localCheckpoint()
+        lower = refreshed
+        t = _t.monotonic()
+        for tier in tiers:
+            cur = lower if tier == tiers[0] else rollup_cascade(lower, tier)
+            io.overwrite_partitions(
+                cur.withColumn("dt", F.lit(day)), f"rollup_{tier}", ("dt",)
+            )
+            t = _mark(f"{day} refresh rollup_{tier}", t)
+            chunks = compress_chunks(
+                cur.withColumn(
+                    "series_key", F.col("series_key").cast("string")
+                ),
+                tier,
+            ).withColumn("dt", F.lit(day))
+            io.overwrite_partitions(chunks, f"chunks_{tier}", ("dt",))
+            t = _mark(f"{day} refresh chunks_{tier}", t)
+            lower = cur
+        return checksum_df(refreshed)
+
     import time
 
     t0 = time.monotonic()
-    metrics = run.run(
-        days, process, max_parallel_units=args.unit_parallelism
-    )
+    if args.refresh_input:
+        late_series = turn_series(spark.read.parquet(args.refresh_input))
+        refresh_days = sorted(
+            r["d"].isoformat()
+            for r in late_series.select(
+                F.to_date("ts").alias("d")
+            ).distinct().collect()
+        )
+        metrics = run.run(
+            [f"refresh:{d}" for d in refresh_days],
+            lambda unit: refresh_unit(unit.split(":", 1)[1]),
+            max_parallel_units=args.unit_parallelism,
+        )
+        metrics["refreshed_days"] = refresh_days
+    else:
+        metrics = run.run(
+            days, process, max_parallel_units=args.unit_parallelism
+        )
     # processing wall time (excludes JVM/session startup): the number the
     # two-cluster-size scaling evidence compares, since startup is a fixed
     # cost that does not scale with executors

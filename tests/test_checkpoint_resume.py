@@ -169,3 +169,62 @@ def test_parallel_units_match_serial(spark, sf_dir, workdir):
     a, b = outs["ser"], outs["par"]
     assert a.count() == b.count() > 0
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_refresh_input_matches_full_rebuild(spark, tmp_path, monkeypatch):
+    """jobs/rollup_job.py --refresh-input: base-build the on-time slice,
+    then refresh with the late batch — every tier table must equal the
+    full-corpus rebuild. The late batch includes BOTH amendments to
+    existing day partitions and a wholly-late day absent from the base
+    build (which must materialize from the refresh alone)."""
+    import sys as _sys
+
+    if "/root/repo" not in _sys.path:
+        _sys.path.insert(0, "/root/repo")
+    from jobs.rollup_job import main
+
+    from feasts_spark.sources.transcripts import synthesize_transcripts
+
+    t = synthesize_transcripts(
+        spark, n_convs=40, max_turns=300, seed=11, span_days=2,
+        n_forced_long=1, forced_long_turns=500,
+    )
+    day2 = t.select(F.max(F.to_date("ts"))).collect()[0][0]
+    is_late = (F.to_date("ts") == day2) | (
+        F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(10)) == 0
+    )
+    paths = {n: str(tmp_path / n) for n in ("ontime", "late", "full")}
+    t.filter(~is_late).write.mode("overwrite").parquet(paths["ontime"])
+    t.filter(is_late).write.mode("overwrite").parquet(paths["late"])
+    t.write.mode("overwrite").parquet(paths["full"])
+    assert spark.read.parquet(paths["late"]).count() > 0
+
+    wh_incr = str(tmp_path / "wh_incr")
+    wh_full = str(tmp_path / "wh_full")
+    for argv in (
+        ["rollup_job", "--input", paths["ontime"], "--output", wh_incr,
+         "--tiers", "1m,1h"],
+        ["rollup_job", "--input", paths["ontime"], "--output", wh_incr,
+         "--tiers", "1m,1h", "--refresh-input", paths["late"],
+         "--run-id", "refresh1"],
+        ["rollup_job", "--input", paths["full"], "--output", wh_full,
+         "--tiers", "1m,1h"],
+    ):
+        monkeypatch.setattr(_sys, "argv", argv)
+        main()
+
+    for tier in ("1m", "1h"):
+        a = spark.read.parquet(f"{wh_incr}/rollup_{tier}")
+        b = spark.read.parquet(f"{wh_full}/rollup_{tier}")
+        # float sums re-associate across the merge boundary: compare
+        # rounded, everything else exact via exceptAll
+        ra = a.withColumn("val_sum", F.round("val_sum", 6)).withColumn(
+            "val_avg", F.round("val_avg", 6))
+        rb = b.withColumn("val_sum", F.round("val_sum", 6)).withColumn(
+            "val_avg", F.round("val_avg", 6))
+        assert ra.exceptAll(rb).count() == 0
+        assert rb.exceptAll(ra).count() == 0
+        assert a.count() == b.count() > 0
+        ca = spark.read.parquet(f"{wh_incr}/chunks_{tier}")
+        cb = spark.read.parquet(f"{wh_full}/chunks_{tier}")
+        assert ca.count() == cb.count() > 0
