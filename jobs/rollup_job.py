@@ -114,32 +114,42 @@ def main() -> None:
             phase_s[label] = round(_t.monotonic() - t0, 2)
         return _t.monotonic()
 
+    def write_day_tiers(base, day: str, label: str = "") -> None:
+        """Write every tier + its Gorilla chunks for one day, cascading
+        from the finest-tier frame `base` (tiers[0]) — shared by the base
+        build and the late-data refresh so their output schemas cannot
+        drift."""
+        lower = base
+        t = _t.monotonic()
+        for tier in tiers:
+            cur = lower if tier == tiers[0] else rollup_cascade(lower, tier)
+            io.overwrite_partitions(
+                cur.withColumn("dt", F.lit(day)), f"rollup_{tier}", ("dt",)
+            )
+            t = _mark(f"{day} {label}rollup_{tier}", t)
+            chunks = compress_chunks(
+                cur.withColumn(
+                    "series_key", F.col("series_key").cast("string")
+                ),
+                tier,
+            ).withColumn("dt", F.lit(day))
+            io.overwrite_partitions(chunks, f"chunks_{tier}", ("dt",))
+            t = _mark(f"{day} {label}chunks_{tier}", t)
+            lower = cur
+
     def process(day: str):
         if has_dt:
             sub = turn_series(transcripts.filter(F.col("dt") == day))
         else:
             sub = series.filter(F.to_date("ts") == day)
         r = salted_rollup(
-            sub, "1m", key_col="conv_id", ts_col="ts", value_col="value",
+            sub, tiers[0], key_col="conv_id", ts_col="ts", value_col="value",
             heavy_threshold=args.heavy_threshold,
         ).persist()
-        total_rows, checksum = 0, 0
-        lower = r
+        write_day_tiers(r, day)
         t = _t.monotonic()
-        for tier in tiers:
-            cur = lower if tier == "1m" else rollup_cascade(lower, tier)
-            out = cur.withColumn("dt", F.lit(day))
-            io.overwrite_partitions(out, f"rollup_{tier}", ("dt",))
-            t = _mark(f"{day} rollup_{tier}", t)
-            chunks = compress_chunks(
-                cur.withColumn("series_key", F.col("series_key").cast("string")),
-                tier,
-            ).withColumn("dt", F.lit(day))
-            io.overwrite_partitions(chunks, f"chunks_{tier}", ("dt",))
-            t = _mark(f"{day} chunks_{tier}", t)
-            lower = cur
         n, h = checksum_df(r)
-        t = _mark(f"{day} checksum", t)
+        _mark(f"{day} checksum", t)
         r.unpersist()
         return n, h
 
@@ -148,43 +158,35 @@ def main() -> None:
         for this day into the finest tier (clean buckets pass through a
         broadcast anti join bitwise-untouched), re-cascade the coarser
         tiers from the refreshed day (day-sized, not corpus-sized), and
-        rewrite this day's tier + chunk partitions idempotently. A day
-        absent from the base tables (a wholly-late day) materializes from
-        the late rollup alone."""
+        rewrite this day's tier + chunk partitions. A day absent from the
+        base tables (a wholly-late day) materializes from the late rollup
+        alone.
+
+        Retry idempotence: unlike process(), which recomputes from raw,
+        this unit READS ITS OWN OUTPUT TABLE — so a crash between the
+        first overwrite commit and the manifest append must not re-merge
+        the late batch into a tier that already contains it. The
+        PRE-refresh day partition is therefore snapshotted under the
+        checkpoint dir (once per (run_id, day), committed via _SUCCESS)
+        and the merge always reads the snapshot: any retry reproduces the
+        same bytes. The snapshot also truncates the lineage the coarser
+        tiers re-read, so overwriting the live partition cannot leak into
+        the cascade (read-your-own-write)."""
         from feasts_spark.operators.rollup import rollup_refresh
 
         late_sub = late_series.filter(F.to_date("ts") == day)
-        existing = (
-            io.read(f"rollup_{tiers[0]}")
-            .filter(F.col("dt") == day)
-            .drop("dt")
-        )
-        # localCheckpoint (eager), NOT persist: the loop below OVERWRITES
-        # the very files this plan reads — a lazily re-evaluated lineage
-        # (cache miss/eviction) would re-scan the refreshed partition and
-        # double-count the late rows in every coarser tier. Checkpointing
-        # truncates the lineage before the first overwrite commits.
+        live = io.read(f"rollup_{tiers[0]}")
+        snap = os.path.join(ckpt_dir, "refresh_snapshots", run.run_id, day)
+        if not os.path.exists(os.path.join(snap, "_SUCCESS")):
+            live.filter(F.col("dt") == day).drop("dt").write.mode(
+                "overwrite"
+            ).parquet(snap)
+        existing = spark.read.schema(live.drop("dt").schema).parquet(snap)
         refreshed = rollup_refresh(
             existing, late_sub, tiers[0],
             key_col="conv_id", ts_col="ts", value_col="value",
-        ).localCheckpoint()
-        lower = refreshed
-        t = _t.monotonic()
-        for tier in tiers:
-            cur = lower if tier == tiers[0] else rollup_cascade(lower, tier)
-            io.overwrite_partitions(
-                cur.withColumn("dt", F.lit(day)), f"rollup_{tier}", ("dt",)
-            )
-            t = _mark(f"{day} refresh rollup_{tier}", t)
-            chunks = compress_chunks(
-                cur.withColumn(
-                    "series_key", F.col("series_key").cast("string")
-                ),
-                tier,
-            ).withColumn("dt", F.lit(day))
-            io.overwrite_partitions(chunks, f"chunks_{tier}", ("dt",))
-            t = _mark(f"{day} refresh chunks_{tier}", t)
-            lower = cur
+        ).localCheckpoint()  # materialize once for the 2-3 tier writes
+        write_day_tiers(refreshed, day, label="refresh ")
         return checksum_df(refreshed)
 
     import time
@@ -198,9 +200,13 @@ def main() -> None:
                 F.to_date("ts").alias("d")
             ).distinct().collect()
         )
+        # units are scoped by run_id: the manifest's completed-set is
+        # run_id-agnostic (for base builds a day once built IS built), but
+        # a SECOND late batch touching the same day is new work — without
+        # the scope it would be silently skipped and its rows lost
         metrics = run.run(
-            [f"refresh:{d}" for d in refresh_days],
-            lambda unit: refresh_unit(unit.split(":", 1)[1]),
+            [f"refresh:{run.run_id}:{d}" for d in refresh_days],
+            lambda unit: refresh_unit(unit.rsplit(":", 1)[1]),
             max_parallel_units=args.unit_parallelism,
         )
         metrics["refreshed_days"] = refresh_days

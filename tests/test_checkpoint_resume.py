@@ -173,10 +173,16 @@ def test_parallel_units_match_serial(spark, sf_dir, workdir):
 
 def test_refresh_input_matches_full_rebuild(spark, tmp_path, monkeypatch):
     """jobs/rollup_job.py --refresh-input: base-build the on-time slice,
-    then refresh with the late batch — every tier table must equal the
-    full-corpus rebuild. The late batch includes BOTH amendments to
-    existing day partitions and a wholly-late day absent from the base
-    build (which must materialize from the refresh alone)."""
+    then apply TWO successive late batches (with overlapping days — the
+    second must not be skipped by the first's manifest rows) — every tier
+    table must equal the full-corpus rebuild. The late data includes BOTH
+    amendments to existing day partitions and a wholly-late day absent
+    from the base build. Finally, a crash between a refresh unit's
+    overwrite commit and its manifest append is simulated (the unit's
+    manifest row is removed and the same batch re-run with the same
+    run-id): the retry must reproduce the same bytes from the pre-refresh
+    snapshot, not re-merge the batch into its own output."""
+    import shutil
     import sys as _sys
 
     if "/root/repo" not in _sys.path:
@@ -193,38 +199,60 @@ def test_refresh_input_matches_full_rebuild(spark, tmp_path, monkeypatch):
     is_late = (F.to_date("ts") == day2) | (
         F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(10)) == 0
     )
-    paths = {n: str(tmp_path / n) for n in ("ontime", "late", "full")}
+    half = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(2)) == 0
+    paths = {n: str(tmp_path / n) for n in ("ontime", "late_a", "late_b",
+                                            "full")}
     t.filter(~is_late).write.mode("overwrite").parquet(paths["ontime"])
-    t.filter(is_late).write.mode("overwrite").parquet(paths["late"])
+    t.filter(is_late & half).write.mode("overwrite").parquet(paths["late_a"])
+    t.filter(is_late & ~half).write.mode("overwrite").parquet(
+        paths["late_b"])
     t.write.mode("overwrite").parquet(paths["full"])
-    assert spark.read.parquet(paths["late"]).count() > 0
+    for n in ("late_a", "late_b"):
+        assert spark.read.parquet(paths[n]).count() > 0
 
     wh_incr = str(tmp_path / "wh_incr")
     wh_full = str(tmp_path / "wh_full")
-    for argv in (
-        ["rollup_job", "--input", paths["ontime"], "--output", wh_incr,
-         "--tiers", "1m,1h"],
-        ["rollup_job", "--input", paths["ontime"], "--output", wh_incr,
-         "--tiers", "1m,1h", "--refresh-input", paths["late"],
-         "--run-id", "refresh1"],
-        ["rollup_job", "--input", paths["full"], "--output", wh_full,
-         "--tiers", "1m,1h"],
-    ):
-        monkeypatch.setattr(_sys, "argv", argv)
+
+    def job(*argv):
+        monkeypatch.setattr(_sys, "argv", ["rollup_job", *argv])
         main()
 
-    for tier in ("1m", "1h"):
-        a = spark.read.parquet(f"{wh_incr}/rollup_{tier}")
-        b = spark.read.parquet(f"{wh_full}/rollup_{tier}")
-        # float sums re-associate across the merge boundary: compare
-        # rounded, everything else exact via exceptAll
-        ra = a.withColumn("val_sum", F.round("val_sum", 6)).withColumn(
-            "val_avg", F.round("val_avg", 6))
-        rb = b.withColumn("val_sum", F.round("val_sum", 6)).withColumn(
-            "val_avg", F.round("val_avg", 6))
-        assert ra.exceptAll(rb).count() == 0
-        assert rb.exceptAll(ra).count() == 0
-        assert a.count() == b.count() > 0
-        ca = spark.read.parquet(f"{wh_incr}/chunks_{tier}")
-        cb = spark.read.parquet(f"{wh_full}/chunks_{tier}")
-        assert ca.count() == cb.count() > 0
+    job("--input", paths["ontime"], "--output", wh_incr, "--tiers", "1m,1h")
+    job("--input", paths["ontime"], "--output", wh_incr, "--tiers", "1m,1h",
+        "--refresh-input", paths["late_a"], "--run-id", "ra")
+    job("--input", paths["ontime"], "--output", wh_incr, "--tiers", "1m,1h",
+        "--refresh-input", paths["late_b"], "--run-id", "rb")
+    job("--input", paths["full"], "--output", wh_full, "--tiers", "1m,1h")
+
+    def assert_matches_full():
+        for tier in ("1m", "1h"):
+            a = spark.read.parquet(f"{wh_incr}/rollup_{tier}")
+            b = spark.read.parquet(f"{wh_full}/rollup_{tier}")
+            # float sums re-associate across the merge boundary: compare
+            # rounded, everything else exact via exceptAll
+            ra = a.withColumn("val_sum", F.round("val_sum", 6)).withColumn(
+                "val_avg", F.round("val_avg", 6))
+            rb = b.withColumn("val_sum", F.round("val_sum", 6)).withColumn(
+                "val_avg", F.round("val_avg", 6))
+            assert ra.exceptAll(rb).count() == 0
+            assert rb.exceptAll(ra).count() == 0
+            assert a.count() == b.count() > 0
+            ca = spark.read.parquet(f"{wh_incr}/chunks_{tier}")
+            cb = spark.read.parquet(f"{wh_full}/chunks_{tier}")
+            assert ca.count() == cb.count() > 0
+
+    assert_matches_full()
+
+    # crash simulation: drop run rb's manifest rows (overwrites committed,
+    # manifest append lost), then replay the same batch with the same
+    # run-id — the snapshot makes the retry byte-stable
+    manifest = f"{wh_incr}/_checkpoints/_manifest"
+    kept = spark.read.parquet(manifest).filter("run_id <> 'rb'").collect()
+    shutil.rmtree(manifest)
+    from feasts_spark.streaming.checkpoint import MANIFEST_SCHEMA
+
+    spark.createDataFrame(kept, MANIFEST_SCHEMA).coalesce(1).write.parquet(
+        manifest)
+    job("--input", paths["ontime"], "--output", wh_incr, "--tiers", "1m,1h",
+        "--refresh-input", paths["late_b"], "--run-id", "rb")
+    assert_matches_full()
