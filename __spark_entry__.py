@@ -162,7 +162,7 @@ def q_props_rollup(spark, sf_dir):
 ORACLE_PROPS_ROLLUP = f"""
 WITH v AS (
   SELECT user_id, ts,
-         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS pv
+         TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS pv
   FROM events
 )
 SELECT user_id AS series_key, date_trunc('hour', ts) AS bucket_ts,
@@ -2034,26 +2034,16 @@ FROM g GROUP BY doc_id
 # ANN scale path + remaining rows-only operators
 # ---------------------------------------------------------------------------
 
-def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate cosine top-5 for the first 10 queries —
-    the scale path of q_ann_topk (rows-only; recall vs brute force is
-    asserted in tests/test_similarity.py)."""
-    from feasts_spark.operators.similarity import ann_lsh_topk
-
-    _utc(spark)
-    out = ann_lsh_topk(
-        _emb(spark, sf_dir), k=5, n_planes=4,
-        query_filter=lambda c: c < 10,
-    )
-    return out.select("query_id", "cand_id", "rank", _r4("cos").alias("cos"))
-
-
 def q_ann_recall(spark, sf_dir):
     """Recall@5 of all four approximate ANN paths against the
     brute-force top-5, computed in-Spark per method — the accuracy/scan
     trade-off as a first-class per-round metric (rows-only: the
     approximate methods are probabilistic by design; the brute baseline
-    itself is oracled via ann_topk)."""
+    itself is oracled via ann_topk). The per-neighbor detail rows (the
+    former q_ann_approx_topk registry row) derive from the SAME method
+    DataFrames as the recall aggregates, so each index is trained/built
+    exactly once per run and detail rows always describe the exact
+    configuration the recall rows score."""
     from feasts_spark.operators.similarity import (
         ann_ivf_topk,
         ann_ivfpq_topk,
@@ -2065,8 +2055,7 @@ def q_ann_recall(spark, sf_dir):
     e = _emb(spark, sf_dir)
     qf = lambda c: c < 10  # noqa: E731
     brute = q_ann_topk(spark, sf_dir).select("query_id", "cand_id")
-    results = []
-    for method, df in (
+    methods = (
         ("lsh", ann_lsh_topk(e, k=5, n_planes=4, query_filter=qf)),
         ("ivf", ann_ivf_topk(e, k=5, n_cells=8, nprobe=2, query_filter=qf)),
         # PQ/ADC memory-bound path: 64-d float -> 16 uint8 codes (16x),
@@ -2076,13 +2065,12 @@ def q_ann_recall(spark, sf_dir):
         ("ivfpq", ann_ivfpq_topk(
             e, k=5, n_cells=8, nprobe=4, m=16, n_codes=64, query_filter=qf,
         )),
-    ):
+    )
+    out = None
+    for method, df in methods:
         hits = df.select("query_id", "cand_id").join(
             brute, ["query_id", "cand_id"]
         )
-        results.append((method, hits, brute))
-    out = None
-    for method, hits, base in results:
         row = hits.agg(F.count(F.lit(1)).alias("n_hits")).withColumn(
             "method", F.lit(method)
         )
@@ -2104,62 +2092,19 @@ def q_ann_recall(spark, sf_dir):
             / 1e4
         ).alias("recall_at_5"),
     )
-    # per-neighbor detail rows for both approximate paths share the slot
-    # (formerly the q_ann_approx_topk registry row): method-tagged union
-    # under one schema, aggregate rows tagged `<method>_recall`
-    detail = q_ann_approx_topk(spark, sf_dir).select(
-        "method", "query_id", "cand_id", "rank", "cos",
-        F.lit(None).cast("long").alias("n_hits"),
-        F.lit(None).cast("double").alias("recall_at_5"),
-    )
+    # per-neighbor detail rows (formerly the q_ann_approx_topk registry
+    # row): method-tagged union over the SAME frames under one schema,
+    # aggregate rows tagged `<method>_recall`
+    detail = None
+    for method, df in methods:
+        part = df.select(
+            F.lit(method).alias("method"), "query_id", "cand_id", "rank",
+            _r4("cos").alias("cos"),
+            F.lit(None).cast("long").alias("n_hits"),
+            F.lit(None).cast("double").alias("recall_at_5"),
+        )
+        detail = part if detail is None else detail.unionByName(part)
     return recall.unionByName(detail)
-
-
-def q_ann_approx_topk(spark, sf_dir):
-    """The approximate ANN scale paths (LSH hyperplane banding, IVF
-    coarse quantization, PQ/ADC codes) as one method-tagged union —
-    per-neighbor detail rows complementing ann_recall's per-method
-    aggregate (ivfpq appears only in the recall rows: its per-neighbor
-    detail is the composition of the ivf and pq rows already here)."""
-    a = q_ann_lsh_topk(spark, sf_dir).select(
-        F.lit("lsh").alias("method"), "query_id", "cand_id", "rank", "cos"
-    )
-    b = q_ann_ivf_topk(spark, sf_dir).select(
-        F.lit("ivf").alias("method"), "query_id", "cand_id", "rank", "cos"
-    )
-    c = q_ann_pq_topk(spark, sf_dir).select(
-        F.lit("pq").alias("method"), "query_id", "cand_id", "rank", "cos"
-    )
-    return a.unionByName(b).unionByName(c)
-
-
-def q_ann_pq_topk(spark, sf_dir):
-    """Product-quantization ADC approximate cosine top-5 (the
-    memory-bound scale path: 64-d float -> 16 uint8 codes + exact
-    re-rank of the ADC shortlist) — rows-only; recall vs brute force
-    asserted in tests/test_similarity_pq.py."""
-    from feasts_spark.operators.similarity import ann_pq_topk
-
-    _utc(spark)
-    out = ann_pq_topk(
-        _emb(spark, sf_dir), k=5, m=16, n_codes=64,
-        query_filter=lambda c: c < 10,
-    )
-    return out.select("query_id", "cand_id", "rank", _r4("cos").alias("cos"))
-
-
-def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-cell approximate cosine top-5 (the coarse-quantizer scale path,
-    complementing LSH) — rows-only; recall vs brute force asserted in
-    tests/test_similarity_text.py."""
-    from feasts_spark.operators.similarity import ann_ivf_topk
-
-    _utc(spark)
-    out = ann_ivf_topk(
-        _emb(spark, sf_dir), k=5, n_cells=8, nprobe=3,
-        query_filter=lambda c: c < 10,
-    )
-    return out.select("query_id", "cand_id", "rank", _r4("cos").alias("cos"))
 
 
 def q_guerrero_1d(spark, sf_dir):

@@ -412,8 +412,19 @@ def run_curation_scale() -> dict:
         "cores": CPUS,
         "sizes": {},
     }
+    import hashlib
+    import inspect
+
+    from feasts_spark.sources import documents as _docs_mod
+
+    # cache key includes the synthesizer SOURCE: a change to the corpus
+    # recipe (vocab, dup signal, seed) must invalidate the cached parquet,
+    # or the bench silently times data the current code no longer makes
+    src_tag = hashlib.md5(
+        inspect.getsource(_docs_mod).encode()
+    ).hexdigest()[:10]
     for n in CURATION_SIZES:
-        cache = f"/tmp/feasts_curation_docs_{n}"
+        cache = f"/tmp/feasts_curation_docs_{n}_{src_tag}"
         if not os.path.exists(os.path.join(cache, "_SUCCESS")):
             synthesize_documents(spark, n).write.mode("overwrite").parquet(
                 cache

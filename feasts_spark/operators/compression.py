@@ -381,13 +381,14 @@ def gorilla_decode(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
         pos += mlen
 
     buf = np.frombuffer(payload + b"\x00" * 16, dtype=np.uint8)
+    words = _bits_to_words(buf)  # shared by both gather passes
 
     # pass 2a: timestamps — small dods were decoded inline; gather only
     # the 64-bit escapes, then double cumsum (dod -> delta -> ts)
     dod = np.array(dod_l, dtype=np.int64)
     if esc_i:
-        raw = _gather_bits(
-            buf, np.array(esc_p, dtype=np.int64),
+        raw = _gather_words(
+            words, np.array(esc_p, dtype=np.int64),
             np.full(len(esc_p), 64, dtype=np.int64),
         )
         dod[np.array(esc_i, dtype=np.int64)] = raw.view(np.int64)
@@ -403,7 +404,7 @@ def gorilla_decode(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
     xor[0] = np.uint64(v0)
     has_v = vl > 0
     if has_v.any():
-        pay = _gather_bits(buf, vp[has_v], vl[has_v])
+        pay = _gather_words(words, vp[has_v], vl[has_v])
         tail = xor[1:]
         tail[has_v] = pay << vs[has_v]
     vals_u = np.bitwise_xor.accumulate(xor)
@@ -475,8 +476,9 @@ def gorilla_decode_indexed(
     lead = np.zeros(m, dtype=np.int64)
     mlen = np.zeros(m, dtype=np.int64)
     if v_new.any():
-        hdr11 = _gather_bits(
-            buf, vpos[v_new] + 2, np.full(int(v_new.sum()), 11, dtype=np.int64)
+        hdr11 = _gather_words(
+            words, vpos[v_new] + 2,
+            np.full(int(v_new.sum()), 11, dtype=np.int64),
         )
         lead[v_new] = (hdr11 >> _U64(6)).astype(np.int64)
         mlen[v_new] = (hdr11 & _U64(0x3F)).astype(np.int64) + 1

@@ -175,21 +175,13 @@ def _ivf_centroids(df, id_col, vec_col, n_cells, seed, sample_n=4096,
     iterations driver-side (standard IVF training: the sample is O(k*100)
     regardless of table size; the full table is never collected).
 
-    The sample order is (pmod(xxhash64(id)), id) — a TOTAL order, so rows
-    colliding in the hash modulus cannot reorder between runs. n_cells is
-    clamped to the sample size so tiny tables train fewer cells instead of
-    raising from rng.choice(replace=False)."""
-    samp = np.array(
-        df.select(vec_col, F.col(id_col).alias("_id"))
-        .orderBy(F.pmod(F.xxhash64(id_col), F.lit(1_000_003)), F.col("_id"))
-        .limit(sample_n)
-        .toPandas()[vec_col]
-        .tolist(),
-        dtype=np.float64,
-    )
-    if samp.shape[0] == 0:
-        raise ValueError("ann_ivf_topk: vector table is empty")
-    samp /= np.linalg.norm(samp, axis=1, keepdims=True) + 1e-12
+    n_cells is clamped to the sample size so tiny tables train fewer
+    cells instead of raising from rng.choice(replace=False). The sample
+    comes from _seeded_sample — ONE sampling recipe for every
+    driver-trained quantizer (IVF, PQ, IVFADC), so they cannot drift onto
+    different rows of the same corpus."""
+    samp = _seeded_sample(df, id_col, vec_col, sample_n)
+    samp = samp / (np.linalg.norm(samp, axis=1, keepdims=True) + 1e-12)
     n_cells = min(n_cells, samp.shape[0])
     rng = np.random.default_rng(seed)
     cent = samp[rng.choice(samp.shape[0], n_cells, replace=False)]
