@@ -243,7 +243,14 @@ def main() -> None:
                                     "features", ("dt",))
             return checksum_df(out)
 
-        fm = run.run(["__features__"], feat_unit)
+        # in refresh mode the features unit is run_id-scoped like the day
+        # units: a base run's '__features__' manifest row must not skip
+        # the recomputation over the freshly refreshed tier
+        feat_name = (
+            f"__features__:{run.run_id}" if args.refresh_input
+            else "__features__"
+        )
+        fm = run.run([feat_name], feat_unit)
         metrics["features"] = fm
 
     if args.retention:
