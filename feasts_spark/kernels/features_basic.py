@@ -149,44 +149,72 @@ def shift_kl_max(x, size: int | None = None, period: int = 1) -> dict:
     # densities in TRANSPOSED (gw, n) layout — one contiguous row per
     # grid point g, so the time-axis cumsum / windowed difference below
     # run at stride 8 instead of stride 8*gw (the (n, gw) layout walked
-    # the cache line per element). All passes in-place: one (gw, n)
-    # allocation carries z -> exp argument -> dens -> excess -> csum.
-    dens = (xgrid[:, None] - x[None, :]) / bw
-    np.multiply(dens, dens, out=dens)
-    dens *= -0.5
-    dens += math.log(_SCALE)
-    # clamp at the floor level BEFORE exp: any argument at or below it
-    # floors to dens_floor after the maximum() either way, and the clamp
-    # keeps exp's output >= dens_floor*norm_c ~ 1e-133 (normal range)
-    np.maximum(dens, a_floor, out=dens)
-    np.exp(dens, out=dens)
-    dens /= norm_c
-    np.maximum(dens, dens_floor, out=dens)
-    # trailing rolling mean (min_periods=1) via prefix sums. Cumsum of
-    # (normal + floor) values absorbs the floor entirely and windows of
-    # pure floor would difference to exactly 0 -> log(0). Rolling the
-    # excess above the floor and adding the floor back keeps those
-    # windows at the floor, matching the windowed-sum (pandas/R)
-    # behavior within the golden tolerance.
-    dens -= dens_floor
-    csum = np.cumsum(dens, axis=1, out=dens)
-    rmean = np.empty_like(csum)
+    # the cache line per element). The grid axis is processed in BLOCKS
+    # of rows sized to keep the three working buffers cache-resident:
+    # materializing the full (100, n) matrix made every pass a DRAM
+    # round-trip (profiled 48 MB x ~10 passes at n=60k, with the two
+    # windowed-difference temporaries alone costing more than all the
+    # transcendentals), while a (B, n) block is touched ~10 times at
+    # cache speed and read from memory once. All passes in-place with
+    # the SAME ufunc op order as the unblocked form, so every element
+    # is bitwise identical; only the final across-grid nansum changes
+    # association (blockwise partial sums), which is below any golden
+    # tolerance. Buffers: zbuf carries z -> exp argument -> dens ->
+    # excess -> csum -> logr; rbuf carries the rolling mean; kbuf the
+    # KL integrand.
     k = min(size, n)
-    rmean[:, :k] = csum[:, :k] / np.arange(1, k + 1)[None, :]
-    if n > size:
-        rmean[:, size:] = (csum[:, size:] - csum[:, :-size]) / size
-    np.maximum(rmean, 0.0, out=rmean)
-    rmean += dens_floor
-    with np.errstate(divide="ignore", invalid="ignore"):
-        # rolling means of the density floor can still round to 0 ->
-        # log(0); R hits the same inf/NaN arithmetic (na.rm sums keep
-        # inf). p and q are overlapping slices of rmean, so ONE log pass
-        # over rmean serves both sides of the ratio.
-        logr = np.log(rmean, out=csum)
-        klterm = logr[:, : n - size] - logr[:, size:]
-        # p sits in rmean, which logr (out=csum) did NOT overwrite
-        klterm *= rmean[:, : n - size]
-        kl = np.nansum(klterm, axis=0) * (grid / _SCALE)
+    head = np.arange(1, k + 1, dtype=np.float64)
+    kl = np.zeros(n - size)
+    blk = max(1, min(gw, int(2_000_000 // (8 * n)) or 1))
+    zbuf = np.empty((blk, n))
+    rbuf = np.empty((blk, n))
+    kbuf = np.empty((blk, n - size))
+    log_scale = math.log(_SCALE)
+    for g0 in range(0, gw, blk):
+        b = min(blk, gw - g0)
+        dens = zbuf[:b]
+        np.subtract(xgrid[g0 : g0 + b, None], x[None, :], out=dens)
+        dens /= bw
+        np.multiply(dens, dens, out=dens)
+        dens *= -0.5
+        dens += log_scale
+        # clamp at the floor level BEFORE exp: any argument at or below
+        # it floors to dens_floor after the maximum() either way, and
+        # the clamp keeps exp's output >= dens_floor*norm_c ~ 1e-133
+        # (normal range)
+        np.maximum(dens, a_floor, out=dens)
+        np.exp(dens, out=dens)
+        dens /= norm_c
+        np.maximum(dens, dens_floor, out=dens)
+        # trailing rolling mean (min_periods=1) via prefix sums. Cumsum
+        # of (normal + floor) values absorbs the floor entirely and
+        # windows of pure floor would difference to exactly 0 ->
+        # log(0). Rolling the excess above the floor and adding the
+        # floor back keeps those windows at the floor, matching the
+        # windowed-sum (pandas/R) behavior within the golden tolerance.
+        dens -= dens_floor
+        csum = np.cumsum(dens, axis=1, out=dens)
+        rmean = rbuf[:b]
+        np.divide(csum[:, :k], head[None, :], out=rmean[:, :k])
+        if n > size:
+            np.subtract(csum[:, size:], csum[:, :-size], out=rmean[:, size:])
+            rmean[:, size:] /= size
+        np.maximum(rmean, 0.0, out=rmean)
+        rmean += dens_floor
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # rolling means of the density floor can still round to 0
+            # -> log(0); R hits the same inf/NaN arithmetic (na.rm sums
+            # keep inf). p and q are overlapping slices of rmean, so
+            # ONE log pass over rmean serves both sides of the ratio.
+            logr = np.log(rmean, out=csum)
+            klterm = np.subtract(
+                logr[:, : n - size], logr[:, size:], out=kbuf[:b]
+            )
+            # p sits in rmean, which logr (out=csum) did NOT overwrite
+            klterm *= rmean[:, : n - size]
+            kl += np.nansum(klterm, axis=0)
+    with np.errstate(invalid="ignore"):
+        kl *= grid / _SCALE
         diffkl = np.diff(kl)
     if diffkl.size == 0:
         return {"shift_kl_max": 0.0, "shift_kl_index": NAN}
