@@ -1,0 +1,417 @@
+"""Snapshot tables — Iceberg-shaped metadata layer over parquet files.
+
+The north rule targets Iceberg transcript/rollup tables; the sandbox has no
+iceberg-spark-runtime jar, so this module implements the same METADATA
+architecture from scratch over plain parquet files (the design follows the
+public Iceberg spec's shape: immutable data files + versioned manifests +
+an atomic pointer, not its code):
+
+- **Immutable data files.** Every commit writes NEW parquet files under
+  ``data/commit-<uuid>/``; nothing is mutated in place. A snapshot is a
+  manifest (JSON) listing exactly the files that make up the table at that
+  version, each with row count, byte size and per-column min/max stats
+  harvested from the parquet FOOTER at commit time (pyarrow metadata read —
+  no data pages touched).
+- **Atomic commits, optimistic concurrency.** Committing version N creates
+  ``metadata/v{N}.json`` with O_EXCL — the exclusive create IS the commit
+  point (the same linearization Iceberg gets from a conditional pointer
+  swap; on an object store this maps to a conditional PUT). Two writers
+  racing from the same parent deterministically leave one winner; the loser
+  gets :class:`SnapshotConflict`, cleans up its staging files, and retries
+  against the new head.
+- **Time travel.** ``read(version=...)`` / ``read(as_of=...)`` resolve any
+  retained manifest; readers pinned to a version see an immutable file set
+  regardless of concurrent commits — a refresh/compaction never disturbs a
+  running query.
+- **File-level pruning.** ``read_where(col, lo, hi)`` selects manifest
+  entries by footer min/max before Spark ever lists or opens a file — the
+  manifest replaces the O(files) storage listing that kills naive parquet
+  dirs at 100 TB, and the residual filter still pushes down inside the
+  survivors.
+- **Copy-on-write replace.** ``replace_where`` rewrites ONLY the files
+  whose stats intersect the dirty predicate (late-data refresh shape:
+  untouched files carry over into the new manifest by reference, bitwise
+  identical), unioning the kept rows of rewritten files with the new data.
+- **Compaction and expiry.** ``compact`` bin-packs small files into larger
+  ones as a normal commit (readers of old snapshots unaffected);
+  ``expire_snapshots`` drops old manifests and deletes data files no
+  retained manifest references.
+
+Scale notes: every metadata operation is O(#files) driver-side JSON work
+with no data I/O; commits touch only changed files; at 10^12 turns the
+day-partitioned tier tables hold ~1e4-1e5 files whose manifest is a few MB.
+Reference parity: the rollup/retention tier tables the reference stores in
+hypertables (SURVEY.md §2.5) gain atomic refresh + time travel here.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+class SnapshotConflict(Exception):
+    """Another writer committed the same version first; retry from head."""
+
+
+def _normalized(schema: StructType) -> StructType:
+    """Schema modulo nullability and field metadata.
+
+    Writers legitimately produce non-nullable variants of the pinned schema
+    (e.g. a literal-valued column); parquet files store the values
+    identically, so the pin compares names + types only.
+    """
+    import pyspark.sql.types as T
+
+    def norm(dt):
+        if isinstance(dt, T.StructType):
+            return T.StructType(
+                [T.StructField(f.name, norm(f.dataType), True) for f in dt]
+            )
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(norm(dt.elementType), True)
+        if isinstance(dt, T.MapType):
+            return T.MapType(norm(dt.keyType), norm(dt.valueType), True)
+        return dt
+
+    return norm(schema)
+
+
+def _json_safe(v):
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    return str(v)
+
+
+class SnapshotTable:
+    """A versioned parquet table with manifest-tracked snapshots."""
+
+    def __init__(self, spark: SparkSession, root: str, name: str,
+                 stats_cols: tuple[str, ...] = ()):
+        self.spark = spark
+        self.table_dir = os.path.join(root, name)
+        self.data_dir = os.path.join(self.table_dir, "data")
+        self.meta_dir = os.path.join(self.table_dir, "metadata")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.meta_dir, exist_ok=True)
+        self.stats_cols = tuple(stats_cols)
+
+    # ----- metadata primitives -------------------------------------------
+
+    def current_version(self) -> int:
+        """Highest committed version (0 = empty table, no snapshots)."""
+        versions = [
+            int(os.path.basename(p)[1:-5])
+            for p in glob.glob(os.path.join(self.meta_dir, "v*.json"))
+        ]
+        return max(versions, default=0)
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.meta_dir, f"v{version}.json")
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        if v == 0:
+            return {"version": 0, "files": [], "schema": None,
+                    "operation": "empty", "committed_at": 0.0}
+        with open(self._manifest_path(v)) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        """Snapshot log (lineage): one row per retained version."""
+        out = []
+        for v in sorted(
+            int(os.path.basename(p)[1:-5])
+            for p in glob.glob(os.path.join(self.meta_dir, "v*.json"))
+        ):
+            m = self.manifest(v)
+            out.append({
+                "version": v,
+                "parent": m.get("parent"),
+                "operation": m.get("operation"),
+                "committed_at": m.get("committed_at"),
+                "n_files": len(m["files"]),
+                "total_rows": sum(f["rows"] for f in m["files"]),
+            })
+        return out
+
+    # ----- commit path ----------------------------------------------------
+
+    def _stage_files(self, df: DataFrame, sort_within: bool) -> tuple[str, list[dict]]:
+        """Write df's files into a fresh commit dir and harvest footer stats.
+
+        Rows are clustered by stats_cols before writing so each file's
+        min/max window stays narrow — that clustering is what makes
+        read_where/replace_where prune well. Stats come from parquet
+        row-group footers via pyarrow: no data pages are read.
+        """
+        import pyarrow.parquet as pq
+
+        commit_dir = os.path.join(self.data_dir, f"commit-{uuid.uuid4().hex[:12]}")
+        if self.stats_cols and sort_within:
+            # RANGE partitioning (not hash): adjacent stat values land in
+            # the same file, so footer [min, max] windows are narrow and
+            # disjoint — that is what makes read_where/replace_where prune
+            # instead of touching every file.
+            df = df.repartitionByRange(*self.stats_cols)
+            df = df.sortWithinPartitions(*self.stats_cols)
+        df.write.mode("error").parquet(commit_dir)
+        entries = []
+        for path in sorted(glob.glob(os.path.join(commit_dir, "*.parquet"))):
+            md = pq.ParquetFile(path).metadata
+            if md.num_rows == 0:
+                os.remove(path)
+                continue
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            mins: dict = {}
+            maxs: dict = {}
+            for col in self.stats_cols:
+                if col not in names:
+                    continue
+                j = names.index(col)
+                lo = hi = None
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(j).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                mins[col] = _json_safe(lo)
+                maxs[col] = _json_safe(hi)
+            entries.append({
+                "path": os.path.relpath(path, self.table_dir),
+                "rows": md.num_rows,
+                "bytes": os.path.getsize(path),
+                "min": mins,
+                "max": maxs,
+            })
+        return commit_dir, entries
+
+    def _commit(self, files: list[dict], operation: str, parent_manifest: dict,
+                schema_json: str, summary: dict) -> int:
+        parent_v = parent_manifest["version"]
+        new_v = parent_v + 1
+        manifest = {
+            "version": new_v,
+            "parent": parent_v,
+            "operation": operation,
+            "committed_at": time.time(),
+            "schema": schema_json,
+            "stats_cols": list(self.stats_cols),
+            "files": files,
+            "summary": summary,
+        }
+        path = self._manifest_path(new_v)
+        try:
+            # O_EXCL create is the commit point: first writer of v{N} wins.
+            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError as e:
+            raise SnapshotConflict(
+                f"version {new_v} already committed by another writer; "
+                "re-read the table head and retry"
+            ) from e
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        return new_v
+
+    def _check_schema(self, df: DataFrame, parent: dict) -> str:
+        schema_json = df.schema.json()
+        if parent["files"] and parent["schema"] is not None:
+            old = StructType.fromJson(json.loads(parent["schema"]))
+            if _normalized(old) != _normalized(df.schema):
+                raise ValueError(
+                    "schema mismatch vs current snapshot: "
+                    f"{old.simpleString()} != {df.schema.simpleString()}; "
+                    "snapshot tables pin the schema (evolution is a "
+                    "documented non-goal of this layer)"
+                )
+        return schema_json
+
+    def append(self, df: DataFrame, sort_within: bool = True) -> int:
+        """Commit df's rows as new files alongside the current file set."""
+        parent = self.manifest()
+        schema_json = self._check_schema(df, parent)
+        commit_dir, new_files = self._stage_files(df, sort_within)
+        try:
+            return self._commit(
+                parent["files"] + new_files, "append", parent, schema_json,
+                {"added_files": len(new_files),
+                 "added_rows": sum(f["rows"] for f in new_files)},
+            )
+        except SnapshotConflict:
+            shutil.rmtree(commit_dir, ignore_errors=True)
+            raise
+
+    def overwrite(self, df: DataFrame, sort_within: bool = True) -> int:
+        """Commit df as the FULL table content (logical truncate + write)."""
+        parent = self.manifest()
+        commit_dir, new_files = self._stage_files(df, sort_within)
+        try:
+            return self._commit(
+                new_files, "overwrite", parent, df.schema.json(),
+                {"added_files": len(new_files),
+                 "removed_files": len(parent["files"])},
+            )
+        except SnapshotConflict:
+            shutil.rmtree(commit_dir, ignore_errors=True)
+            raise
+
+    def replace_where(self, df_new: DataFrame, col: str, lo, hi,
+                      sort_within: bool = True) -> int:
+        """Copy-on-write replace of the rows with ``lo <= col <= hi``.
+
+        Files whose footer [min, max] window does not intersect the range
+        carry into the new snapshot BY REFERENCE (bitwise untouched — the
+        file-level twin of rollup_refresh's broadcast anti join). Files that
+        do intersect are rewritten: their rows OUTSIDE the range are kept
+        and unioned with df_new. The rewrite I/O is bounded by the dirty
+        file count, not the table size.
+        """
+        parent = self.manifest()
+        schema_json = self._check_schema(df_new, parent)
+        lo_s, hi_s = _json_safe(lo), _json_safe(hi)
+        kept, dirty = [], []
+        for f in parent["files"]:
+            fmin = f["min"].get(col)
+            fmax = f["max"].get(col)
+            if fmin is None or fmax is None:
+                dirty.append(f)  # no stats -> must assume it intersects
+            elif fmax < lo_s or fmin > hi_s:
+                kept.append(f)
+            else:
+                dirty.append(f)
+        out = df_new
+        if dirty:
+            old = self.spark.read.schema(
+                StructType.fromJson(json.loads(schema_json))
+            ).parquet(*[os.path.join(self.table_dir, f["path"]) for f in dirty])
+            from pyspark.sql import functions as F
+            survivors = old.filter(~F.col(col).between(F.lit(lo), F.lit(hi)))
+            out = survivors.unionByName(df_new)
+        commit_dir, new_files = self._stage_files(out, sort_within)
+        try:
+            return self._commit(
+                kept + new_files, "replace", parent, schema_json,
+                {"rewritten_files": len(dirty), "kept_files": len(kept),
+                 "added_files": len(new_files)},
+            )
+        except SnapshotConflict:
+            shutil.rmtree(commit_dir, ignore_errors=True)
+            raise
+
+    # ----- read path ------------------------------------------------------
+
+    def _resolve(self, version: int | None, as_of: float | None) -> dict:
+        if version is not None:
+            return self.manifest(version)
+        if as_of is not None:
+            best = None
+            for v in sorted(
+                int(os.path.basename(p)[1:-5])
+                for p in glob.glob(os.path.join(self.meta_dir, "v*.json"))
+            ):
+                m = self.manifest(v)
+                if m["committed_at"] <= as_of:
+                    best = m
+            if best is None:
+                raise ValueError(f"no snapshot committed at or before {as_of}")
+            return best
+        return self.manifest()
+
+    def _read_files(self, m: dict, files: list[dict]) -> DataFrame:
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.table_dir, f["path"]) for f in files]
+        )
+
+    def read(self, version: int | None = None, as_of: float | None = None) -> DataFrame:
+        """Read a snapshot: head by default, or pinned version / as-of time."""
+        m = self._resolve(version, as_of)
+        if m["version"] == 0:
+            raise ValueError("table has no snapshots yet")
+        return self._read_files(m, m["files"])
+
+    def read_where(self, col: str, lo, hi, version: int | None = None) -> DataFrame:
+        """Manifest-pruned range read: skip files by footer stats, then
+        apply the residual filter (which also pushes down into the
+        surviving files' row groups)."""
+        m = self._resolve(version, None)
+        if m["version"] == 0:
+            raise ValueError("table has no snapshots yet")
+        lo_s, hi_s = _json_safe(lo), _json_safe(hi)
+        live = [
+            f for f in m["files"]
+            if f["min"].get(col) is None or f["max"].get(col) is None
+            or not (f["max"][col] < lo_s or f["min"][col] > hi_s)
+        ]
+        from pyspark.sql import functions as F
+        return self._read_files(m, live).filter(
+            F.col(col).between(F.lit(lo), F.lit(hi))
+        )
+
+    # ----- maintenance ----------------------------------------------------
+
+    def compact(self, small_bytes: int = 32 * 1024 * 1024,
+                min_group: int = 2) -> int | None:
+        """Bin-pack small files into fewer larger ones as a normal commit.
+
+        Only files under `small_bytes` are rewritten; content is unchanged
+        (same rows, new layout), so old snapshots still read their original
+        files. Returns the new version, or None when there is nothing to do.
+        """
+        parent = self.manifest()
+        small = [f for f in parent["files"] if f["bytes"] < small_bytes]
+        if len(small) < min_group:
+            return None
+        keep = [f for f in parent["files"] if f["bytes"] >= small_bytes]
+        df = self._read_files(parent, small).coalesce(
+            max(1, int(sum(f["bytes"] for f in small) // small_bytes) + 1)
+        )
+        commit_dir, new_files = self._stage_files(df, sort_within=False)
+        try:
+            return self._commit(
+                keep + new_files, "compact", parent, parent["schema"],
+                {"compacted_files": len(small), "added_files": len(new_files)},
+            )
+        except SnapshotConflict:
+            shutil.rmtree(commit_dir, ignore_errors=True)
+            raise
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Drop all but the newest `keep_last` manifests and delete data
+        files no retained manifest references (orphans included)."""
+        versions = sorted(
+            int(os.path.basename(p)[1:-5])
+            for p in glob.glob(os.path.join(self.meta_dir, "v*.json"))
+        )
+        if not versions:
+            return {"removed_manifests": 0, "removed_files": 0}
+        cut = versions[max(0, len(versions) - keep_last):]
+        referenced: set[str] = set()
+        for v in cut:
+            referenced |= {f["path"] for f in self.manifest(v)["files"]}
+        removed_manifests = 0
+        for v in versions:
+            if v not in cut:
+                os.remove(self._manifest_path(v))
+                removed_manifests += 1
+        removed_files = 0
+        for path in glob.glob(os.path.join(self.data_dir, "commit-*", "*.parquet")):
+            if os.path.relpath(path, self.table_dir) not in referenced:
+                os.remove(path)
+                removed_files += 1
+        for d in glob.glob(os.path.join(self.data_dir, "commit-*")):
+            if not os.listdir(d):
+                os.rmdir(d)
+        return {"removed_manifests": removed_manifests,
+                "removed_files": removed_files}
