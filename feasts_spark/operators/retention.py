@@ -91,6 +91,16 @@ def expire_partitions(
     if cutoff is None:
         return []
     cutoff_day = cutoff.date().isoformat()
+    if getattr(io, "is_snapshot", False):
+        # snapshot tables age days out as a manifest commit: files whose
+        # footer dt-max is below the cutoff drop with zero data I/O, and
+        # old snapshots still time-travel until expire_snapshots
+        t = io.table(name)
+        before = {f["path"] for f in t.manifest()["files"]}
+        if t.retrying(t.delete_below, dt_col, cutoff_day) is None:
+            return []
+        after = {f["path"] for f in t.manifest()["files"]}
+        return sorted(before - after)
     if io.use_iceberg:
         io.spark.sql(f"DELETE FROM {name} WHERE {dt_col} < DATE '{cutoff_day}'")
         # Iceberg tracks removed partitions itself; report via metadata table

@@ -62,6 +62,10 @@ def get_spark(
         # cross-tenant load; plain positional reads just run slow. On
         # cluster NVMe/object stores re-enable via extra_conf.
         .config("spark.hadoop.parquet.hadoop.vectored.io.enabled", "false")
+        # int64 micros, not legacy INT96: INT96 pages carry NO min/max
+        # statistics, which breaks footer-stats pruning (snapshot table
+        # manifests) and row-group skipping on every timestamp filter
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

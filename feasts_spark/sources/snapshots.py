@@ -94,7 +94,8 @@ class SnapshotTable:
     """A versioned parquet table with manifest-tracked snapshots."""
 
     def __init__(self, spark: SparkSession, root: str, name: str,
-                 stats_cols: tuple[str, ...] = ()):
+                 stats_cols: tuple[str, ...] = (),
+                 cluster_cols: tuple[str, ...] | None = None):
         self.spark = spark
         self.table_dir = os.path.join(root, name)
         self.data_dir = os.path.join(self.table_dir, "data")
@@ -102,6 +103,12 @@ class SnapshotTable:
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.meta_dir, exist_ok=True)
         self.stats_cols = tuple(stats_cols)
+        # stats are harvested for every stats_col PRESENT in the frame;
+        # clustering may use a narrower set (e.g. skip a per-commit-constant
+        # partition value like `dt`, which would range-partition every row
+        # into one task)
+        self.cluster_cols = self.stats_cols if cluster_cols is None \
+            else tuple(cluster_cols)
 
     # ----- metadata primitives -------------------------------------------
 
@@ -155,13 +162,14 @@ class SnapshotTable:
         import pyarrow.parquet as pq
 
         commit_dir = os.path.join(self.data_dir, f"commit-{uuid.uuid4().hex[:12]}")
-        if self.stats_cols and sort_within:
+        cluster = [c for c in self.cluster_cols if c in df.columns]
+        if cluster and sort_within:
             # RANGE partitioning (not hash): adjacent stat values land in
             # the same file, so footer [min, max] windows are narrow and
             # disjoint — that is what makes read_where/replace_where prune
             # instead of touching every file.
-            df = df.repartitionByRange(*self.stats_cols)
-            df = df.sortWithinPartitions(*self.stats_cols)
+            df = df.repartitionByRange(*cluster)
+            df = df.sortWithinPartitions(*cluster)
         df.write.mode("error").parquet(commit_dir)
         entries = []
         for path in sorted(glob.glob(os.path.join(commit_dir, "*.parquet"))):
@@ -278,21 +286,27 @@ class SnapshotTable:
         parent = self.manifest()
         schema_json = self._check_schema(df_new, parent)
         lo_s, hi_s = _json_safe(lo), _json_safe(hi)
-        kept, dirty = [], []
+        kept, straddle, dropped = [], [], 0
         for f in parent["files"]:
             fmin = f["min"].get(col)
             fmax = f["max"].get(col)
             if fmin is None or fmax is None:
-                dirty.append(f)  # no stats -> must assume it intersects
+                straddle.append(f)  # no stats -> must assume it intersects
             elif fmax < lo_s or fmin > hi_s:
                 kept.append(f)
+            elif lo_s <= fmin and fmax <= hi_s:
+                # fully inside the replace range: zero survivors — drop the
+                # file WITHOUT reading it. This is the hot case for a
+                # day-partition overwrite; stats truncation only ever
+                # widens a window, so a window inside [lo, hi] is proof.
+                dropped += 1
             else:
-                dirty.append(f)
+                straddle.append(f)
         out = df_new
-        if dirty:
+        if straddle:
             old = self.spark.read.schema(
                 StructType.fromJson(json.loads(schema_json))
-            ).parquet(*[os.path.join(self.table_dir, f["path"]) for f in dirty])
+            ).parquet(*[os.path.join(self.table_dir, f["path"]) for f in straddle])
             from pyspark.sql import functions as F
             survivors = old.filter(~F.col(col).between(F.lit(lo), F.lit(hi)))
             out = survivors.unionByName(df_new)
@@ -300,8 +314,8 @@ class SnapshotTable:
         try:
             return self._commit(
                 kept + new_files, "replace", parent, schema_json,
-                {"rewritten_files": len(dirty), "kept_files": len(kept),
-                 "added_files": len(new_files)},
+                {"rewritten_files": len(straddle), "dropped_files": dropped,
+                 "kept_files": len(kept), "added_files": len(new_files)},
             )
         except SnapshotConflict:
             shutil.rmtree(commit_dir, ignore_errors=True)
@@ -361,6 +375,52 @@ class SnapshotTable:
 
     # ----- maintenance ----------------------------------------------------
 
+    def delete_below(self, col: str, cutoff, sort_within: bool = True) -> int | None:
+        """Delete the rows with ``col < cutoff`` (retention / TTL commit).
+
+        Files whose footer max is below the cutoff drop from the manifest
+        with ZERO data I/O — at a day-partitioned tier table, aging out a
+        day is a metadata-only commit. Files straddling the cutoff are
+        rewritten keeping only ``col >= cutoff``; data files stay on disk
+        for time travel until `expire_snapshots`. Returns the new version,
+        or None when nothing is below the cutoff.
+        """
+        parent = self.manifest()
+        cut_s = _json_safe(cutoff)
+        kept, gone, straddle = [], [], []
+        for f in parent["files"]:
+            fmin = f["min"].get(col)
+            fmax = f["max"].get(col)
+            if fmin is None or fmax is None:
+                straddle.append(f)  # no stats -> must inspect rows
+            elif fmax < cut_s:
+                gone.append(f)
+            elif fmin >= cut_s:
+                kept.append(f)
+            else:
+                straddle.append(f)
+        if not gone and not straddle:
+            return None
+        new_files: list[dict] = []
+        commit_dir = None
+        if straddle:
+            from pyspark.sql import functions as F
+
+            old = self._read_files(parent, straddle)
+            commit_dir, new_files = self._stage_files(
+                old.filter(F.col(col) >= F.lit(cutoff)), sort_within
+            )
+        try:
+            return self._commit(
+                kept + new_files, "delete", parent, parent["schema"],
+                {"dropped_files": len(gone),
+                 "rewritten_files": len(straddle), "kept_files": len(kept)},
+            )
+        except SnapshotConflict:
+            if commit_dir:
+                shutil.rmtree(commit_dir, ignore_errors=True)
+            raise
+
     def compact(self, small_bytes: int = 32 * 1024 * 1024,
                 min_group: int = 2) -> int | None:
         """Bin-pack small files into fewer larger ones as a normal commit.
@@ -386,6 +446,22 @@ class SnapshotTable:
         except SnapshotConflict:
             shutil.rmtree(commit_dir, ignore_errors=True)
             raise
+
+    def retrying(self, fn, *args, retries: int = 10, **kwargs):
+        """Run a commit method with optimistic-concurrency retry.
+
+        On SnapshotConflict the loser re-reads the new head and restages —
+        correct for disjoint-predicate writers (e.g. concurrent day units),
+        which is the only concurrency shape the job uses. Bounded retries
+        keep a genuinely contended predicate from spinning forever.
+        """
+        last: SnapshotConflict | None = None
+        for _ in range(retries):
+            try:
+                return fn(*args, **kwargs)
+            except SnapshotConflict as e:
+                last = e
+        raise last  # type: ignore[misc]
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Drop all but the newest `keep_last` manifests and delete data
@@ -415,3 +491,60 @@ class SnapshotTable:
                 os.rmdir(d)
         return {"removed_manifests": removed_manifests,
                 "removed_files": removed_files}
+
+
+class SnapshotIO:
+    """TableIO-compatible facade over SnapshotTable-managed tables.
+
+    Drop-in for `jobs/rollup_job.py --table-format snapshot`: same
+    `read` / `overwrite_partitions` surface as
+    :class:`feasts_spark.sources.tableio.TableIO`, but every write is an
+    atomic versioned commit — concurrent day units race on the manifest
+    pointer and the loser restages (disjoint `dt` predicates, so a retry
+    is always correct), readers get time travel, and retention becomes a
+    metadata-only `delete_below` commit instead of directory removal.
+    """
+
+    use_iceberg = False
+    is_snapshot = True
+
+    def __init__(self, spark: SparkSession, root: str,
+                 stats_cols: tuple[str, ...] = ("dt", "bucket_ts", "start_ts")):
+        self.spark = spark
+        self.root = root
+        self.stats_cols = stats_cols
+        self._tables: dict[str, SnapshotTable] = {}
+
+    def table(self, name: str) -> SnapshotTable:
+        if name not in self._tables:
+            self._tables[name] = SnapshotTable(
+                self.spark, self.root, name, stats_cols=self.stats_cols,
+                # dt is constant within a commit (one day per write), so it
+                # carries file stats but must not drive range clustering
+                cluster_cols=tuple(
+                    c for c in self.stats_cols if c != "dt"
+                ),
+            )
+        return self._tables[name]
+
+    def read(self, name: str) -> DataFrame:
+        return self.table(name).read()
+
+    def overwrite_partitions(
+        self, df: DataFrame, name: str, partition_by: tuple[str, ...],
+        values: tuple | None = None,
+    ) -> None:
+        """Idempotent per-partition overwrite as a COW replace commit.
+
+        `values` names the partition being (re)written — the job always
+        writes exactly one day per call, so the caller knows it statically
+        and no extra distinct() pass over `df` is needed.
+        """
+        if partition_by != ("dt",) or values is None or len(values) != 1:
+            raise ValueError(
+                "SnapshotIO.overwrite_partitions writes one dt partition "
+                f"per commit; got partition_by={partition_by} values={values}"
+            )
+        day = values[0]
+        t = self.table(name)
+        t.retrying(t.replace_where, df, "dt", day, day)

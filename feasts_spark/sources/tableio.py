@@ -60,11 +60,14 @@ class TableIO:
         writer.parquet(self._path(name))
 
     def overwrite_partitions(
-        self, df: DataFrame, name: str, partition_by: tuple[str, ...]
+        self, df: DataFrame, name: str, partition_by: tuple[str, ...],
+        values: tuple | None = None,
     ) -> None:
         """Idempotent per-partition overwrite (dynamic partition overwrite) —
         the primitive checkpoint-resume builds on: re-running a completed
         partition replaces it with identical bytes instead of duplicating.
+        `values` (the partition value being written) is advisory here —
+        dynamic overwrite derives it from the data; SnapshotIO requires it.
         """
         if self.use_iceberg:
             df.writeTo(name).overwritePartitions()

@@ -46,6 +46,23 @@ def main() -> None:
     ap.add_argument("--retention", action="store_true",
                     help="drop aged-out day partitions per tier policy "
                          "after the rollup units complete")
+    ap.add_argument("--retention-policy", default=None,
+                    help="JSON tier->max-age override for --retention, "
+                         "e.g. '{\"1m\": \"30 days\"}' (default: the "
+                         "engine policy in operators/retention.py)")
+    ap.add_argument("--table-format", choices=("partition", "snapshot"),
+                    default="partition",
+                    help="'partition': plain parquet dirs with dynamic "
+                         "partition overwrite (default). 'snapshot': "
+                         "versioned manifest tables (sources/snapshots.py) "
+                         "— every day unit commits atomically, tiers get "
+                         "time travel, refresh reads a PINNED pre-refresh "
+                         "version (no checkpoint-dir copy), and retention "
+                         "is a metadata-only delete commit")
+    ap.add_argument("--expire-keep", type=int, default=0,
+                    help="snapshot format only: after the run, keep the "
+                         "newest N snapshots per table and delete "
+                         "unreferenced data files (0 = keep all history)")
     ap.add_argument("--refresh-input", default=None,
                     help="late-arriving transcripts parquet: instead of a "
                          "base build, incrementally refresh the existing "
@@ -68,7 +85,13 @@ def main() -> None:
     from feasts_spark.streaming.checkpoint import CheckpointedRun, checksum_df
 
     spark = get_spark(app_name="feasts_rollup_job")
-    io = TableIO(spark, args.output)
+    if args.table_format == "snapshot":
+        from feasts_spark.sources.snapshots import SnapshotIO
+
+        io = SnapshotIO(spark, args.output)
+    else:
+        io = TableIO(spark, args.output)
+    is_snapshot = getattr(io, "is_snapshot", False)
     ckpt_dir = args.checkpoint or f"{args.output}/_checkpoints"
     run = CheckpointedRun(spark, ckpt_dir, run_id=args.run_id)
 
@@ -124,7 +147,8 @@ def main() -> None:
         for tier in tiers:
             cur = lower if tier == tiers[0] else rollup_cascade(lower, tier)
             io.overwrite_partitions(
-                cur.withColumn("dt", F.lit(day)), f"rollup_{tier}", ("dt",)
+                cur.withColumn("dt", F.lit(day)), f"rollup_{tier}", ("dt",),
+                values=(day,),
             )
             t = _mark(f"{day} {label}rollup_{tier}", t)
             chunks = compress_chunks(
@@ -133,7 +157,8 @@ def main() -> None:
                 ),
                 tier,
             ).withColumn("dt", F.lit(day))
-            io.overwrite_partitions(chunks, f"chunks_{tier}", ("dt",))
+            io.overwrite_partitions(chunks, f"chunks_{tier}", ("dt",),
+                                    values=(day,))
             t = _mark(f"{day} {label}chunks_{tier}", t)
             lower = cur
 
@@ -175,13 +200,25 @@ def main() -> None:
         from feasts_spark.operators.rollup import rollup_refresh
 
         late_sub = late_series.filter(F.to_date("ts") == day)
-        live = io.read(f"rollup_{tiers[0]}")
-        snap = os.path.join(ckpt_dir, "refresh_snapshots", run.run_id, day)
-        if not os.path.exists(os.path.join(snap, "_SUCCESS")):
-            live.filter(F.col("dt") == day).drop("dt").write.mode(
-                "overwrite"
-            ).parquet(snap)
-        existing = spark.read.schema(live.drop("dt").schema).parquet(snap)
+        if is_snapshot:
+            # the snapshot layer's time travel replaces the checkpoint-dir
+            # copy: read the PINNED pre-refresh version (immutable file
+            # set), so a retry after a partial overwrite reproduces the
+            # same bytes and the coarser tiers' cascade can never re-read
+            # the just-overwritten finest tier
+            existing = io.table(f"rollup_{tiers[0]}").read(
+                version=refresh_base_version
+            ).filter(F.col("dt") == day).drop("dt")
+        else:
+            live = io.read(f"rollup_{tiers[0]}")
+            snap = os.path.join(
+                ckpt_dir, "refresh_snapshots", run.run_id, day
+            )
+            if not os.path.exists(os.path.join(snap, "_SUCCESS")):
+                live.filter(F.col("dt") == day).drop("dt").write.mode(
+                    "overwrite"
+                ).parquet(snap)
+            existing = spark.read.schema(live.drop("dt").schema).parquet(snap)
         refreshed = rollup_refresh(
             existing, late_sub, tiers[0],
             key_col="conv_id", ts_col="ts", value_col="value",
@@ -194,6 +231,22 @@ def main() -> None:
     t0 = time.monotonic()
     if args.refresh_input:
         late_series = turn_series(spark.read.parquet(args.refresh_input))
+        if is_snapshot:
+            # pin the pre-refresh version once per run_id and persist the
+            # pin: a --resume retry must read the SAME base even though
+            # completed units already advanced the table head
+            bv_dir = os.path.join(ckpt_dir, "refresh_base_version")
+            os.makedirs(bv_dir, exist_ok=True)
+            bv_path = os.path.join(bv_dir, f"{run.run_id}.json")
+            if os.path.exists(bv_path):
+                with open(bv_path) as f:
+                    refresh_base_version = json.load(f)["version"]
+            else:
+                refresh_base_version = io.table(
+                    f"rollup_{tiers[0]}"
+                ).current_version()
+                with open(bv_path, "w") as f:
+                    json.dump({"version": refresh_base_version}, f)
         refresh_days = sorted(
             r["d"].isoformat()
             for r in late_series.select(
@@ -240,7 +293,7 @@ def main() -> None:
                 value_col="val_avg", period=args.feature_period,
             )
             io.overwrite_partitions(out.withColumn("dt", F.lit("all")),
-                                    "features", ("dt",))
+                                    "features", ("dt",), values=("all",))
             return checksum_df(out)
 
         # in refresh mode the features unit is run_id-scoped like the day
@@ -259,12 +312,30 @@ def main() -> None:
         from feasts_spark.operators.retention import expire_partitions
 
         now = dt.datetime.fromisoformat(days[-1]) + dt.timedelta(days=1)
+        policy = (
+            json.loads(args.retention_policy)
+            if args.retention_policy else None
+        )
         removed = {
-            f"{table}_{tier}": expire_partitions(io, f"{table}_{tier}", tier, now)
+            f"{table}_{tier}": expire_partitions(
+                io, f"{table}_{tier}", tier, now, policy=policy
+            )
             for tier in tiers
             for table in ("rollup", "chunks")
         }
         metrics["retention_removed"] = removed
+
+    if is_snapshot and args.expire_keep > 0:
+        # discover snapshot tables on disk (a --resume pass may have
+        # touched none of them this invocation)
+        names = [
+            d for d in sorted(os.listdir(args.output))
+            if os.path.isdir(os.path.join(args.output, d, "metadata"))
+        ]
+        metrics["expired"] = {
+            name: io.table(name).expire_snapshots(keep_last=args.expire_keep)
+            for name in names
+        }
 
     print(json.dumps(metrics))
 

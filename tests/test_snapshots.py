@@ -170,6 +170,38 @@ class TestMaintenance:
         assert table.read(version=3).count() == 30
 
 
+class TestDeleteBelow:
+    def test_whole_file_drops_are_metadata_only(self, spark, table):
+        for i in range(4):
+            table.append(_mk(spark, 1000, offset=i * 1000))
+        before = {f["path"] for f in table.manifest()["files"]}
+        v = table.delete_below("k", 2000)
+        assert v is not None
+        m = table.manifest()
+        # every surviving file is an ORIGINAL file (no rewrite): the two
+        # dropped appends' windows sit wholly below the cutoff
+        assert {f["path"] for f in m["files"]} <= before
+        assert m["summary"]["rewritten_files"] == 0
+        assert table.read().count() == 2000
+        assert table.read().agg(F.min("k")).collect()[0][0] == 2000
+        # time travel still reaches the pre-delete rows
+        assert table.read(version=v - 1).count() == 4000
+
+    def test_straddling_file_rewrites_survivors(self, spark, table):
+        # one file spanning k in [0, 99], so the cutoff lands inside it
+        table.append(_mk(spark, 100).coalesce(1), sort_within=False)
+        v = table.delete_below("k", 37)
+        assert v is not None
+        got = table.read()
+        assert got.count() == 63
+        assert got.agg(F.min("k")).collect()[0][0] == 37
+        assert table.manifest()["summary"]["rewritten_files"] == 1
+
+    def test_noop_below_min_returns_none(self, spark, table):
+        table.append(_mk(spark, 100, offset=500))
+        assert table.delete_below("k", 100) is None
+
+
 class TestRefreshIntegration:
     def test_rollup_refresh_commits_as_replace(self, spark, tmp_path):
         """Late-data refresh at the storage layer: recompute dirty hourly

@@ -149,6 +149,29 @@ def main() -> None:
             turn_digest(tr),
     })
 
+    # snapshot table: manifest-level file pruning BEFORE Spark lists
+    # anything, plus the residual filter pushed into the surviving scan
+    import shutil
+    import tempfile
+
+    from feasts_spark.sources.snapshots import SnapshotTable
+
+    snap_root = tempfile.mkdtemp(prefix="plans_snap_")
+    snap = SnapshotTable(spark, snap_root, "rollup_1h",
+                         stats_cols=("bucket_ts",))
+    for i in range(4):  # 4 commits -> disjoint bucket_ts stat windows
+        snap.append(r1h.filter(
+            (F.dayofyear("bucket_ts") % 4) == i
+        ))
+    lo, hi = r1h.select(F.min("bucket_ts"), F.max("bucket_ts")).collect()[0]
+    pruned = snap.read_where("bucket_ts", lo, lo + (hi - lo) / 8)
+    n_live = len(pruned.inputFiles())
+    n_all = len(snap.manifest()["files"])
+    plans.update({
+        f"snapshot_read_where (manifest pruned {n_all}->{n_live} files "
+        "by footer stats; residual filter pushed into the scan)": pruned,
+    })
+
     from feasts_spark.operators.seasonal import (
         gg_lag_data,
         gg_season_data,
@@ -278,6 +301,7 @@ def main() -> None:
         ]
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(lines))
+    shutil.rmtree(snap_root, ignore_errors=True)
     print("wrote PLANS.md")
 
 
