@@ -46,6 +46,7 @@ hypertables (SURVEY.md §2.5) gain atomic refresh + time travel here.
 
 from __future__ import annotations
 
+import datetime
 import glob
 import json
 import os
@@ -85,8 +86,24 @@ def _normalized(schema: StructType) -> StructType:
 
 
 def _json_safe(v):
+    """Canonical JSON-storable form of a stat/bound value.
+
+    Values are COMPARED as their canonical form (lexicographically for
+    strings), so rendering must be order-preserving and, critically,
+    identical for equal instants: pyarrow returns footer timestamp stats
+    tz-AWARE (UTC) while Spark-side bounds arrive naive (session UTC) —
+    str() would give the aware one a '+00:00' suffix and make an equal
+    boundary compare as greater, wrongly pruning a file whose min equals
+    the query's hi. Fixed-width UTC-naive ISO rendering closes that.
+    """
     if v is None or isinstance(v, (int, float, str, bool)):
         return v
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
     return str(v)
 
 
@@ -463,9 +480,16 @@ class SnapshotTable:
                 last = e
         raise last  # type: ignore[misc]
 
-    def expire_snapshots(self, keep_last: int = 1) -> dict:
+    def expire_snapshots(self, keep_last: int = 1,
+                         orphan_grace_s: float = 3600.0) -> dict:
         """Drop all but the newest `keep_last` manifests and delete data
-        files no retained manifest references (orphans included)."""
+        files no retained manifest references (orphans included).
+
+        Unreferenced files younger than `orphan_grace_s` survive: a
+        concurrent writer's staged-but-not-yet-committed files are
+        unreferenced by construction, and deleting them would fail its
+        commit — the same older-than guard Iceberg's orphan cleanup uses.
+        """
         versions = sorted(
             int(os.path.basename(p)[1:-5])
             for p in glob.glob(os.path.join(self.meta_dir, "v*.json"))
@@ -482,10 +506,14 @@ class SnapshotTable:
                 os.remove(self._manifest_path(v))
                 removed_manifests += 1
         removed_files = 0
+        now = time.time()
         for path in glob.glob(os.path.join(self.data_dir, "commit-*", "*.parquet")):
-            if os.path.relpath(path, self.table_dir) not in referenced:
-                os.remove(path)
-                removed_files += 1
+            if os.path.relpath(path, self.table_dir) in referenced:
+                continue
+            if now - os.path.getmtime(path) < orphan_grace_s:
+                continue  # possibly staged by an in-flight commit
+            os.remove(path)
+            removed_files += 1
         for d in glob.glob(os.path.join(self.data_dir, "commit-*")):
             if not os.listdir(d):
                 os.rmdir(d)

@@ -93,6 +93,32 @@ class TestPruning:
             if f["max"]["k"] < 1200 or f["min"]["k"] > 1300:
                 assert os.path.basename(f["path"]) not in touched
 
+    def test_timestamp_boundary_equality_is_not_pruned(self, spark, tmp_path):
+        """pyarrow returns footer timestamp stats tz-aware while Spark
+        bounds arrive naive (session UTC); an equal instant must compare
+        EQUAL, not greater — a file whose min equals the query hi must
+        survive pruning."""
+        t = SnapshotTable(spark, str(tmp_path), "ts_t", stats_cols=("ts",))
+        df = spark.range(48).select(
+            F.timestamp_seconds(
+                F.lit(1767225600) + F.col("id") * 3600
+            ).alias("ts"),
+            F.col("id").cast("double").alias("v"),
+        )
+        t.append(df.coalesce(1), sort_within=False)
+        lo, hi = df.select(F.min("ts"), F.max("ts")).collect()[0]
+        assert lo.tzinfo is None  # Spark collects session-UTC naive
+        # query hi == the file's min: window [min, min] intersects
+        got = t.read_where("ts", lo, lo)
+        assert got.count() == 1
+        # replace exactly at the boundary instant round-trips too
+        fixed = df.filter(F.col("ts") == F.lit(lo)).withColumn(
+            "v", F.lit(99.0)
+        )
+        t.replace_where(fixed, "ts", lo, lo)
+        assert t.read().count() == 48
+        assert t.read().filter(F.col("v") == 99.0).count() == 1
+
     def test_range_clustering_gives_disjoint_windows(self, spark, table):
         table.append(_mk(spark, 4000))
         files = sorted(
@@ -154,7 +180,7 @@ class TestMaintenance:
     def test_expire_deletes_only_unreferenced(self, spark, table):
         table.append(_mk(spark, 100))
         table.overwrite(_mk(spark, 50, offset=500))
-        stats = table.expire_snapshots(keep_last=1)
+        stats = table.expire_snapshots(keep_last=1, orphan_grace_s=0.0)
         assert stats["removed_manifests"] == 1
         assert stats["removed_files"] >= 1
         # head still reads fine; expired version is gone
@@ -162,10 +188,23 @@ class TestMaintenance:
         with pytest.raises(FileNotFoundError):
             table.manifest(1)
 
+    def test_expire_grace_spares_young_orphans(self, spark, table):
+        """A staged-but-uncommitted (or freshly unreferenced) file inside
+        the grace window must survive orphan cleanup — deleting a racing
+        writer's staging files would fail its commit."""
+        table.append(_mk(spark, 100))
+        table.overwrite(_mk(spark, 50, offset=500))
+        stats = table.expire_snapshots(keep_last=1)  # default 1h grace
+        assert stats["removed_manifests"] == 1
+        assert stats["removed_files"] == 0
+        # past the grace window the same call reclaims them
+        stats = table.expire_snapshots(keep_last=1, orphan_grace_s=0.0)
+        assert stats["removed_files"] >= 1
+
     def test_expire_keeps_multiple(self, spark, table):
         for i in range(3):
             table.append(_mk(spark, 10, offset=i * 10))
-        table.expire_snapshots(keep_last=2)
+        table.expire_snapshots(keep_last=2, orphan_grace_s=0.0)
         assert table.read(version=2).count() == 20
         assert table.read(version=3).count() == 30
 
