@@ -480,31 +480,14 @@ SUBMIT_SPAN_DAYS = int(os.environ.get("BENCH_SUBMIT_SPAN_DAYS", "2"))
 SUBMIT_LEVELS = os.environ.get("BENCH_SUBMIT_LEVELS", "2,8").split(",")
 
 
-def run_scaling_submit() -> dict:
-    """The north rule's deployment shape at two cluster sizes, verbatim:
-    the PACKAGED `spark-submit --py-files dist/feasts_spark.zip` rollup
-    job (salted 1m rollup -> 1h/1d cascade -> Gorilla chunks -> lineage
-    manifest, all tables written to parquet) run at pinned local[N] vs
-    local[4N], alternated SUBMIT_REPEATS times, min process_wall_s per
-    level (the job's own processing time — JVM/session startup is a fixed
-    cost that does not scale with executors and is excluded).
-
-    Complements `--scaling`, which measures the in-process query surface
-    on a larger corpus; this one proves the packaged artifact + real
-    spark-submit boundary scales the same way.
-    """
-    import shutil
-    import tempfile
-
-    subprocess.run(
-        ["bash", "tools/package.sh"], cwd=REPO, check=True,
-        capture_output=True,
-    )
+def _ensure_submit_corpus(n_convs: int) -> tuple[str, int]:
+    """Build (or reuse) the dt-partitioned transcript corpus the packaged
+    job runs on; returns (path, n_turns)."""
     # whale cap 20k turns (~5 days of 12s-median gaps): the corpus stays a
     # handful of day-partitions instead of weeks of near-empty ones
     forced_long = min(FORCED_LONG, 20_000)
     cache = (
-        f"/tmp/feasts_submit_transcripts_{SUBMIT_CONVS}_{MAX_TURNS}"
+        f"/tmp/feasts_submit_transcripts_{n_convs}_{MAX_TURNS}"
         f"_{forced_long}_{SUBMIT_SPAN_DAYS}d_dt"
     )
     meta = cache + ".meta.json"
@@ -518,7 +501,7 @@ def run_scaling_submit() -> dict:
         # days(ts) partition layout — the shape the job is designed for
         # (per-day units prune at the scan); see jobs/rollup_job.py
         synthesize_transcripts(
-            spark, n_convs=SUBMIT_CONVS, max_turns=MAX_TURNS,
+            spark, n_convs=n_convs, max_turns=MAX_TURNS,
             forced_long_turns=forced_long, span_days=SUBMIT_SPAN_DAYS,
         ).withColumn("dt", F.to_date("ts")).write.mode(
             "overwrite"
@@ -529,56 +512,91 @@ def run_scaling_submit() -> dict:
         spark.stop()
     with open(meta) as f:
         n_turns = json.load(f)["n_turns"]
+    return cache, n_turns
+
+
+def _submit_leg(cache: str, cores: str,
+                extra_args: tuple[str, ...] = ()) -> float:
+    """One packaged spark-submit run of the rollup job, pinned to `cores`
+    cores; returns the job's process_wall_s.
+
+    Warehouse on tmpfs: the sandbox's single virtio disk is the one
+    resource a real cluster does NOT share across executors (each brings
+    its own disks / talks to distributed storage), so leaving the writes
+    on it would measure the disk, not the engine — the same reasoning as
+    spark.local.dir in run_scaling's methodology notes.
+    """
+    import shutil
+    import tempfile
+
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable,
+               PYSPARK_DRIVER_PYTHON=sys.executable)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out_dir = tempfile.mkdtemp(prefix=f"submit_bench_{cores}_", dir=shm)
+    try:
+        proc = subprocess.run(
+            [
+                "taskset", "-c", f"0-{int(cores) - 1}",
+                "spark-submit", "--master", f"local[{cores}]",
+                # constant memory PER CORE, like a real cluster where
+                # each added executor brings its own heap — the 1g
+                # spark-submit default starves the wider leg
+                "--driver-memory", f"{2 * int(cores)}g",
+                "--conf",
+                f"spark.sql.shuffle.partitions={4 * int(cores)}",
+                *(
+                    ["--conf", f"spark.local.dir={shm}/spark_submit_local"]
+                    if shm else []
+                ),
+                "--conf", "spark.sql.session.timeZone=UTC",
+                "--conf",
+                "spark.hadoop.parquet.hadoop.vectored.io.enabled=false",
+                "--py-files",
+                os.path.join(REPO, "dist/feasts_spark.zip"),
+                os.path.join(REPO, "jobs/rollup_job.py"),
+                "--input", cache, "--output", out_dir,
+                "--tiers", "1m,1h,1d",
+                # overlap unit driver floors with other units' compute
+                "--unit-parallelism", "4",
+                *extra_args,
+            ],
+            cwd=REPO, env=env, capture_output=True, text=True,
+            timeout=1800,
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-8000:])
+        raise RuntimeError(f"spark-submit (local[{cores}]) failed")
+    m = json.loads(proc.stdout.strip().splitlines()[-1])
+    return float(m["process_wall_s"])
+
+
+def run_scaling_submit() -> dict:
+    """The north rule's deployment shape at two cluster sizes, verbatim:
+    the PACKAGED `spark-submit --py-files dist/feasts_spark.zip` rollup
+    job (salted 1m rollup -> 1h/1d cascade -> Gorilla chunks -> lineage
+    manifest, all tables written to parquet) run at pinned local[N] vs
+    local[4N], alternated SUBMIT_REPEATS times, min process_wall_s per
+    level (the job's own processing time — JVM/session startup is a fixed
+    cost that does not scale with executors and is excluded).
+
+    Complements `--scaling`, which measures the in-process query surface
+    on a larger corpus; this one proves the packaged artifact + real
+    spark-submit boundary scales the same way.
+    """
+    subprocess.run(
+        ["bash", "tools/package.sh"], cwd=REPO, check=True,
+        capture_output=True,
+    )
+    cache, n_turns = _ensure_submit_corpus(SUBMIT_CONVS)
 
     lo, hi = SUBMIT_LEVELS
     factor = int(hi) / int(lo)
-    env = dict(os.environ, PYSPARK_PYTHON=sys.executable,
-               PYSPARK_DRIVER_PYTHON=sys.executable)
     runs: dict[str, list[float]] = {lo: [], hi: []}
+
     def one_leg(cores: str) -> float:
-        # warehouse on tmpfs: the sandbox's single virtio disk is the one
-        # resource a real cluster does NOT share across executors (each
-        # brings its own disks / talks to distributed storage), so leaving
-        # the writes on it measures the disk, not the engine — the same
-        # reasoning as spark.local.dir in run_scaling's methodology notes
-        shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
-        out_dir = tempfile.mkdtemp(prefix=f"submit_bench_{cores}_", dir=shm)
-        try:
-            proc = subprocess.run(
-                [
-                    "taskset", "-c", f"0-{int(cores) - 1}",
-                    "spark-submit", "--master", f"local[{cores}]",
-                    # constant memory PER CORE, like a real cluster where
-                    # each added executor brings its own heap — the 1g
-                    # spark-submit default starves the wider leg
-                    "--driver-memory", f"{2 * int(cores)}g",
-                    "--conf",
-                    f"spark.sql.shuffle.partitions={4 * int(cores)}",
-                    *(
-                        ["--conf", f"spark.local.dir={shm}/spark_submit_local"]
-                        if shm else []
-                    ),
-                    "--conf", "spark.sql.session.timeZone=UTC",
-                    "--conf",
-                    "spark.hadoop.parquet.hadoop.vectored.io.enabled=false",
-                    "--py-files",
-                    os.path.join(REPO, "dist/feasts_spark.zip"),
-                    os.path.join(REPO, "jobs/rollup_job.py"),
-                    "--input", cache, "--output", out_dir,
-                    "--tiers", "1m,1h,1d",
-                    # overlap unit driver floors with other units' compute
-                    "--unit-parallelism", "4",
-                ],
-                cwd=REPO, env=env, capture_output=True, text=True,
-                timeout=1800,
-            )
-        finally:
-            shutil.rmtree(out_dir, ignore_errors=True)
-        if proc.returncode != 0:
-            sys.stderr.write(proc.stderr[-8000:])
-            raise RuntimeError(f"spark-submit (local[{cores}]) failed")
-        m = json.loads(proc.stdout.strip().splitlines()[-1])
-        return float(m["process_wall_s"])
+        return _submit_leg(cache, cores)
 
     for _ in range(SUBMIT_REPEATS):
         for cores in (lo, hi):
@@ -604,11 +622,58 @@ def run_scaling_submit() -> dict:
     }
 
 
+SNAPSHOT_OVERHEAD_CONVS = int(
+    os.environ.get("BENCH_SNAPSHOT_CONVS", "20000")
+)
+
+
+def run_snapshot_overhead() -> dict:
+    """Commit-path cost of snapshot tables at the deployment surface: the
+    SAME packaged job on the SAME corpus at pinned local[8], once per
+    --table-format, alternated SUBMIT_REPEATS times, min per format.
+
+    The snapshot format pays for what the partition format doesn't give
+    you (atomic commits, time travel, stats-pruned reads, metadata-only
+    retention): one range-clustering exchange per tier write plus a
+    driver-side footer-stats harvest per commit. This records that price
+    so the BASELINE scaling claims stay honest about the storage layer.
+    """
+    subprocess.run(
+        ["bash", "tools/package.sh"], cwd=REPO, check=True,
+        capture_output=True,
+    )
+    cache, n_turns = _ensure_submit_corpus(SNAPSHOT_OVERHEAD_CONVS)
+    cores = SUBMIT_LEVELS[-1]
+    runs: dict[str, list[float]] = {"partition": [], "snapshot": []}
+    for _ in range(SUBMIT_REPEATS):
+        for fmt in ("partition", "snapshot"):
+            try:
+                runs[fmt].append(
+                    _submit_leg(cache, cores, ("--table-format", fmt))
+                )
+            except RuntimeError:
+                runs[fmt].append(
+                    _submit_leg(cache, cores, ("--table-format", fmt))
+                )
+    best = {f: min(v) for f, v in runs.items()}
+    return {
+        "metric": "snapshot_commit_overhead_ratio",
+        "value": round(best["snapshot"] / best["partition"], 3),
+        "unit": "ratio",
+        "n_transcript_turns": n_turns,
+        "cores": cores,
+        "best_process_wall_s": best,
+        "all_runs_s": runs,
+    }
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(run_scaling()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-submit":
         print(json.dumps(run_scaling_submit()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--snapshot-overhead":
+        print(json.dumps(run_snapshot_overhead()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--curation-scale":
         print(json.dumps(run_curation_scale()))
     elif len(sys.argv) > 2 and sys.argv[1] == "--single":

@@ -575,4 +575,14 @@ class SnapshotIO:
             )
         day = values[0]
         t = self.table(name)
+        # materialize ONCE before staging: range clustering runs a
+        # sampling job over its child, which would otherwise re-execute
+        # the full upstream lineage (for chunk tables, the whole Gorilla
+        # encode) a second time — measured 1.4x job cost without this,
+        # ~1.1x with. The checkpoint also makes conflict-retry restaging
+        # free of recompute.
+        # (block cleanup: the checkpoint's storage is released by the
+        # ContextCleaner once the frame is GC'd, same as the refresh
+        # path's existing localCheckpoint usage)
+        df = df.localCheckpoint(eager=True)
         t.retrying(t.replace_where, df, "dt", day, day)
