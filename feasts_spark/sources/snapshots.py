@@ -260,8 +260,14 @@ class SnapshotTable:
                 )
         return schema_json
 
-    def append(self, df: DataFrame, sort_within: bool = True) -> int:
-        """Commit df's rows as new files alongside the current file set."""
+    def append(self, df: DataFrame, sort_within: bool = True,
+               extra_summary: dict | None = None) -> int:
+        """Commit df's rows as new files alongside the current file set.
+
+        `extra_summary` lands in the manifest's summary dict — writers use
+        it to make commits self-describing (e.g. the streaming sink records
+        its micro-batch id there for exactly-once re-delivery checks).
+        """
         parent = self.manifest()
         schema_json = self._check_schema(df, parent)
         commit_dir, new_files = self._stage_files(df, sort_within)
@@ -269,7 +275,8 @@ class SnapshotTable:
             return self._commit(
                 parent["files"] + new_files, "append", parent, schema_json,
                 {"added_files": len(new_files),
-                 "added_rows": sum(f["rows"] for f in new_files)},
+                 "added_rows": sum(f["rows"] for f in new_files),
+                 **(extra_summary or {})},
             )
         except SnapshotConflict:
             shutil.rmtree(commit_dir, ignore_errors=True)
