@@ -96,11 +96,23 @@ def expire_partitions(
         # footer dt-max is below the cutoff drop with zero data I/O, and
         # old snapshots still time-travel until expire_snapshots
         t = io.table(name)
-        before = {f["path"] for f in t.manifest()["files"]}
+
+        def _days(m):
+            return {
+                f["min"][dt_col]
+                for f in m["files"]
+                if f["min"].get(dt_col) is not None
+                and f["min"][dt_col] == f["max"].get(dt_col)
+            }
+
+        before = _days(t.manifest())
         if t.retrying(t.delete_below, dt_col, cutoff_day) is None:
             return []
-        after = {f["path"] for f in t.manifest()["files"]}
-        return sorted(before - after)
+        after = _days(t.manifest())
+        # report PARTITION VALUES like the other branches (a rewritten
+        # straddle file's day survives in its new file, so it is not
+        # counted as removed)
+        return sorted(d for d in before - after if d < cutoff_day)
     if io.use_iceberg:
         io.spark.sql(f"DELETE FROM {name} WHERE {dt_col} < DATE '{cutoff_day}'")
         # Iceberg tracks removed partitions itself; report via metadata table

@@ -62,6 +62,15 @@ class SnapshotConflict(Exception):
     """Another writer committed the same version first; retry from head."""
 
 
+def _may_have_nulls(f: dict, col: str) -> bool:
+    """Whether a manifest file entry may hold NULL `col` rows (missing
+    flag = unknown = assume yes). Whole-file drops must route such files
+    to a rewrite: min/max windows ignore NULLs, and NULL rows never match
+    a range predicate, so they survive every delete/replace."""
+    v = f.get("nulls", {}).get(col)
+    return True if v is None else bool(v)
+
+
 def _normalized(schema: StructType) -> StructType:
     """Schema modulo nullability and field metadata.
 
@@ -104,7 +113,25 @@ def _json_safe(v):
         return v.isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, datetime.date):
         return v.isoformat()
-    return str(v)
+    # any other type (Decimal, bytes, ...) has no order-preserving string
+    # form here: store NO stat (None = "window unknown"), which every
+    # pruning site already treats as must-inspect — conservative, never
+    # wrong. str() would PRUNE wrongly (e.g. '10.2' < '9.5').
+    return None
+
+
+def _bound_safe(v):
+    """Canonical form for a caller-supplied pruning bound; raises on types
+    whose canonical comparison is not order-preserving instead of silently
+    mis-pruning."""
+    s = _json_safe(v)
+    if s is None and v is not None:
+        raise TypeError(
+            f"cannot prune on a bound of type {type(v).__name__}: no "
+            "order-preserving canonical form (supported: int, float, str, "
+            "bool, datetime, date)"
+        )
+    return s
 
 
 class SnapshotTable:
@@ -197,26 +224,35 @@ class SnapshotTable:
             names = [md.schema.column(i).name for i in range(md.num_columns)]
             mins: dict = {}
             maxs: dict = {}
+            nulls: dict = {}
             for col in self.stats_cols:
                 if col not in names:
                     continue
                 j = names.index(col)
                 lo = hi = None
+                has_null = False
                 for g in range(md.num_row_groups):
                     st = md.row_group(g).column(j).statistics
                     if st is None or not st.has_min_max:
                         lo = hi = None
+                        has_null = True  # unknown -> assume present
                         break
                     lo = st.min if lo is None else min(lo, st.min)
                     hi = st.max if hi is None else max(hi, st.max)
+                    # min/max stats IGNORE nulls: a whole-file drop decided
+                    # by the window alone would lose this file's NULL rows
+                    if st.null_count is None or st.null_count > 0:
+                        has_null = True
                 mins[col] = _json_safe(lo)
                 maxs[col] = _json_safe(hi)
+                nulls[col] = has_null
             entries.append({
                 "path": os.path.relpath(path, self.table_dir),
                 "rows": md.num_rows,
                 "bytes": os.path.getsize(path),
                 "min": mins,
                 "max": maxs,
+                "nulls": nulls,
             })
         return commit_dir, entries
 
@@ -309,7 +345,7 @@ class SnapshotTable:
         """
         parent = self.manifest()
         schema_json = self._check_schema(df_new, parent)
-        lo_s, hi_s = _json_safe(lo), _json_safe(hi)
+        lo_s, hi_s = _bound_safe(lo), _bound_safe(hi)
         kept, straddle, dropped = [], [], 0
         for f in parent["files"]:
             fmin = f["min"].get(col)
@@ -318,8 +354,9 @@ class SnapshotTable:
                 straddle.append(f)  # no stats -> must assume it intersects
             elif fmax < lo_s or fmin > hi_s:
                 kept.append(f)
-            elif lo_s <= fmin and fmax <= hi_s:
-                # fully inside the replace range: zero survivors — drop the
+            elif lo_s <= fmin and fmax <= hi_s and not _may_have_nulls(f, col):
+                # fully inside the replace range (and no NULL rows, which
+                # would survive the predicate): zero survivors — drop the
                 # file WITHOUT reading it. This is the hot case for a
                 # day-partition overwrite; stats truncation only ever
                 # widens a window, so a window inside [lo, hi] is proof.
@@ -332,7 +369,13 @@ class SnapshotTable:
                 StructType.fromJson(json.loads(schema_json))
             ).parquet(*[os.path.join(self.table_dir, f["path"]) for f in straddle])
             from pyspark.sql import functions as F
-            survivors = old.filter(~F.col(col).between(F.lit(lo), F.lit(hi)))
+            # NULL range values never match the replace predicate, so they
+            # must SURVIVE — plain ~between evaluates NULL and filter would
+            # silently drop them
+            survivors = old.filter(
+                ~F.col(col).between(F.lit(lo), F.lit(hi))
+                | F.col(col).isNull()
+            )
             out = survivors.unionByName(df_new)
         commit_dir, new_files = self._stage_files(out, sort_within)
         try:
@@ -386,7 +429,7 @@ class SnapshotTable:
         m = self._resolve(version, None)
         if m["version"] == 0:
             raise ValueError("table has no snapshots yet")
-        lo_s, hi_s = _json_safe(lo), _json_safe(hi)
+        lo_s, hi_s = _bound_safe(lo), _bound_safe(hi)
         live = [
             f for f in m["files"]
             if f["min"].get(col) is None or f["max"].get(col) is None
@@ -406,18 +449,20 @@ class SnapshotTable:
         with ZERO data I/O — at a day-partitioned tier table, aging out a
         day is a metadata-only commit. Files straddling the cutoff are
         rewritten keeping only ``col >= cutoff``; data files stay on disk
-        for time travel until `expire_snapshots`. Returns the new version,
-        or None when nothing is below the cutoff.
+        for time travel until `expire_snapshots`. Rows with a NULL `col`
+        are retained (matching `DELETE WHERE col < cutoff` semantics,
+        where NULL never satisfies the predicate). Returns the new
+        version, or None when nothing is below the cutoff.
         """
         parent = self.manifest()
-        cut_s = _json_safe(cutoff)
+        cut_s = _bound_safe(cutoff)
         kept, gone, straddle = [], [], []
         for f in parent["files"]:
             fmin = f["min"].get(col)
             fmax = f["max"].get(col)
             if fmin is None or fmax is None:
                 straddle.append(f)  # no stats -> must inspect rows
-            elif fmax < cut_s:
+            elif fmax < cut_s and not _may_have_nulls(f, col):
                 gone.append(f)
             elif fmin >= cut_s:
                 kept.append(f)
@@ -431,8 +476,12 @@ class SnapshotTable:
             from pyspark.sql import functions as F
 
             old = self._read_files(parent, straddle)
+            # NULL never satisfies `col < cutoff`, so NULL rows survive
             commit_dir, new_files = self._stage_files(
-                old.filter(F.col(col) >= F.lit(cutoff)), sort_within
+                old.filter(
+                    (F.col(col) >= F.lit(cutoff)) | F.col(col).isNull()
+                ),
+                sort_within,
             )
         try:
             return self._commit(
@@ -522,8 +571,13 @@ class SnapshotTable:
             os.remove(path)
             removed_files += 1
         for d in glob.glob(os.path.join(self.data_dir, "commit-*")):
-            if not os.listdir(d):
-                os.rmdir(d)
+            # Spark leaves _SUCCESS/.crc markers in every commit dir, so a
+            # bare-emptiness check never fires; a dir is dead once no
+            # parquet remains. The same grace window protects an in-flight
+            # writer's staging dir whose parquet has not landed yet.
+            if (not glob.glob(os.path.join(d, "*.parquet"))
+                    and now - os.path.getmtime(d) >= orphan_grace_s):
+                shutil.rmtree(d, ignore_errors=True)
         return {"removed_manifests": removed_manifests,
                 "removed_files": removed_files}
 

@@ -25,25 +25,51 @@ background without disturbing readers.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+
 from pyspark.sql import DataFrame
 
 from feasts_spark.sources.snapshots import SnapshotTable
 
 
+def _watermark_path(table: SnapshotTable, sink_name: str) -> str:
+    return os.path.join(table.meta_dir, f"sink-{sink_name}.json")
+
+
 def last_committed_batch(table: SnapshotTable, sink_name: str) -> int:
     """Highest micro-batch id this sink has committed to `table` (-1 when
-    none). Walks manifests newest-first and stops at the first commit by
-    this sink — batch ids increase monotonically, so the newest is the
-    max; typically O(1) manifest reads per micro-batch. Snapshot expiry
-    keeps the newest manifests, which still covers foreachBatch's
-    re-delivery window (exactly the LAST batch)."""
-    for v in sorted(
-        (r["version"] for r in table.history()), reverse=True
-    ):
+    none). Two sources, max wins:
+
+    - retained manifests, walked newest-first with early exit (batch ids
+      are monotone, so the first commit by this sink is the max —
+      typically one manifest read per micro-batch, no full-history parse);
+    - the sink's watermark sidecar, written AFTER each commit. The sidecar
+      covers the case where compaction/retention commits followed by
+      `expire_snapshots` removed every manifest carrying this sink's id —
+      without it a re-delivered batch would append twice. Conversely a
+      crash BETWEEN commit and sidecar write leaves the sidecar one
+      behind, and the manifest scan covers that. Neither source alone is
+      sufficient; together they are.
+    """
+    best = -1
+    wm = _watermark_path(table, sink_name)
+    if os.path.exists(wm):
+        with open(wm) as f:
+            best = int(json.load(f).get("batch_id", -1))
+    versions = sorted(
+        (
+            int(os.path.basename(p)[1:-5])
+            for p in glob.glob(os.path.join(table.meta_dir, "v*.json"))
+        ),
+        reverse=True,
+    )
+    for v in versions:
         s = table.manifest(v).get("summary", {})
         if s.get("sink_name") == sink_name:
-            return int(s.get("sink_batch_id", -1))
-    return -1
+            return max(best, int(s.get("sink_batch_id", -1)))
+    return best
 
 
 def snapshot_batch_writer(table: SnapshotTable, sink_name: str = "stream"):
@@ -73,5 +99,12 @@ def snapshot_batch_writer(table: SnapshotTable, sink_name: str = "stream"):
             extra_summary={"sink_name": sink_name,
                            "sink_batch_id": int(batch_id)},
         )
+        # watermark sidecar: survives snapshot expiry (see
+        # last_committed_batch); written after the atomic commit, so a
+        # crash here only leaves it one behind — covered by the manifest
+        tmp = _watermark_path(table, sink_name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": int(batch_id)}, f)
+        os.replace(tmp, _watermark_path(table, sink_name))
 
     return commit

@@ -205,10 +205,12 @@ def main() -> None:
             # copy: read the PINNED pre-refresh version (immutable file
             # set), so a retry after a partial overwrite reproduces the
             # same bytes and the coarser tiers' cascade can never re-read
-            # the just-overwritten finest tier
-            existing = io.table(f"rollup_{tiers[0]}").read(
-                version=refresh_base_version
-            ).filter(F.col("dt") == day).drop("dt")
+            # the just-overwritten finest tier. read_where prunes to this
+            # day's files at the MANIFEST — a day unit never lists or
+            # opens the other days' file footers.
+            existing = io.table(f"rollup_{tiers[0]}").read_where(
+                "dt", day, day, version=refresh_base_version
+            ).drop("dt")
         else:
             live = io.read(f"rollup_{tiers[0]}")
             snap = os.path.join(
@@ -247,6 +249,21 @@ def main() -> None:
                 ).current_version()
                 with open(bv_path, "w") as f:
                     json.dump({"version": refresh_base_version}, f)
+            # the pin is only as durable as its snapshot: an --expire-keep
+            # run since the original attempt may have dropped the pinned
+            # manifest — fail loudly with the remedy instead of a raw
+            # FileNotFoundError mid-unit
+            pin_manifest = io.table(
+                f"rollup_{tiers[0]}"
+            )._manifest_path(refresh_base_version)  # noqa: SLF001
+            if refresh_base_version > 0 and not os.path.exists(pin_manifest):
+                raise SystemExit(
+                    f"refresh run {run.run_id} is pinned to snapshot "
+                    f"version {refresh_base_version}, which has been "
+                    "expired (--expire-keep). Re-run the refresh under a "
+                    "NEW --run-id (and do not expire snapshots while a "
+                    "refresh run is incomplete)."
+                )
         refresh_days = sorted(
             r["d"].isoformat()
             for r in late_series.select(

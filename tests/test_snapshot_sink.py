@@ -109,6 +109,27 @@ class TestSnapshotSink:
         commit2(df, 0)
         assert table.read().count() == 20
 
+    def test_dedup_survives_snapshot_expiry(self, spark, tmp_path):
+        """compaction/retention commits + expire_snapshots can remove every
+        manifest carrying the sink's batch id; the watermark sidecar must
+        still dedup the re-delivered batch."""
+        table = SnapshotTable(spark, str(tmp_path), "t",
+                              stats_cols=("bucket_ts",))
+        df = spark.range(10).select(
+            F.lit("k").alias("series_key"),
+            F.timestamp_seconds(F.lit(1767225600)).alias("bucket_ts"),
+            F.col("id").cast("double").alias("v"),
+        )
+        commit = snapshot_batch_writer(table, "s")
+        commit(df, 0)
+        # non-sink commit on top, then expire the sink's manifest
+        table.overwrite(table.read())
+        table.expire_snapshots(keep_last=1, orphan_grace_s=0.0)
+        assert table.current_version() == 2
+        commit(df, 0)  # re-delivery after the sink manifest is gone
+        assert table.read().count() == 10
+        assert last_committed_batch(table, "s") == 0
+
     def test_restart_from_checkpoint_adds_nothing(self, spark, tmp_path):
         src, pdf = _stage(tmp_path)
         table = SnapshotTable(spark, str(tmp_path), "tier_1h",

@@ -201,6 +201,19 @@ class TestMaintenance:
         stats = table.expire_snapshots(keep_last=1, orphan_grace_s=0.0)
         assert stats["removed_files"] >= 1
 
+    def test_expire_removes_dead_commit_dirs(self, spark, table):
+        """Spark leaves _SUCCESS markers in every commit dir; a dir with no
+        parquet left must still be collected."""
+        import glob as _glob
+
+        table.append(_mk(spark, 100))
+        table.overwrite(_mk(spark, 50, offset=500))
+        table.expire_snapshots(keep_last=1, orphan_grace_s=0.0)
+        dirs = _glob.glob(os.path.join(table.data_dir, "commit-*"))
+        assert all(
+            _glob.glob(os.path.join(d, "*.parquet")) for d in dirs
+        )
+
     def test_expire_keeps_multiple(self, spark, table):
         for i in range(3):
             table.append(_mk(spark, 10, offset=i * 10))
@@ -239,6 +252,57 @@ class TestDeleteBelow:
     def test_noop_below_min_returns_none(self, spark, table):
         table.append(_mk(spark, 100, offset=500))
         assert table.delete_below("k", 100) is None
+
+
+class TestNullSemantics:
+    """NULL range values never match a range predicate, so they must
+    survive every replace/delete — including the whole-file drop fast
+    paths, which consult the harvested null flag (min/max stats ignore
+    NULLs)."""
+
+    def _mk_nullable(self, spark, n=100):
+        return spark.range(n).select(
+            F.when(F.col("id") % 10 == 0, F.lit(None))
+            .otherwise(F.col("id")).alias("k"),
+            (F.col("id") % 7).cast("double").alias("v"),
+        )
+
+    def test_replace_where_keeps_null_rows(self, spark, tmp_path):
+        t = SnapshotTable(spark, str(tmp_path), "t", stats_cols=("k",))
+        # single file fully inside the replace range + nulls: the
+        # containment drop must NOT fire
+        t.append(self._mk_nullable(spark, 100).coalesce(1),
+                 sort_within=False)
+        n_null = t.read().filter(F.col("k").isNull()).count()
+        assert n_null == 10
+        t.replace_where(
+            self._mk_nullable(spark, 100).filter(F.col("k").isNotNull())
+            .withColumn("v", F.lit(0.0)),
+            "k", 0, 99,
+        )
+        got = t.read()
+        assert got.filter(F.col("k").isNull()).count() == n_null
+        assert got.filter(F.col("k").isNotNull())
+        assert got.filter(F.col("k").isNotNull() & (F.col("v") != 0.0)) \
+            .count() == 0
+
+    def test_delete_below_keeps_null_rows(self, spark, tmp_path):
+        t = SnapshotTable(spark, str(tmp_path), "t", stats_cols=("k",))
+        t.append(self._mk_nullable(spark, 100).coalesce(1),
+                 sort_within=False)
+        # every non-null k is < 1000: a stats-only decision would drop the
+        # whole file and its nulls with it
+        t.delete_below("k", 1000)
+        got = t.read()
+        assert got.count() == 10
+        assert got.filter(F.col("k").isNull()).count() == 10
+
+    def test_unsupported_bound_type_raises(self, spark, table):
+        from decimal import Decimal
+
+        table.append(_mk(spark, 10))
+        with pytest.raises(TypeError, match="order-preserving"):
+            table.read_where("k", Decimal("1.5"), Decimal("9.5"))
 
 
 class TestRefreshIntegration:
