@@ -440,6 +440,36 @@ class SnapshotTable:
             F.col(col).between(F.lit(lo), F.lit(hi))
         )
 
+    def read_changes(self, from_version: int,
+                     to_version: int | None = None) -> DataFrame:
+        """Incremental scan: the rows in files ADDED after `from_version`
+        up to `to_version` (head by default).
+
+        This is how a downstream consumer (feature refresh, incremental
+        dedup, export) processes ONLY new data: appends and streaming-sink
+        commits surface exactly their new rows; a replace/refresh commit
+        surfaces the rewritten files' rows (the refreshed state of the
+        dirty range — consumers treat them as upserts keyed by the range
+        column); compaction rewrites carry no new data but do resurface
+        the compacted rows, so schedule compaction-aware consumers off the
+        manifest `operation` field. O(#files) manifest work, zero data I/O
+        beyond the changed files themselves.
+        """
+        to_m = self._resolve(to_version, None)
+        if to_m["version"] == 0:
+            raise ValueError("table has no snapshots yet")
+        if from_version > to_m["version"]:
+            raise ValueError(
+                f"from_version {from_version} is newer than to_version "
+                f"{to_m['version']}"
+            )
+        base = (
+            {f["path"] for f in self.manifest(from_version)["files"]}
+            if from_version > 0 else set()
+        )
+        added = [f for f in to_m["files"] if f["path"] not in base]
+        return self._read_files(to_m, added)
+
     # ----- maintenance ----------------------------------------------------
 
     def delete_below(self, col: str, cutoff, sort_within: bool = True) -> int | None:

@@ -254,6 +254,41 @@ class TestDeleteBelow:
         assert table.delete_below("k", 100) is None
 
 
+class TestIncrementalRead:
+    def test_changes_between_appends(self, spark, table):
+        table.append(_mk(spark, 100))
+        table.append(_mk(spark, 50, offset=1000))
+        table.append(_mk(spark, 25, offset=2000))
+        inc = table.read_changes(1)  # everything after v1
+        assert inc.count() == 75
+        assert inc.agg(F.min("k")).collect()[0][0] == 1000
+        only_v3 = table.read_changes(2, 3)
+        assert only_v3.count() == 25
+        # from v0 = full table
+        assert table.read_changes(0).count() == 175
+
+    def test_changes_surface_refreshed_rows_once(self, spark, table):
+        for i in range(4):  # 4 disjoint files
+            table.append(_mk(spark, 1000, offset=i * 1000))
+        v1 = table.current_version()
+        fixed = _mk(spark, 1000, offset=1000) \
+            .filter(F.col("k").between(1100, 1199)) \
+            .withColumn("v", F.lit(0.0))
+        table.replace_where(fixed, "k", 1100, 1199)
+        inc = table.read_changes(v1)
+        # the rewritten file's rows appear (its survivors + the new
+        # range); rows of files carried by reference do not
+        assert inc.count() == 1000
+        assert inc.agg(F.min("k"), F.max("k")).collect()[0] == (1000, 1999)
+        assert inc.filter(F.col("k").between(1100, 1199)) \
+            .filter(F.col("v") != 0.0).count() == 0
+
+    def test_changes_validate_versions(self, spark, table):
+        table.append(_mk(spark, 10))
+        with pytest.raises(ValueError, match="newer than"):
+            table.read_changes(5, 1)
+
+
 class TestNullSemantics:
     """NULL range values never match a range predicate, so they must
     survive every replace/delete — including the whole-file drop fast
