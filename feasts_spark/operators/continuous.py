@@ -1,0 +1,306 @@
+"""Continuous aggregate over snapshot tables — incremental tier refresh.
+
+The north-rule tiers (rollup.py) and the snapshot storage layer
+(sources/snapshots.py) compose here into the full continuous-aggregate
+loop that systems like TimescaleDB caggs / Materialize run: a rollup tier
+materialized in its own snapshot table stays in sync with a raw snapshot
+table by processing ONLY what changed since the last refresh.
+
+The reference has no storage layer at all (feasts computes features on
+in-memory tsibbles); this module is pure engine surface required by the
+north rule ("continuous aggregates", "resumable", "per-partition
+lineage").
+
+Change detection is the snapshot version log: `read_changes(cursor)`
+surfaces exactly the rows of files added since the cursor version, and
+`read_removed(cursor)` the pre-image rows of files dropped (the
+invalidation source for deletes). The refresh cursor — the last source
+version folded into the target — commits ATOMICALLY with the refreshed
+data, in the target manifest's summary (`cagg_source_version`), the same
+transaction-log recipe the streaming sink uses for micro-batch ids: there
+is no window where refreshed rows are visible but the cursor is not. A
+sidecar file covers cursor-only advances and manifest expiry; manifests
+cover a crash between commit and sidecar write.
+
+Refresh strategy by what happened in the source since the cursor:
+
+  - nothing               -> no-op
+  - only `compact`        -> sidecar-only cursor advance (layout changed,
+                             no logical rows did)
+  - only `append`/`compact` -> MERGE mode: the per-commit file diff gives
+                             exactly the new raw rows (compacted old rows
+                             never enter the delta), and
+                             `rollup_merge(touched_tier_rows,
+                             rollup(delta))` re-aggregates WITHOUT
+                             touching on-time raw data — the streaming /
+                             crawl cadence hot path.
+  - `replace` or `delete` -> RECOMPUTE mode: changed ∪ removed rows mark
+                             dirty (series_key, bucket) pairs
+                             (conservatively — compaction rows resurface
+                             and recompute to identical values), and the
+                             dirty buckets re-aggregate from the CURRENT
+                             source via a footer-stats-pruned range read.
+                             Buckets whose raw rows all vanished drop from
+                             the tier — retention cascades to the
+                             aggregate automatically.
+  - `overwrite` / first run / cursor expired -> FULL rebuild.
+
+Storage commits are surgical: dirty buckets coalesce into contiguous
+bucket_ts runs (a late batch touching today plus one backfilled day
+yields two `replace_where` commits, not one whole-table rewrite), and
+each `replace_where` carries untouched files by reference. The cursor
+summary rides only the LAST run's commit, so a crash mid-refresh replays
+all runs idempotently (identical content, new versions).
+
+At 10^12 turns: the delta scan is bounded by the late data, the dirty
+set by the delta, the tier rewrite by the dirty bucket ranges — no step
+is proportional to table size except the (metadata-only) manifest walk.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from feasts_spark.operators.rollup import (
+    TIER_SECONDS,
+    invalidated_buckets,
+    rollup_merge,
+    rollup_raw,
+)
+from feasts_spark.sources.snapshots import SnapshotTable
+
+_KEY_COLS = ["series_key", "bucket_ts"]
+
+
+def _cursor_sidecar(target: SnapshotTable, name: str) -> str:
+    return os.path.join(target.meta_dir, f"cagg-{name}.json")
+
+
+def last_refreshed_source_version(target: SnapshotTable, name: str) -> int:
+    """The newest source version already folded into `target` (0 = none).
+
+    Max of the sidecar (written after each refresh, survives manifest
+    expiry) and the newest retained manifest carrying this cagg's summary
+    (survives a crash between commit and sidecar write). Cursor values
+    are monotone, so the newest-first manifest walk exits at the first
+    hit.
+    """
+    best = 0
+    p = _cursor_sidecar(target, name)
+    if os.path.exists(p):
+        with open(p) as f:
+            best = int(json.load(f).get("source_version", 0))
+    for h in reversed(target.history()):
+        s = target.manifest(h["version"]).get("summary", {})
+        if s.get("cagg_name") == name:
+            return max(best, int(s.get("cagg_source_version", 0)))
+    return best
+
+
+class ContinuousAggregate:
+    """Keep a rollup-tier snapshot table in sync with a raw snapshot table.
+
+    `target` should be created with ``stats_cols=("bucket_ts",)`` (or a
+    superset) so refresh commits and reads prune by bucket range;
+    `source` with ``stats_cols`` including `ts_col` for the recompute
+    scan. Neither is required for correctness — missing stats only cost
+    pruning.
+    """
+
+    def __init__(self, source: SnapshotTable, target: SnapshotTable,
+                 tier: str, key_col: str = "conv_id", ts_col: str = "ts",
+                 value_col: str = "value", name: str | None = None):
+        if tier not in TIER_SECONDS:
+            raise ValueError(f"unknown tier {tier!r}")
+        self.source, self.target, self.tier = source, target, tier
+        self.key_col, self.ts_col, self.value_col = key_col, ts_col, value_col
+        self.name = name or f"cagg_{tier}"
+
+    # ----- change classification ------------------------------------------
+
+    def _ops_since(self, cur: int, head: int) -> list[str] | None:
+        """Operations of source versions (cur, head]; None when any manifest
+        in the range was expired (forces the conservative path)."""
+        ops = []
+        for v in range(cur + 1, head + 1):
+            try:
+                ops.append(self.source.manifest(v)["operation"])
+            except FileNotFoundError:
+                return None
+        return ops
+
+    def _append_delta(self, cur: int, head: int) -> DataFrame:
+        """Exactly the rows appended in (cur, head]: per-commit file diff,
+        so files later rewritten by compaction inside the range still
+        contribute their rows ONCE (from their original file, which stays
+        on disk until expiry)."""
+        frames = []
+        prev = {f["path"] for f in self.source.manifest(cur)["files"]}
+        for v in range(cur + 1, head + 1):
+            m = self.source.manifest(v)
+            paths = {f["path"] for f in m["files"]}
+            if m["operation"] == "append":
+                added = [f for f in m["files"] if f["path"] not in prev]
+                if added:
+                    frames.append(self.source._read_files(m, added))
+            prev = paths
+        if not frames:
+            m = self.source.manifest(head)
+            return self.source._read_files(m, [])
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    # ----- bucket-run planning ---------------------------------------------
+
+    def _runs(self, buckets: list, coalesce_gap_buckets: int,
+              max_commits: int) -> list[tuple]:
+        """Split sorted dirty bucket timestamps into contiguous runs: a new
+        run starts when the gap exceeds `coalesce_gap_buckets` tier steps.
+        If that yields more than `max_commits` runs, merge across the
+        smallest gaps first — commit count stays bounded and the extra
+        rewrite covers the narrowest possible clean spans."""
+        step = _dt.timedelta(seconds=TIER_SECONDS[self.tier])
+        gap = step * coalesce_gap_buckets
+        runs = [[buckets[0], buckets[0]]]
+        for b in buckets[1:]:
+            if b - runs[-1][1] > gap:
+                runs.append([b, b])
+            else:
+                runs[-1][1] = b
+        while len(runs) > max_commits:
+            gaps = [
+                (runs[i + 1][0] - runs[i][1], i) for i in range(len(runs) - 1)
+            ]
+            _, i = min(gaps, key=lambda t: (t[0], t[1]))
+            runs[i][1] = runs[i + 1][1]
+            del runs[i + 1]
+        return [tuple(r) for r in runs]
+
+    # ----- refresh -----------------------------------------------------------
+
+    def refresh(self, coalesce_gap_buckets: int = 16,
+                max_commits: int = 8) -> dict:
+        """Fold every source change since the last refresh into the target.
+
+        Returns a stats dict: mode, source version range, dirty bucket
+        count, commits made, and rows written. Safe to re-run at any time
+        (a no-op when the cursor is at head) and after any crash (the
+        cursor only advances on the final commit).
+        """
+        head = self.source.current_version()
+        cur = last_refreshed_source_version(self.target, self.name)
+        stats = {"mode": "noop", "source_from": cur, "source_to": head,
+                 "dirty_buckets": 0, "commits": 0, "rows_written": 0}
+        if head <= cur:
+            return stats
+
+        ops = self._ops_since(cur, head)
+        if ops is not None and all(o == "compact" for o in ops):
+            self._write_sidecar(head)
+            stats["mode"] = "cursor_only"
+            return stats
+
+        cursor_summary = {"cagg_name": self.name,
+                          "cagg_source_version": head}
+
+        try:
+            self.source.manifest(cur)
+            cur_ok = True
+        except FileNotFoundError:
+            cur_ok = False  # cursor snapshot expired: can't diff against it
+
+        if cur == 0 or not cur_ok or (ops is not None and "overwrite" in ops):
+            full = rollup_raw(self.source.read(), self.tier, self.key_col,
+                              self.ts_col, self.value_col)
+            self.target.retrying(self.target.overwrite, full,
+                                 extra_summary=cursor_summary)
+            self._write_sidecar(head)
+            n = sum(f["rows"] for f in self.target.manifest()["files"])
+            stats.update(mode="full", commits=1, rows_written=n)
+            return stats
+
+        if ops is not None and all(o in ("append", "compact") for o in ops):
+            mode = "merge"
+            delta_tier = rollup_raw(
+                self._append_delta(cur, head), self.tier, self.key_col,
+                self.ts_col, self.value_col,
+            ).localCheckpoint(eager=True)
+            dirty = delta_tier.select(*_KEY_COLS)
+        else:
+            mode = "recompute"
+            changed = self.source.read_changes(cur, head).unionByName(
+                self.source.read_removed(cur, head)
+            )
+            dirty = invalidated_buckets(
+                changed, self.tier, self.key_col, self.ts_col
+            ).localCheckpoint(eager=True)
+            delta_tier = None
+
+        buckets = sorted(
+            r[0] for r in dirty.select("bucket_ts").distinct().collect()
+        )
+        if not buckets:
+            # e.g. a replace that rewrote zero rows; nothing to fold
+            self._write_sidecar(head)
+            stats["mode"] = "cursor_only"
+            return stats
+
+        runs = self._runs(buckets, coalesce_gap_buckets, max_commits)
+        step = _dt.timedelta(seconds=TIER_SECONDS[self.tier])
+        rows_written = 0
+        target_empty = self.target.current_version() == 0
+        for i, (lo, hi) in enumerate(runs):
+            if target_empty:
+                clean = self.target.spark.createDataFrame(
+                    [], dirty.schema if delta_tier is None
+                    else delta_tier.schema)
+            else:
+                in_range = self.target.read_where("bucket_ts", lo, hi)
+                clean = in_range.join(F.broadcast(dirty), _KEY_COLS,
+                                      "left_anti")
+            if mode == "merge":
+                part = delta_tier.filter(
+                    F.col("bucket_ts").between(F.lit(lo), F.lit(hi)))
+                if target_empty:
+                    refreshed = part
+                else:
+                    touched = in_range.join(F.broadcast(dirty), _KEY_COLS,
+                                            "left_semi")
+                    refreshed = rollup_merge(touched, part)
+            else:
+                raw = self.source.read_where(
+                    self.ts_col, lo, hi + step - _dt.timedelta(microseconds=1))
+                refreshed = rollup_raw(
+                    raw, self.tier, self.key_col, self.ts_col, self.value_col
+                ).join(F.broadcast(dirty), _KEY_COLS, "left_semi")
+            cols = refreshed.columns
+            out = refreshed if target_empty else (
+                clean.select(cols).unionByName(refreshed))
+            last = i == len(runs) - 1
+            self.target.retrying(
+                self.target.replace_where, out, "bucket_ts", lo, hi,
+                extra_summary=cursor_summary if last
+                else {"cagg_name": self.name},
+            )
+            rows_written += sum(
+                f["rows"] for f in self.target.manifest()["files"]
+                if f["path"] not in {
+                    x["path"] for x in self.target.manifest(
+                        self.target.current_version() - 1)["files"]}
+            )
+        self._write_sidecar(head)
+        stats.update(mode=mode, dirty_buckets=len(buckets),
+                     commits=len(runs), rows_written=rows_written)
+        return stats
+
+    def _write_sidecar(self, version: int) -> None:
+        tmp = _cursor_sidecar(self.target, self.name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"source_version": version}, f)
+        os.replace(tmp, _cursor_sidecar(self.target, self.name))

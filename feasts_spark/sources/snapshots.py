@@ -318,7 +318,8 @@ class SnapshotTable:
             shutil.rmtree(commit_dir, ignore_errors=True)
             raise
 
-    def overwrite(self, df: DataFrame, sort_within: bool = True) -> int:
+    def overwrite(self, df: DataFrame, sort_within: bool = True,
+                  extra_summary: dict | None = None) -> int:
         """Commit df as the FULL table content (logical truncate + write)."""
         parent = self.manifest()
         commit_dir, new_files = self._stage_files(df, sort_within)
@@ -326,14 +327,16 @@ class SnapshotTable:
             return self._commit(
                 new_files, "overwrite", parent, df.schema.json(),
                 {"added_files": len(new_files),
-                 "removed_files": len(parent["files"])},
+                 "removed_files": len(parent["files"]),
+                 **(extra_summary or {})},
             )
         except SnapshotConflict:
             shutil.rmtree(commit_dir, ignore_errors=True)
             raise
 
     def replace_where(self, df_new: DataFrame, col: str, lo, hi,
-                      sort_within: bool = True) -> int:
+                      sort_within: bool = True,
+                      extra_summary: dict | None = None) -> int:
         """Copy-on-write replace of the rows with ``lo <= col <= hi``.
 
         Files whose footer [min, max] window does not intersect the range
@@ -382,7 +385,8 @@ class SnapshotTable:
             return self._commit(
                 kept + new_files, "replace", parent, schema_json,
                 {"rewritten_files": len(straddle), "dropped_files": dropped,
-                 "kept_files": len(kept), "added_files": len(new_files)},
+                 "kept_files": len(kept), "added_files": len(new_files),
+                 **(extra_summary or {})},
             )
         except SnapshotConflict:
             shutil.rmtree(commit_dir, ignore_errors=True)
@@ -469,6 +473,30 @@ class SnapshotTable:
         )
         added = [f for f in to_m["files"] if f["path"] not in base]
         return self._read_files(to_m, added)
+
+    def read_removed(self, from_version: int,
+                     to_version: int | None = None) -> DataFrame:
+        """Pre-image scan: the rows of files REMOVED after `from_version`
+        up to `to_version` (head by default) — the mirror of
+        `read_changes`. A replace/delete commit's removed files hold the
+        rows that were rewritten or dropped; a consumer that must react to
+        deletions (e.g. a continuous aggregate invalidating the buckets a
+        retention commit emptied) unions this with `read_changes` to get
+        every row whose state could have changed. Requires the
+        from-version's data files to still exist (i.e. `from_version` not
+        yet expired by `expire_snapshots`); raises FileNotFoundError-ish
+        Spark errors if they were.
+        """
+        from_m = self.manifest(from_version)
+        to_m = self._resolve(to_version, None)
+        if from_version > to_m["version"]:
+            raise ValueError(
+                f"from_version {from_version} is newer than to_version "
+                f"{to_m['version']}"
+            )
+        head = {f["path"] for f in to_m["files"]}
+        removed = [f for f in from_m["files"] if f["path"] not in head]
+        return self._read_files(from_m, removed)
 
     # ----- maintenance ----------------------------------------------------
 
