@@ -80,6 +80,38 @@ def _cursor_sidecar(target: SnapshotTable, name: str) -> str:
     return os.path.join(target.meta_dir, f"cagg-{name}.json")
 
 
+def _write_cursor_sidecar(target: SnapshotTable, name: str,
+                          version: int) -> None:
+    p = _cursor_sidecar(target, name)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"source_version": version}, f)
+    os.replace(tmp, p)
+
+
+def _split_runs(values: list, gap, max_commits: int) -> list[tuple]:
+    """Split sorted scalars into contiguous runs: a new run starts when
+    the step exceeds `gap` (same arithmetic as the values — timedelta for
+    bucket timestamps, int for hash buckets). If that yields more than
+    `max_commits` runs, merge across the smallest gaps first — commit
+    count stays bounded and the extra rewrite covers the narrowest
+    possible clean spans."""
+    runs = [[values[0], values[0]]]
+    for v in values[1:]:
+        if v - runs[-1][1] > gap:
+            runs.append([v, v])
+        else:
+            runs[-1][1] = v
+    while len(runs) > max_commits:
+        gaps = [
+            (runs[i + 1][0] - runs[i][1], i) for i in range(len(runs) - 1)
+        ]
+        _, i = min(gaps, key=lambda t: (t[0], t[1]))
+        runs[i][1] = runs[i + 1][1]
+        del runs[i + 1]
+    return [tuple(r) for r in runs]
+
+
 def last_refreshed_source_version(target: SnapshotTable, name: str) -> int:
     """The newest source version already folded into `target` (0 = none).
 
@@ -160,27 +192,8 @@ class ContinuousAggregate:
 
     def _runs(self, buckets: list, coalesce_gap_buckets: int,
               max_commits: int) -> list[tuple]:
-        """Split sorted dirty bucket timestamps into contiguous runs: a new
-        run starts when the gap exceeds `coalesce_gap_buckets` tier steps.
-        If that yields more than `max_commits` runs, merge across the
-        smallest gaps first — commit count stays bounded and the extra
-        rewrite covers the narrowest possible clean spans."""
         step = _dt.timedelta(seconds=TIER_SECONDS[self.tier])
-        gap = step * coalesce_gap_buckets
-        runs = [[buckets[0], buckets[0]]]
-        for b in buckets[1:]:
-            if b - runs[-1][1] > gap:
-                runs.append([b, b])
-            else:
-                runs[-1][1] = b
-        while len(runs) > max_commits:
-            gaps = [
-                (runs[i + 1][0] - runs[i][1], i) for i in range(len(runs) - 1)
-            ]
-            _, i = min(gaps, key=lambda t: (t[0], t[1]))
-            runs[i][1] = runs[i + 1][1]
-            del runs[i + 1]
-        return [tuple(r) for r in runs]
+        return _split_runs(buckets, step * coalesce_gap_buckets, max_commits)
 
     # ----- refresh -----------------------------------------------------------
 
@@ -300,7 +313,136 @@ class ContinuousAggregate:
         return stats
 
     def _write_sidecar(self, version: int) -> None:
-        tmp = _cursor_sidecar(self.target, self.name) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"source_version": version}, f)
-        os.replace(tmp, _cursor_sidecar(self.target, self.name))
+        _write_cursor_sidecar(self.target, self.name, version)
+
+
+class FeatureView:
+    """Incrementally materialized per-series feature packs.
+
+    The feature analogue of ContinuousAggregate: a snapshot table holding
+    one `features()` row per series, kept in sync with a raw snapshot
+    table by recomputing ONLY the series whose turns changed. Unlike a
+    rollup bucket, a feature row depends on its series' FULL history
+    (feat_stl/feat_acf are whole-series kernels), so every change class —
+    append, replace, delete — recomputes the dirty series from the
+    current source; what stays incremental is WHICH series recompute and
+    which storage files rewrite.
+
+    Key-addressed replacement over a range-addressed storage primitive:
+    rows carry `_kb = pmod(xxhash64(key), n_buckets)`, the target keeps
+    footer stats on `_kb`, and a refresh rewrites only the hash-bucket
+    runs containing dirty series — clean series in a dirty bucket are
+    read back and carried through, clean buckets carry by reference.
+    Deterministic hashing keeps a series in one bucket for life, so at
+    10^12 turns a daily refresh touching 0.1% of conversations rewrites
+    ~min(n_buckets, dirty) buckets of a table with one row per series,
+    never the raw corpus.
+
+    The one full-table cost is the dirty-series history scan: features
+    need each dirty series' complete turn stream, so the source is read
+    once (a broadcast semi join on the dirty key set — no shuffle of the
+    raw table; cluster the source by key or add a key bloom filter to
+    prune file I/O at deployment). The refresh cursor commits exactly as
+    ContinuousAggregate's does.
+    """
+
+    def __init__(self, source: SnapshotTable, target: SnapshotTable,
+                 key_col: str = "conv_id", ts_col: str = "ts",
+                 value_col: str = "value", n_buckets: int = 256,
+                 name: str = "features", period=1,
+                 min_points: int = 0, select: tuple | None = None,
+                 max_points: int = 2_000_000):
+        self.source, self.target = source, target
+        self.key_col, self.ts_col, self.value_col = key_col, ts_col, value_col
+        self.n_buckets, self.name = n_buckets, name
+        self.period, self.min_points = period, min_points
+        self.select, self.max_points = select, max_points
+
+    def _kb(self):
+        return F.pmod(F.xxhash64(F.col(self.key_col)),
+                      F.lit(self.n_buckets)).cast("int").alias("_kb")
+
+    def _featurize(self, raw: DataFrame) -> DataFrame:
+        from feasts_spark.operators.features import features
+        out = features(
+            raw, key_col=self.key_col, order_col=self.ts_col,
+            value_col=self.value_col, period=self.period,
+            min_points=self.min_points, select=self.select,
+            max_points=self.max_points,
+        )
+        return out.select(self._kb(), *out.columns)
+
+    def refresh(self, coalesce_gap_buckets: int = 4,
+                max_commits: int = 8) -> dict:
+        """Fold every source change since the last refresh into the
+        feature table. Same contract as ContinuousAggregate.refresh."""
+        head = self.source.current_version()
+        cur = last_refreshed_source_version(self.target, self.name)
+        stats = {"mode": "noop", "source_from": cur, "source_to": head,
+                 "dirty_keys": 0, "commits": 0}
+        if head <= cur:
+            return stats
+
+        ops = []
+        cur_ok = True
+        try:
+            self.source.manifest(cur)
+            for v in range(cur + 1, head + 1):
+                ops.append(self.source.manifest(v)["operation"])
+        except FileNotFoundError:
+            cur_ok = False
+        cursor_summary = {"cagg_name": self.name,
+                          "cagg_source_version": head}
+
+        if cur_ok and ops and all(o == "compact" for o in ops):
+            _write_cursor_sidecar(self.target, self.name, head)
+            stats["mode"] = "cursor_only"
+            return stats
+
+        if cur == 0 or not cur_ok or "overwrite" in ops:
+            full = self._featurize(self.source.read())
+            self.target.retrying(self.target.overwrite, full,
+                                 extra_summary=cursor_summary)
+            _write_cursor_sidecar(self.target, self.name, head)
+            stats.update(mode="full", commits=1)
+            return stats
+
+        changed = self.source.read_changes(cur, head).unionByName(
+            self.source.read_removed(cur, head))
+        dirty_keys = changed.select(self.key_col).distinct() \
+            .select(F.col(self.key_col), self._kb()) \
+            .localCheckpoint(eager=True)
+        buckets = sorted(
+            r[0] for r in dirty_keys.select("_kb").distinct().collect())
+        if not buckets:
+            _write_cursor_sidecar(self.target, self.name, head)
+            stats["mode"] = "cursor_only"
+            return stats
+
+        # ONE pass over the source for every dirty series' full history;
+        # materialized so per-run commits don't rescan the raw table
+        raw_dirty = self.source.read().join(
+            F.broadcast(dirty_keys.select(self.key_col)),
+            self.key_col, "left_semi")
+        recomputed = self._featurize(raw_dirty).localCheckpoint(eager=True)
+
+        runs = _split_runs(buckets, coalesce_gap_buckets, max_commits)
+        target_empty = self.target.current_version() == 0
+        for i, (lo, hi) in enumerate(runs):
+            part = recomputed.filter(F.col("_kb").between(lo, hi))
+            if target_empty:
+                out = part
+            else:
+                clean = self.target.read_where("_kb", lo, hi).join(
+                    F.broadcast(dirty_keys.select(self.key_col)),
+                    self.key_col, "left_anti")
+                out = clean.select(part.columns).unionByName(part)
+            self.target.retrying(
+                self.target.replace_where, out, "_kb", lo, hi,
+                extra_summary=cursor_summary if i == len(runs) - 1
+                else {"cagg_name": self.name},
+            )
+        _write_cursor_sidecar(self.target, self.name, head)
+        stats.update(mode="incremental", dirty_keys=dirty_keys.count(),
+                     commits=len(runs))
+        return stats
