@@ -667,6 +667,122 @@ def run_snapshot_overhead() -> dict:
     }
 
 
+INCR_SIZES = [
+    int(s) for s in os.environ.get("BENCH_INCR_SIZES", "6000,18000").split(",")
+]
+INCR_REPEATS = int(os.environ.get("BENCH_INCR_REPEATS", "3"))
+INCR_CUTOFF_Q = float(os.environ.get("BENCH_INCR_CUTOFF_Q", "0.97"))
+
+
+def _incremental_leg(spark, n_convs: int) -> dict:
+    """One corpus size: full-build vs incremental-refresh timings for the
+    continuous aggregate (1h tier) and the feature view, daily-ingest
+    delta (the turns past the INCR_CUTOFF_Q event-time quantile),
+    min-of-INCR_REPEATS with fresh tables per repeat."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from feasts_spark.operators.continuous import (
+        ContinuousAggregate, FeatureView,
+    )
+    from feasts_spark.sources.snapshots import SnapshotTable
+    from feasts_spark.sources.transcripts import (
+        synthesize_transcripts, turn_series,
+    )
+
+    cache = f"/tmp/feasts_bench_incr_{n_convs}_{MAX_TURNS}_{FORCED_LONG}"
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        turn_series(synthesize_transcripts(
+            spark, n_convs=n_convs, max_turns=MAX_TURNS,
+            forced_long_turns=FORCED_LONG,
+        )).write.mode("overwrite").parquet(cache)
+    series = spark.read.parquet(cache)
+
+    cutoff = series.select(
+        F.expr(f"percentile_approx(unix_micros(ts), {INCR_CUTOFF_Q}, 10000)")
+    ).collect()[0][0]
+    base = series.filter(F.unix_micros("ts") <= cutoff)
+    delta = series.filter(F.unix_micros("ts") > cutoff)
+    n_base, n_delta = base.count(), delta.count()
+    n_dirty_convs = delta.select("conv_id").distinct().count()
+
+    timings: dict[str, list[float]] = {
+        "cagg_full": [], "cagg_incr": [], "fv_full": [], "fv_incr": [],
+    }
+    for _ in range(INCR_REPEATS):
+        root = tempfile.mkdtemp(prefix="bench_incr_")
+        src = SnapshotTable(spark, root, "raw", stats_cols=("ts",))
+        tgt = SnapshotTable(spark, root, "tier_1h",
+                            stats_cols=("bucket_ts",))
+        ftg = SnapshotTable(spark, root, "feats", stats_cols=("_kb",))
+        src.append(base)
+        cagg = ContinuousAggregate(src, tgt, "1h")
+        view = FeatureView(src, ftg, min_points=100, period=24,
+                           n_buckets=256)
+        t0 = time.time(); assert cagg.refresh()["mode"] == "full"
+        timings["cagg_full"].append(time.time() - t0)
+        t0 = time.time(); assert view.refresh()["mode"] == "full"
+        timings["fv_full"].append(time.time() - t0)
+        src.append(delta)
+        t0 = time.time(); s = cagg.refresh()
+        timings["cagg_incr"].append(time.time() - t0)
+        assert s["mode"] == "merge", s
+        t0 = time.time(); s = view.refresh()
+        timings["fv_incr"].append(time.time() - t0)
+        assert s["mode"] == "incremental", s
+        shutil.rmtree(root, ignore_errors=True)
+    best = {k: min(v) for k, v in timings.items()}
+    return {
+        "n_convs": n_convs,
+        "n_base_turns": n_base,
+        "n_delta_turns": n_delta,
+        "n_dirty_convs": n_dirty_convs,
+        "delta_fraction": round(n_delta / max(n_base, 1), 5),
+        "fv_speedup": round(best["fv_full"] / best["fv_incr"], 2),
+        "cagg_speedup": round(best["cagg_full"] / best["cagg_incr"], 2),
+        "best_s": {k: round(v, 3) for k, v in best.items()},
+        "all_runs_s": {k: [round(x, 3) for x in v]
+                       for k, v in timings.items()},
+    }
+
+
+def run_incremental() -> dict:
+    """Refresh cost must track the DELTA, not the table. Two corpus sizes
+    give the growth law directly: full-rebuild time should grow ~linearly
+    with the table while incremental-refresh time grows far slower (its
+    inputs are the delta, the dirty slice, and one pruned/semi-joined
+    pass), so <metric> is the ratio of growth rates between the two —
+    >1 means incremental wins more the bigger the table, the 100 TB
+    property this layer exists for.
+    """
+    from feasts_spark.session import get_spark
+
+    spark = get_spark(8, app_name="bench-incremental")
+    legs = [_incremental_leg(spark, n) for n in INCR_SIZES]
+    out = {
+        "metric": "incremental_refresh_growth_advantage",
+        "unit": "x_full_growth_over_incr_growth",
+        "cores": 8,
+        "sizes": legs,
+    }
+    if len(legs) >= 2:
+        lo, hi = legs[0], legs[-1]
+        full_growth = hi["best_s"]["fv_full"] / lo["best_s"]["fv_full"]
+        incr_growth = hi["best_s"]["fv_incr"] / lo["best_s"]["fv_incr"]
+        out["value"] = round(full_growth / incr_growth, 2)
+        out["fv_full_growth"] = round(full_growth, 2)
+        out["fv_incr_growth"] = round(incr_growth, 2)
+        out["cagg_full_growth"] = round(
+            hi["best_s"]["cagg_full"] / lo["best_s"]["cagg_full"], 2)
+        out["cagg_incr_growth"] = round(
+            hi["best_s"]["cagg_incr"] / lo["best_s"]["cagg_incr"], 2)
+    else:
+        out["value"] = legs[0]["fv_speedup"]
+    return out
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(run_scaling()))
@@ -676,6 +792,8 @@ if __name__ == "__main__":
         print(json.dumps(run_snapshot_overhead()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--curation-scale":
         print(json.dumps(run_curation_scale()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--incremental":
+        print(json.dumps(run_incremental()))
     elif len(sys.argv) > 2 and sys.argv[1] == "--single":
         print(json.dumps(run_bench(sys.argv[2], SF_DIR)))
     else:

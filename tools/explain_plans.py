@@ -172,6 +172,45 @@ def main() -> None:
         "by footer stats; residual filter pushed into the scan)": pruned,
     })
 
+    # continuous-aggregate merge-mode refresh: the frame one bucket run
+    # commits (clean anti-join pass-through ∪ merge of touched rows with
+    # the delta's own rollup) — every exchange moves delta-sized data;
+    # the tier scan is the manifest-pruned read_where
+    from feasts_spark.operators.rollup import rollup_merge
+
+    delta_raw = ev.filter(F.dayofyear("ts") % 11 == 0)
+    delta_tier = rollup_raw(delta_raw, "1h", "user_id", "ts", "value")
+    dirty = delta_tier.select("series_key", "bucket_ts")
+    in_range = snap.read_where("bucket_ts", lo, hi)
+    on = ["series_key", "bucket_ts"]
+    refreshed = rollup_merge(
+        in_range.join(F.broadcast(dirty), on, "left_semi"), delta_tier
+    )
+    cagg_out = in_range.join(F.broadcast(dirty), on, "left_anti") \
+        .select(refreshed.columns).unionByName(refreshed)
+    plans.update({
+        "cagg_merge_refresh (broadcast dirty set: tier rows never "
+        "shuffle; exchanges carry delta-sized data only)": cagg_out,
+    })
+
+    # feature-view incremental refresh: dirty-series histories via one
+    # broadcast semi join over the raw scan (no shuffle of the corpus),
+    # then the single applyInPandas exchange of the (key, order, value)
+    # projection only
+    dirty_keys = delta_raw.select(
+        F.col("user_id").alias("conv_id")).distinct()
+    raw_turns = ev.select(
+        F.col("user_id").alias("conv_id"), F.col("ts"), F.col("value"))
+    fv_recompute = features(
+        raw_turns.join(F.broadcast(dirty_keys), "conv_id", "left_semi"),
+        key_col="conv_id", order_col="ts", value_col="value",
+        select=("feat_acf",),
+    )
+    plans.update({
+        "feature_view_incremental (broadcast semi join prunes the raw "
+        "scan to dirty series; one applyInPandas exchange)": fv_recompute,
+    })
+
     from feasts_spark.operators.seasonal import (
         gg_lag_data,
         gg_season_data,
