@@ -45,12 +45,33 @@ Refresh strategy by what happened in the source since the cursor:
                              aggregate automatically.
   - `overwrite` / first run / cursor expired -> FULL rebuild.
 
+Every source read during a refresh is PINNED to the head version captured
+at entry, so a concurrent writer (e.g. the streaming sink) committing
+mid-refresh can never leak rows into this refresh AND into the next one's
+delta — the cursor always describes exactly what was folded.
+
+Crash-consistency across multi-commit refreshes: non-final commits are
+marked in-progress in the manifest summary (atomic with their data).
+Recompute and full refreshes (and FeatureView) re-derive dirty state from
+the source, so replaying them rewrites identical content — idempotent as
+is. MERGE-mode re-application is NOT idempotent (re-merging a delta the
+target already absorbed would double-count), so when a refresh starts
+with a pending in-progress marker newer than the last cursor commit, the
+merge path is forbidden and the refresh falls back to recompute — always
+correct, at the one-off cost of re-aggregating the dirty buckets from
+source.
+
+Rows with a NULL timestamp have no bucket: they are excluded from every
+aggregation path (full and incremental alike — `date_trunc(NULL)` would
+otherwise produce an unaddressable NULL bucket that range commits can
+never replace). They still live in the raw table, protected by the
+storage layer's NULL-survival semantics.
+
 Storage commits are surgical: dirty buckets coalesce into contiguous
 bucket_ts runs (a late batch touching today plus one backfilled day
 yields two `replace_where` commits, not one whole-table rewrite), and
 each `replace_where` carries untouched files by reference. The cursor
-summary rides only the LAST run's commit, so a crash mid-refresh replays
-all runs idempotently (identical content, new versions).
+summary rides only the LAST run's commit.
 
 At 10^12 turns: the delta scan is bounded by the late data, the dirty
 set by the delta, the tier rewrite by the dirty bucket ranges — no step
@@ -60,6 +81,7 @@ is proportional to table size except the (metadata-only) manifest walk.
 from __future__ import annotations
 
 import datetime as _dt
+import glob as _glob
 import json
 import os
 
@@ -76,6 +98,8 @@ from feasts_spark.sources.snapshots import SnapshotTable
 _KEY_COLS = ["series_key", "bucket_ts"]
 
 
+# ----- shared cursor / change-classification machinery ---------------------
+
 def _cursor_sidecar(target: SnapshotTable, name: str) -> str:
     return os.path.join(target.meta_dir, f"cagg-{name}.json")
 
@@ -87,6 +111,70 @@ def _write_cursor_sidecar(target: SnapshotTable, name: str,
     with open(tmp, "w") as f:
         json.dump({"source_version": version}, f)
     os.replace(tmp, p)
+
+
+def _cagg_state(target: SnapshotTable, name: str) -> tuple[int, bool]:
+    """(cursor, partial_pending) for this consumer.
+
+    cursor: the newest source version already FULLY folded into `target` —
+    max of the sidecar (survives manifest expiry) and the newest retained
+    manifest carrying `cagg_source_version` for this name (survives a
+    crash between commit and sidecar write). partial_pending: an
+    in-progress (non-final) refresh commit exists NEWER than that cursor
+    commit — i.e. a multi-commit refresh crashed midway and part of its
+    delta is already absorbed.
+
+    Newest-first walk over globbed version numbers with early exit at the
+    first cursor-carrying hit: O(1-2) manifest reads in steady state, not
+    O(history).
+    """
+    best = 0
+    p = _cursor_sidecar(target, name)
+    if os.path.exists(p):
+        with open(p) as f:
+            best = int(json.load(f).get("source_version", 0))
+    partial = False
+    versions = sorted(
+        (
+            int(os.path.basename(q)[1:-5])
+            for q in _glob.glob(os.path.join(target.meta_dir, "v*.json"))
+        ),
+        reverse=True,
+    )
+    for v in versions:
+        s = target.manifest(v).get("summary", {})
+        if s.get("cagg_name") != name:
+            continue
+        if "cagg_source_version" in s:
+            return max(best, int(s["cagg_source_version"])), partial
+        partial = True  # newer uncursored refresh commit: crashed midway
+    return best, partial
+
+
+def last_refreshed_source_version(target: SnapshotTable, name: str) -> int:
+    """The newest source version already folded into `target` (0 = none)."""
+    return _cagg_state(target, name)[0]
+
+
+def _cursor_manifest_ok(source: SnapshotTable, cur: int) -> bool:
+    try:
+        source.manifest(cur)
+        return True
+    except FileNotFoundError:
+        return False  # cursor snapshot expired: can't diff against it
+
+
+def _ops_since(source: SnapshotTable, cur: int, head: int) -> list[str] | None:
+    """Operations of source versions (cur, head]; None when any manifest in
+    the range was expired. None does NOT force a full rebuild — the
+    recompute path only needs the cur and head manifests."""
+    ops = []
+    for v in range(cur + 1, head + 1):
+        try:
+            ops.append(source.manifest(v)["operation"])
+        except FileNotFoundError:
+            return None
+    return ops
 
 
 def _split_runs(values: list, gap, max_commits: int) -> list[tuple]:
@@ -112,25 +200,7 @@ def _split_runs(values: list, gap, max_commits: int) -> list[tuple]:
     return [tuple(r) for r in runs]
 
 
-def last_refreshed_source_version(target: SnapshotTable, name: str) -> int:
-    """The newest source version already folded into `target` (0 = none).
-
-    Max of the sidecar (written after each refresh, survives manifest
-    expiry) and the newest retained manifest carrying this cagg's summary
-    (survives a crash between commit and sidecar write). Cursor values
-    are monotone, so the newest-first manifest walk exits at the first
-    hit.
-    """
-    best = 0
-    p = _cursor_sidecar(target, name)
-    if os.path.exists(p):
-        with open(p) as f:
-            best = int(json.load(f).get("source_version", 0))
-    for h in reversed(target.history()):
-        s = target.manifest(h["version"]).get("summary", {})
-        if s.get("cagg_name") == name:
-            return max(best, int(s.get("cagg_source_version", 0)))
-    return best
+_IN_PROGRESS = {"cagg_in_progress": True}
 
 
 class ContinuousAggregate:
@@ -152,18 +222,8 @@ class ContinuousAggregate:
         self.key_col, self.ts_col, self.value_col = key_col, ts_col, value_col
         self.name = name or f"cagg_{tier}"
 
-    # ----- change classification ------------------------------------------
-
-    def _ops_since(self, cur: int, head: int) -> list[str] | None:
-        """Operations of source versions (cur, head]; None when any manifest
-        in the range was expired (forces the conservative path)."""
-        ops = []
-        for v in range(cur + 1, head + 1):
-            try:
-                ops.append(self.source.manifest(v)["operation"])
-            except FileNotFoundError:
-                return None
-        return ops
+    def _with_ts(self, df: DataFrame) -> DataFrame:
+        return df.filter(F.col(self.ts_col).isNotNull())
 
     def _append_delta(self, cur: int, head: int) -> DataFrame:
         """Exactly the rows appended in (cur, head]: per-commit file diff,
@@ -188,14 +248,10 @@ class ContinuousAggregate:
             out = out.unionByName(f)
         return out
 
-    # ----- bucket-run planning ---------------------------------------------
-
     def _runs(self, buckets: list, coalesce_gap_buckets: int,
               max_commits: int) -> list[tuple]:
         step = _dt.timedelta(seconds=TIER_SECONDS[self.tier])
         return _split_runs(buckets, step * coalesce_gap_buckets, max_commits)
-
-    # ----- refresh -----------------------------------------------------------
 
     def refresh(self, coalesce_gap_buckets: int = 16,
                 max_commits: int = 8) -> dict:
@@ -204,17 +260,19 @@ class ContinuousAggregate:
         Returns a stats dict: mode, source version range, dirty bucket
         count, commits made, and rows written. Safe to re-run at any time
         (a no-op when the cursor is at head) and after any crash (the
-        cursor only advances on the final commit).
+        cursor only advances on the final commit; a crashed merge refresh
+        resumes as recompute).
         """
         head = self.source.current_version()
-        cur = last_refreshed_source_version(self.target, self.name)
+        cur, partial = _cagg_state(self.target, self.name)
         stats = {"mode": "noop", "source_from": cur, "source_to": head,
                  "dirty_buckets": 0, "commits": 0, "rows_written": 0}
         if head <= cur:
             return stats
 
-        ops = self._ops_since(cur, head)
-        if ops is not None and all(o == "compact" for o in ops):
+        ops = _ops_since(self.source, cur, head)
+        if ops is not None and all(o == "compact" for o in ops) \
+                and not partial:
             self._write_sidecar(head)
             stats["mode"] = "cursor_only"
             return stats
@@ -222,15 +280,11 @@ class ContinuousAggregate:
         cursor_summary = {"cagg_name": self.name,
                           "cagg_source_version": head}
 
-        try:
-            self.source.manifest(cur)
-            cur_ok = True
-        except FileNotFoundError:
-            cur_ok = False  # cursor snapshot expired: can't diff against it
-
-        if cur == 0 or not cur_ok or (ops is not None and "overwrite" in ops):
-            full = rollup_raw(self.source.read(), self.tier, self.key_col,
-                              self.ts_col, self.value_col)
+        if cur == 0 or not _cursor_manifest_ok(self.source, cur) \
+                or (ops is not None and "overwrite" in ops):
+            full = rollup_raw(
+                self._with_ts(self.source.read(version=head)), self.tier,
+                self.key_col, self.ts_col, self.value_col)
             self.target.retrying(self.target.overwrite, full,
                                  extra_summary=cursor_summary)
             self._write_sidecar(head)
@@ -238,11 +292,16 @@ class ContinuousAggregate:
             stats.update(mode="full", commits=1, rows_written=n)
             return stats
 
-        if ops is not None and all(o in ("append", "compact") for o in ops):
+        # merge-mode re-application is not idempotent, so a crashed
+        # multi-commit refresh (partial=True: part of the pending delta is
+        # already absorbed) must resume through recompute, which rewrites
+        # dirty buckets from source state and is replay-safe
+        if ops is not None and all(o in ("append", "compact") for o in ops) \
+                and not partial:
             mode = "merge"
             delta_tier = rollup_raw(
-                self._append_delta(cur, head), self.tier, self.key_col,
-                self.ts_col, self.value_col,
+                self._with_ts(self._append_delta(cur, head)), self.tier,
+                self.key_col, self.ts_col, self.value_col,
             ).localCheckpoint(eager=True)
             dirty = delta_tier.select(*_KEY_COLS)
         else:
@@ -251,7 +310,7 @@ class ContinuousAggregate:
                 self.source.read_removed(cur, head)
             )
             dirty = invalidated_buckets(
-                changed, self.tier, self.key_col, self.ts_col
+                self._with_ts(changed), self.tier, self.key_col, self.ts_col
             ).localCheckpoint(eager=True)
             delta_tier = None
 
@@ -267,39 +326,28 @@ class ContinuousAggregate:
         runs = self._runs(buckets, coalesce_gap_buckets, max_commits)
         step = _dt.timedelta(seconds=TIER_SECONDS[self.tier])
         rows_written = 0
-        target_empty = self.target.current_version() == 0
         for i, (lo, hi) in enumerate(runs):
-            if target_empty:
-                clean = self.target.spark.createDataFrame(
-                    [], dirty.schema if delta_tier is None
-                    else delta_tier.schema)
-            else:
-                in_range = self.target.read_where("bucket_ts", lo, hi)
-                clean = in_range.join(F.broadcast(dirty), _KEY_COLS,
-                                      "left_anti")
+            in_range = self.target.read_where("bucket_ts", lo, hi)
+            clean = in_range.join(F.broadcast(dirty), _KEY_COLS, "left_anti")
             if mode == "merge":
                 part = delta_tier.filter(
                     F.col("bucket_ts").between(F.lit(lo), F.lit(hi)))
-                if target_empty:
-                    refreshed = part
-                else:
-                    touched = in_range.join(F.broadcast(dirty), _KEY_COLS,
-                                            "left_semi")
-                    refreshed = rollup_merge(touched, part)
+                touched = in_range.join(F.broadcast(dirty), _KEY_COLS,
+                                        "left_semi")
+                refreshed = rollup_merge(touched, part)
             else:
                 raw = self.source.read_where(
-                    self.ts_col, lo, hi + step - _dt.timedelta(microseconds=1))
+                    self.ts_col, lo, hi + step - _dt.timedelta(microseconds=1),
+                    version=head)
                 refreshed = rollup_raw(
                     raw, self.tier, self.key_col, self.ts_col, self.value_col
                 ).join(F.broadcast(dirty), _KEY_COLS, "left_semi")
-            cols = refreshed.columns
-            out = refreshed if target_empty else (
-                clean.select(cols).unionByName(refreshed))
+            out = clean.select(refreshed.columns).unionByName(refreshed)
             last = i == len(runs) - 1
             self.target.retrying(
                 self.target.replace_where, out, "bucket_ts", lo, hi,
                 extra_summary=cursor_summary if last
-                else {"cagg_name": self.name},
+                else {"cagg_name": self.name, **_IN_PROGRESS},
             )
             rows_written += sum(
                 f["rows"] for f in self.target.manifest()["files"]
@@ -325,8 +373,9 @@ class FeatureView:
     rollup bucket, a feature row depends on its series' FULL history
     (feat_stl/feat_acf are whole-series kernels), so every change class —
     append, replace, delete — recomputes the dirty series from the
-    current source; what stays incremental is WHICH series recompute and
-    which storage files rewrite.
+    pinned source head; what stays incremental is WHICH series recompute
+    and which storage files rewrite. Recompute-from-source also makes
+    every commit replay-safe (no merge-mode hazard).
 
     Key-addressed replacement over a range-addressed storage primitive:
     rows carry `_kb = pmod(xxhash64(key), n_buckets)`, the target keeps
@@ -365,7 +414,8 @@ class FeatureView:
     def _featurize(self, raw: DataFrame) -> DataFrame:
         from feasts_spark.operators.features import features
         out = features(
-            raw, key_col=self.key_col, order_col=self.ts_col,
+            raw.filter(F.col(self.ts_col).isNotNull()),
+            key_col=self.key_col, order_col=self.ts_col,
             value_col=self.value_col, period=self.period,
             min_points=self.min_points, select=self.select,
             max_points=self.max_points,
@@ -377,30 +427,24 @@ class FeatureView:
         """Fold every source change since the last refresh into the
         feature table. Same contract as ContinuousAggregate.refresh."""
         head = self.source.current_version()
-        cur = last_refreshed_source_version(self.target, self.name)
+        cur, _ = _cagg_state(self.target, self.name)
         stats = {"mode": "noop", "source_from": cur, "source_to": head,
                  "dirty_keys": 0, "commits": 0}
         if head <= cur:
             return stats
 
-        ops = []
-        cur_ok = True
-        try:
-            self.source.manifest(cur)
-            for v in range(cur + 1, head + 1):
-                ops.append(self.source.manifest(v)["operation"])
-        except FileNotFoundError:
-            cur_ok = False
-        cursor_summary = {"cagg_name": self.name,
-                          "cagg_source_version": head}
-
-        if cur_ok and ops and all(o == "compact" for o in ops):
+        ops = _ops_since(self.source, cur, head)
+        if ops is not None and all(o == "compact" for o in ops):
             _write_cursor_sidecar(self.target, self.name, head)
             stats["mode"] = "cursor_only"
             return stats
 
-        if cur == 0 or not cur_ok or "overwrite" in ops:
-            full = self._featurize(self.source.read())
+        cursor_summary = {"cagg_name": self.name,
+                          "cagg_source_version": head}
+
+        if cur == 0 or not _cursor_manifest_ok(self.source, cur) \
+                or (ops is not None and "overwrite" in ops):
+            full = self._featurize(self.source.read(version=head))
             self.target.retrying(self.target.overwrite, full,
                                  extra_summary=cursor_summary)
             _write_cursor_sidecar(self.target, self.name, head)
@@ -419,28 +463,25 @@ class FeatureView:
             stats["mode"] = "cursor_only"
             return stats
 
-        # ONE pass over the source for every dirty series' full history;
-        # materialized so per-run commits don't rescan the raw table
-        raw_dirty = self.source.read().join(
+        # ONE pass over the pinned source head for every dirty series'
+        # full history; materialized so per-run commits don't rescan the
+        # raw table
+        raw_dirty = self.source.read(version=head).join(
             F.broadcast(dirty_keys.select(self.key_col)),
             self.key_col, "left_semi")
         recomputed = self._featurize(raw_dirty).localCheckpoint(eager=True)
 
         runs = _split_runs(buckets, coalesce_gap_buckets, max_commits)
-        target_empty = self.target.current_version() == 0
         for i, (lo, hi) in enumerate(runs):
             part = recomputed.filter(F.col("_kb").between(lo, hi))
-            if target_empty:
-                out = part
-            else:
-                clean = self.target.read_where("_kb", lo, hi).join(
-                    F.broadcast(dirty_keys.select(self.key_col)),
-                    self.key_col, "left_anti")
-                out = clean.select(part.columns).unionByName(part)
+            clean = self.target.read_where("_kb", lo, hi).join(
+                F.broadcast(dirty_keys.select(self.key_col)),
+                self.key_col, "left_anti")
+            out = clean.select(part.columns).unionByName(part)
             self.target.retrying(
                 self.target.replace_where, out, "_kb", lo, hi,
                 extra_summary=cursor_summary if i == len(runs) - 1
-                else {"cagg_name": self.name},
+                else {"cagg_name": self.name, **_IN_PROGRESS},
             )
         _write_cursor_sidecar(self.target, self.name, head)
         stats.update(mode="incremental", dirty_keys=dirty_keys.count(),

@@ -487,13 +487,16 @@ class SnapshotTable:
         yet expired by `expire_snapshots`); raises FileNotFoundError-ish
         Spark errors if they were.
         """
-        from_m = self.manifest(from_version)
         to_m = self._resolve(to_version, None)
         if from_version > to_m["version"]:
             raise ValueError(
                 f"from_version {from_version} is newer than to_version "
                 f"{to_m['version']}"
             )
+        if from_version == 0:
+            # nothing existed before v1, so nothing was removed
+            return self._read_files(to_m, [])
+        from_m = self.manifest(from_version)
         head = {f["path"] for f in to_m["files"]}
         removed = [f for f in from_m["files"] if f["path"] not in head]
         return self._read_files(from_m, removed)

@@ -258,6 +258,109 @@ class TestCursorAndCrash:
         # manifest summary is authoritative, so refresh is a noop
         assert cagg.refresh()["mode"] == "noop"
 
+    def test_crashed_merge_resumes_as_recompute_no_double_count(
+            self, spark, pair):
+        """A multi-commit merge refresh that dies between commits has
+        absorbed part of its delta; re-applying the merge would double
+        count. The resumed refresh must detect the in-progress marker and
+        fall back to recompute."""
+        src, tgt = pair
+        src.append(_turns(spark, 240, conv_mod=1))
+        src.append(_turns(spark, 240, day=30, conv_mod=1))
+        cagg = ContinuousAggregate(src, tgt, "1h")
+        cagg.refresh()
+        src.append(_turns(spark, 2, day=0, start_minute=61, conv_mod=1))
+        src.append(_turns(spark, 2, day=30, start_minute=61, conv_mod=1))
+
+        real = SnapshotTable.replace_where
+        calls = {"n": 0}
+
+        def dying(self_, *a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("simulated crash between run commits")
+            return real(self_, *a, **kw)
+
+        import feasts_spark.sources.snapshots as snap_mod
+        orig = snap_mod.SnapshotTable.replace_where
+        snap_mod.SnapshotTable.replace_where = dying
+        try:
+            with pytest.raises(RuntimeError, match="simulated crash"):
+                cagg.refresh(coalesce_gap_buckets=4)
+        finally:
+            snap_mod.SnapshotTable.replace_where = orig
+
+        # cursor must NOT have advanced, and the pending marker is seen
+        from feasts_spark.operators.continuous import _cagg_state
+        cur, partial = _cagg_state(tgt, cagg.name)
+        assert partial and cur < src.current_version()
+        s = cagg.refresh(coalesce_gap_buckets=4)
+        assert s["mode"] == "recompute"  # merge forbidden after partial
+        _assert_synced(src, tgt, cagg)
+
+    def test_concurrent_append_during_refresh_not_lost_or_doubled(
+            self, spark, pair):
+        """Source reads are pinned to the head captured at refresh entry:
+        a commit landing mid-refresh must be folded exactly once — by the
+        NEXT refresh."""
+        src, tgt = pair
+        src.append(_turns(spark, 120))
+        cagg = ContinuousAggregate(src, tgt, "1h")
+
+        # freeze the observed head at v1, then land v2 "mid-refresh"
+        late = _turns(spark, 60, start_minute=120)
+        orig_cv = SnapshotTable.current_version
+
+        def pinned_head(self_):
+            v = orig_cv(self_)
+            if self_ is src and not getattr(pinned_head, "done", False):
+                pinned_head.done = True
+                src2 = SnapshotTable(spark, os.path.dirname(
+                    src.table_dir.rstrip("/")), "raw", stats_cols=("ts",))
+                # commit v2 AFTER head capture but before the reads
+                SnapshotTable.current_version = orig_cv
+                src2.append(late)
+                SnapshotTable.current_version = pinned_head
+                return v  # the pre-append head
+            return v
+
+        SnapshotTable.current_version = pinned_head
+        try:
+            s = cagg.refresh()
+        finally:
+            SnapshotTable.current_version = orig_cv
+        assert s["mode"] == "full" and s["source_to"] == 1
+        # v2's rows are NOT in the tier yet (pinned read)...
+        assert tgt.read().count() == \
+            rollup_raw(src.read(version=1), "1h").count()
+        # ...and the next refresh folds them exactly once
+        s2 = cagg.refresh()
+        assert s2["mode"] == "merge"
+        _assert_synced(src, tgt, cagg)
+
+    def test_null_ts_rows_are_excluded_not_fatal(self, spark, pair):
+        src, tgt = pair
+        src.append(_turns(spark, 120))
+        cagg = ContinuousAggregate(src, tgt, "1h")
+        cagg.refresh()
+        withnull = _turns(spark, 5, start_minute=120).unionByName(
+            spark.createDataFrame(
+                [Row(conv_id="cX", turn_idx=0, ts=None, value=1.0)],
+                _SCHEMA,
+            ))
+        src.append(withnull)
+        s = cagg.refresh()
+        assert s["mode"] == "merge"
+        expect = rollup_raw(
+            src.read().filter(F.col("ts").isNotNull()), "1h")
+        assert tgt.read().count() == expect.count()
+        assert tgt.read().filter(F.col("bucket_ts").isNull()).count() == 0
+
+    def test_read_removed_from_zero_is_empty(self, spark, pair):
+        src, _ = pair
+        src.append(_turns(spark, 10))
+        assert src.read_removed(0).count() == 0
+
     def test_two_caggs_independent_cursors(self, spark, pair):
         src, tgt = pair
         spark_ = spark
