@@ -225,6 +225,13 @@ class ContinuousAggregate:
     def _with_ts(self, df: DataFrame) -> DataFrame:
         return df.filter(F.col(self.ts_col).isNotNull())
 
+    def _aggregate(self, df: DataFrame) -> DataFrame:
+        """Source rows -> tier rows. Subclasses swap the algebra (raw
+        points here; re-aggregation of lower-tier rows in
+        CascadeAggregate)."""
+        return rollup_raw(self._with_ts(df), self.tier, self.key_col,
+                          self.ts_col, self.value_col)
+
     def _append_delta(self, cur: int, head: int) -> DataFrame:
         """Exactly the rows appended in (cur, head]: per-commit file diff,
         so files later rewritten by compaction inside the range still
@@ -282,9 +289,7 @@ class ContinuousAggregate:
 
         if cur == 0 or not _cursor_manifest_ok(self.source, cur) \
                 or (ops is not None and "overwrite" in ops):
-            full = rollup_raw(
-                self._with_ts(self.source.read(version=head)), self.tier,
-                self.key_col, self.ts_col, self.value_col)
+            full = self._aggregate(self.source.read(version=head))
             self.target.retrying(self.target.overwrite, full,
                                  extra_summary=cursor_summary)
             self._write_sidecar(head)
@@ -299,10 +304,8 @@ class ContinuousAggregate:
         if ops is not None and all(o in ("append", "compact") for o in ops) \
                 and not partial:
             mode = "merge"
-            delta_tier = rollup_raw(
-                self._with_ts(self._append_delta(cur, head)), self.tier,
-                self.key_col, self.ts_col, self.value_col,
-            ).localCheckpoint(eager=True)
+            delta_tier = self._aggregate(
+                self._append_delta(cur, head)).localCheckpoint(eager=True)
             dirty = delta_tier.select(*_KEY_COLS)
         else:
             mode = "recompute"
@@ -339,9 +342,8 @@ class ContinuousAggregate:
                 raw = self.source.read_where(
                     self.ts_col, lo, hi + step - _dt.timedelta(microseconds=1),
                     version=head)
-                refreshed = rollup_raw(
-                    raw, self.tier, self.key_col, self.ts_col, self.value_col
-                ).join(F.broadcast(dirty), _KEY_COLS, "left_semi")
+                refreshed = self._aggregate(raw).join(
+                    F.broadcast(dirty), _KEY_COLS, "left_semi")
             out = clean.select(refreshed.columns).unionByName(refreshed)
             last = i == len(runs) - 1
             self.target.retrying(
@@ -362,6 +364,39 @@ class ContinuousAggregate:
 
     def _write_sidecar(self, version: int) -> None:
         _write_cursor_sidecar(self.target, self.name, version)
+
+
+class CascadeAggregate(ContinuousAggregate):
+    """A continuous aggregate whose source is the NEXT-LOWER tier's
+    snapshot table instead of raw turns: 1h stays in sync with the 1m
+    TABLE, 1d with the 1h table.
+
+    Chaining caggs this way means one refresh tick scans the raw delta
+    once (for the finest tier) and every coarser tier re-aggregates
+    tier-sized data — ~60:1 smaller per hop — using the same exact
+    re-aggregation algebra as `rollup_cascade` (counts/sums add, min/max
+    nest, first/last resolve by carried timestamps), so
+    `cascade-chain == rollup_raw(coarse)` stays bitwise except float
+    re-association on val_sum/val_avg. Change classes compose naturally:
+    the lower cagg's surgical replace commits surface as RECOMPUTE
+    deltas here (changed ∪ removed lower rows invalidate exactly the
+    coarse buckets they roll into), and a streaming sink appending
+    watermark-closed lower buckets takes the cheap MERGE path.
+
+    Refresh ORDER matters operationally (refresh 1m, then 1h, then 1d —
+    cagg_job does this); a missed level is never wrong, just stale: each
+    level's cursor tracks its own source table.
+    """
+
+    def __init__(self, lower: SnapshotTable, target: SnapshotTable,
+                 tier: str, name: str | None = None):
+        super().__init__(lower, target, tier, key_col="series_key",
+                         ts_col="bucket_ts", value_col="val_avg",
+                         name=name)
+
+    def _aggregate(self, df: DataFrame) -> DataFrame:
+        from feasts_spark.operators.rollup import rollup_cascade
+        return rollup_cascade(self._with_ts(df), self.tier)
 
 
 class FeatureView:

@@ -14,11 +14,11 @@ resuming from its own atomic cursor. The whole tick is therefore safe to
 re-run from the top after any crash: every step either no-ops or
 completes what it started.
 
-Tiers refresh independently from the raw table (three scans of the same
-delta-sized change set). A cascade composition (1h caggs off the 1m tier
-table) would cut that to one delta scan + two tier-sized ones — the
-batch job (rollup_job.py) demonstrates the cascade algebra; composing it
-with cursors is a straightforward extension left to deployment tuning.
+Tiers refresh as a CASCADE CHAIN: the finest tier caggs from the raw
+delta, and each coarser tier re-aggregates from the previous tier's
+table (CascadeAggregate) — one raw-delta scan per tick, then tier-sized
+(~60:1 smaller) hops, the same composition the batch job's
+rollup_cascade uses but with per-level cursors.
 
 Prints ONE JSON line with per-step stats.
 """
@@ -86,7 +86,7 @@ def main() -> None:
     args = ap.parse_args()
 
     from feasts_spark.operators.continuous import (
-        ContinuousAggregate, FeatureView,
+        CascadeAggregate, ContinuousAggregate, FeatureView,
     )
     from feasts_spark.session import get_spark
     from feasts_spark.sources.snapshots import SnapshotTable
@@ -111,12 +111,26 @@ def main() -> None:
             out["steps"]["ingest"] = {"ingest_id": ingest_id,
                                       "skipped": False, "version": v}
 
+    # chain: the finest tier caggs from raw; each subsequent tier
+    # cascades from the previous tier's TABLE when it is that tier's
+    # parent (tier-sized re-aggregation instead of a second raw-delta
+    # scan), else falls back to raw
+    from feasts_spark.operators.rollup import TIER_PARENT
+
+    prev_tier, prev_table = None, None
     for tier in args.tiers.split(","):
         tgt = SnapshotTable(spark, args.table_root, f"tier_{tier}",
                             stats_cols=("bucket_ts",))
-        cagg = ContinuousAggregate(raw, tgt, tier)
-        out["steps"][f"tier_{tier}"] = cagg.refresh(
-            max_commits=args.max_commits)
+        if prev_tier is not None and TIER_PARENT.get(tier) == prev_tier:
+            cagg = CascadeAggregate(prev_table, tgt, tier)
+            src_label = f"tier_{prev_tier}"
+        else:
+            cagg = ContinuousAggregate(raw, tgt, tier)
+            src_label = "raw_turns"
+        s = cagg.refresh(max_commits=args.max_commits)
+        s["refreshed_from"] = src_label
+        out["steps"][f"tier_{tier}"] = s
+        prev_tier, prev_table = tier, tgt
 
     if args.features:
         ftg = SnapshotTable(spark, args.table_root, "features",

@@ -83,7 +83,12 @@ class TestCaggJob:
                     "--tiers", "1m,1h", "--features",
                     "--min-series-len", "5", "--feature-period", "4")
         assert out2["steps"]["ingest"]["skipped"] is False
-        assert out2["steps"]["tier_1h"]["mode"] == "merge"
+        assert out2["steps"]["tier_1m"]["mode"] == "merge"
+        assert out2["steps"]["tier_1m"]["refreshed_from"] == "raw_turns"
+        # 1h cascades off the 1m TABLE, whose tick-2 commits are
+        # replaces -> recompute of the dirty coarse buckets
+        assert out2["steps"]["tier_1h"]["mode"] == "recompute"
+        assert out2["steps"]["tier_1h"]["refreshed_from"] == "tier_1m"
         assert out2["steps"]["features"]["mode"] == "incremental"
         for tier in ("1m", "1h"):
             _tier_equals_raw(spark, root, tier)

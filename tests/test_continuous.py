@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import Row, functions as F, types as T
 
 from feasts_spark.operators.continuous import (
+    CascadeAggregate,
     ContinuousAggregate,
     last_refreshed_source_version,
 )
@@ -196,6 +197,81 @@ class TestRecomputeMode:
         s = cagg.refresh()
         assert s["mode"] == "full"
         _assert_synced(src, tgt, cagg)
+
+
+class TestCascadeChain:
+    """raw -> 1m (cagg) -> 1h (cascade) -> 1d (cascade): every level must
+    equal a direct rollup of the raw table after each chained refresh."""
+
+    def _chain(self, spark, tmp_path):
+        src = SnapshotTable(spark, str(tmp_path), "raw", stats_cols=("ts",))
+        t1m = SnapshotTable(spark, str(tmp_path), "t1m",
+                            stats_cols=("bucket_ts",))
+        t1h = SnapshotTable(spark, str(tmp_path), "t1h",
+                            stats_cols=("bucket_ts",))
+        t1d = SnapshotTable(spark, str(tmp_path), "t1d",
+                            stats_cols=("bucket_ts",))
+        return src, [
+            (t1m, ContinuousAggregate(src, t1m, "1m")),
+            (t1h, CascadeAggregate(t1m, t1h, "1h")),
+            (t1d, CascadeAggregate(t1h, t1d, "1d")),
+        ]
+
+    def _assert_all(self, src, chain):
+        for tier, (tbl, _) in zip(("1m", "1h", "1d"), chain):
+            expect = rollup_raw(src.read(), tier) \
+                .withColumn("val_sum", F.round("val_sum", 9)) \
+                .withColumn("val_avg", F.round("val_avg", 9))
+            got = tbl.read() \
+                .withColumn("val_sum", F.round("val_sum", 9)) \
+                .withColumn("val_avg", F.round("val_avg", 9))
+            assert got.count() == expect.count(), tier
+            assert got.exceptAll(expect).count() == 0, tier
+            assert expect.exceptAll(got).count() == 0, tier
+
+    def test_chain_builds_and_syncs(self, spark, tmp_path):
+        src, chain = self._chain(spark, tmp_path)
+        src.append(_turns(spark, 300))
+        for _, cagg in chain:
+            cagg.refresh()
+        self._assert_all(src, chain)
+        # late append flows down: 1m merges the raw delta, coarser
+        # levels see the 1m replace commits and recompute the dirty
+        # coarse buckets from TIER-sized data
+        src.append(_turns(spark, 30, start_minute=90))
+        modes = [c.refresh()["mode"] for _, c in chain]
+        assert modes == ["merge", "recompute", "recompute"]
+        self._assert_all(src, chain)
+
+    def test_correction_flows_down_chain(self, spark, tmp_path):
+        src, chain = self._chain(spark, tmp_path)
+        src.append(_turns(spark, 300))
+        for _, cagg in chain:
+            cagg.refresh()
+        lo = T0 + dt.timedelta(minutes=100)
+        hi = T0 + dt.timedelta(minutes=119)
+        fixed = src.read().filter(F.col("ts").between(lo, hi)) \
+            .withColumn("value", F.lit(-5.0))
+        src.replace_where(fixed, "ts", lo, hi)
+        for _, cagg in chain:
+            assert cagg.refresh()["mode"] == "recompute"
+        self._assert_all(src, chain)
+        d = chain[2][0].read().filter(
+            F.col("bucket_ts") == T0).collect()
+        assert all(r.val_min == -5.0 for r in d)
+
+    def test_stale_lower_level_just_delays(self, spark, tmp_path):
+        src, chain = self._chain(spark, tmp_path)
+        src.append(_turns(spark, 240))
+        for _, cagg in chain:
+            cagg.refresh()
+        src.append(_turns(spark, 60, start_minute=240))
+        # skip a tick for 1h/1d: only 1m refreshes
+        chain[0][1].refresh()
+        # 1h sees the 1m commits on ITS next tick and catches up
+        assert chain[1][1].refresh()["mode"] == "recompute"
+        assert chain[2][1].refresh()["mode"] == "recompute"
+        self._assert_all(src, chain)
 
 
 class TestCursorAndCrash:
