@@ -97,6 +97,11 @@ from feasts_spark.sources.snapshots import SnapshotTable
 
 _KEY_COLS = ["series_key", "bucket_ts"]
 
+# dirty-key sets beyond this skip bloom probing (driver-side probe cost and
+# key-list size stop paying for themselves; the full-scan semi join is the
+# right plan for a widely-dirty refresh anyway)
+_MAX_PROBE_KEYS = 100_000
+
 
 # ----- shared cursor / change-classification machinery ---------------------
 
@@ -425,8 +430,12 @@ class FeatureView:
     The one full-table cost is the dirty-series history scan: features
     need each dirty series' complete turn stream, so the source is read
     once (a broadcast semi join on the dirty key set — no shuffle of the
-    raw table; cluster the source by key or add a key bloom filter to
-    prune file I/O at deployment). The refresh cursor commits exactly as
+    raw table). Create the source with ``bloom_cols=(key_col,)`` and the
+    scan prunes at the FILE level too: per-file key blooms in the
+    manifest admit only the files that may hold a dirty key (superset
+    read; the semi join stays the exact predicate), so a refresh
+    touching 0.1% of series opens ~that fraction of the raw files
+    instead of all of them. The refresh cursor commits exactly as
     ContinuousAggregate's does.
     """
 
@@ -500,8 +509,23 @@ class FeatureView:
 
         # ONE pass over the pinned source head for every dirty series'
         # full history; materialized so per-run commits don't rescan the
-        # raw table
-        raw_dirty = self.source.read(version=head).join(
+        # raw table. When the source carries key blooms, the pass opens
+        # only the files that may hold a dirty key (superset read — the
+        # broadcast semi join below stays the exact predicate); min/max
+        # stats can't prune here because a ts-clustered file spans the
+        # whole key space.
+        src = None
+        if self.key_col in getattr(self.source, "bloom_cols", ()):
+            probe = [
+                r[0] for r in dirty_keys.select(self.key_col)
+                .limit(_MAX_PROBE_KEYS + 1).collect()
+            ]
+            if len(probe) <= _MAX_PROBE_KEYS:
+                src = self.source.read_containing(
+                    self.key_col, probe, version=head)
+        if src is None:
+            src = self.source.read(version=head)
+        raw_dirty = src.join(
             F.broadcast(dirty_keys.select(self.key_col)),
             self.key_col, "left_semi")
         recomputed = self._featurize(raw_dirty).localCheckpoint(eager=True)

@@ -134,12 +134,83 @@ def _bound_safe(v):
     return s
 
 
+# ----- per-file key bloom filters ------------------------------------------
+#
+# Footer min/max windows prune RANGE predicates well only when files are
+# clustered by the column; a key column orthogonal to the clustering (e.g.
+# conv_id in a ts-clustered raw table) has every file spanning the whole
+# key space, so min/max never skips anything. The manifest therefore also
+# carries an optional per-file BLOOM over declared key columns (the same
+# design parquet's own bloom filters and Iceberg's ndv-sketch pruning
+# serve): a key-addressed read probes the blooms and opens only files that
+# may contain any probed key. False positives only cost I/O; a bloom never
+# produces a false negative, so pruning is always a superset of the truth.
+
+def _bloom_hash(values) -> "np.ndarray":
+    """(n, 2) uint64 digest pairs for double hashing — blake2b over each
+    value's canonical utf-8 rendering (stable across sessions/platforms,
+    unlike hash()/pandas hashing). Rendering: str for str, str(int) for
+    integrals, _json_safe for the rest — probe sides must render alike,
+    which they do by construction (both call this function)."""
+    import hashlib
+
+    import numpy as np
+
+    out = np.empty((len(values), 2), dtype=np.uint64)
+    for i, v in enumerate(values):
+        s = v if isinstance(v, str) else str(_json_safe(v))
+        d = hashlib.blake2b(s.encode("utf-8"), digest_size=16).digest()
+        out[i, 0] = int.from_bytes(d[:8], "little")
+        out[i, 1] = int.from_bytes(d[8:], "little")
+    return out
+
+
+def _bloom_build(values: list, max_bytes: int) -> dict:
+    """Bloom dict {m, k, b64} sized for ~1% FPR at `len(values)` distinct
+    keys, capped at `max_bytes` bitmap (the cap trades FPR for manifest
+    size — pruning degrades gracefully, never breaks)."""
+    import base64
+
+    import numpy as np
+
+    n = max(1, len(values))
+    m = 1 << max(10, min((8 * max_bytes).bit_length() - 1,
+                         int(n * 9.6).bit_length()))
+    k = max(1, min(8, round(0.693 * m / n)))
+    h = _bloom_hash(values)
+    i = np.arange(k, dtype=np.uint64)
+    pos = (h[:, :1] + i[None, :] * h[:, 1:]) % np.uint64(m)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    np.bitwise_or.at(bits, (pos >> np.uint64(3)).ravel(),
+                     np.uint8(1) << (pos.ravel() & np.uint64(7)).astype(np.uint8))
+    return {"m": int(m), "k": int(k),
+            "b64": base64.b64encode(bits.tobytes()).decode("ascii")}
+
+
+def _bloom_any_match(bloom: dict, h: "np.ndarray") -> bool:
+    """Whether ANY probe digest (from _bloom_hash) may be in the bloom."""
+    import base64
+
+    import numpy as np
+
+    bits = np.frombuffer(base64.b64decode(bloom["b64"]), dtype=np.uint8)
+    m, k = np.uint64(bloom["m"]), bloom["k"]
+    i = np.arange(k, dtype=np.uint64)
+    pos = (h[:, :1] + i[None, :] * h[:, 1:]) % m
+    hit = (bits[(pos >> np.uint64(3)).astype(np.int64)]
+           >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+    return bool(hit.all(axis=1).any())
+
+
 class SnapshotTable:
     """A versioned parquet table with manifest-tracked snapshots."""
 
     def __init__(self, spark: SparkSession, root: str, name: str,
                  stats_cols: tuple[str, ...] = (),
-                 cluster_cols: tuple[str, ...] | None = None):
+                 cluster_cols: tuple[str, ...] | None = None,
+                 bloom_cols: tuple[str, ...] = (),
+                 bloom_max_bytes: int = 32 * 1024,
+                 bloom_max_distinct: int = 1 << 18):
         self.spark = spark
         self.table_dir = os.path.join(root, name)
         self.data_dir = os.path.join(self.table_dir, "data")
@@ -153,6 +224,13 @@ class SnapshotTable:
         # into one task)
         self.cluster_cols = self.stats_cols if cluster_cols is None \
             else tuple(cluster_cols)
+        # key columns that get a per-file bloom in the manifest (see the
+        # module-level bloom notes); a file whose distinct-key count
+        # exceeds bloom_max_distinct records no bloom (= never pruned) so
+        # build cost and manifest size stay bounded
+        self.bloom_cols = tuple(bloom_cols)
+        self.bloom_max_bytes = bloom_max_bytes
+        self.bloom_max_distinct = bloom_max_distinct
 
     # ----- metadata primitives -------------------------------------------
 
@@ -246,14 +324,31 @@ class SnapshotTable:
                 mins[col] = _json_safe(lo)
                 maxs[col] = _json_safe(hi)
                 nulls[col] = has_null
-            entries.append({
+            entry = {
                 "path": os.path.relpath(path, self.table_dir),
                 "rows": md.num_rows,
                 "bytes": os.path.getsize(path),
                 "min": mins,
                 "max": maxs,
                 "nulls": nulls,
-            })
+            }
+            blooms = {}
+            for col in self.bloom_cols:
+                if col not in names:
+                    continue
+                # one column-pruned read of the just-written local file;
+                # at deployment this moves executor-side into the write
+                # task (parquet's native bloom write path) — the manifest
+                # shape is the same either way
+                import pyarrow.compute as pc
+                vals = pc.unique(pc.drop_null(
+                    pq.read_table(path, columns=[col]).column(col)
+                )).to_pylist()
+                if 0 < len(vals) <= self.bloom_max_distinct:
+                    blooms[col] = _bloom_build(vals, self.bloom_max_bytes)
+            if blooms:
+                entry["bloom"] = blooms
+            entries.append(entry)
         return commit_dir, entries
 
     def _commit(self, files: list[dict], operation: str, parent_manifest: dict,
@@ -443,6 +538,45 @@ class SnapshotTable:
         return self._read_files(m, live).filter(
             F.col(col).between(F.lit(lo), F.lit(hi))
         )
+
+    def files_for_keys(self, col: str, keys, version: int | None = None
+                       ) -> tuple[list[dict], int]:
+        """(files that may contain ANY of `keys` in `col`, total files).
+
+        Bloom-probed: a file without a bloom for `col` (bloom_cols unset at
+        write time, distinct cap exceeded, or column absent) always
+        survives — the result is a superset of the files actually holding
+        the keys, never a subset. NULL-only files never match: a key
+        equality predicate cannot select NULL rows anyway.
+        """
+        m = self._resolve(version, None)
+        if m["version"] == 0:
+            raise ValueError("table has no snapshots yet")
+        keys = list(keys)
+        if not keys:
+            return [], len(m["files"])
+        h = _bloom_hash(keys)
+        live = [
+            f for f in m["files"]
+            if "bloom" not in f or col not in f["bloom"]
+            or _bloom_any_match(f["bloom"][col], h)
+        ]
+        return live, len(m["files"])
+
+    def read_containing(self, col: str, keys,
+                        version: int | None = None) -> DataFrame:
+        """Key-addressed read: only the files whose bloom admits at least
+        one of `keys`. SUPERSET semantics — bloom false positives (and
+        bloom-less files) contribute extra rows, so the caller must still
+        apply the exact key predicate (a semi join against the key set, or
+        isin for small sets). The point is the I/O: a dirty-key refresh
+        over a ts-clustered table opens the handful of files the keys
+        live in instead of the whole table (min/max can't help there —
+        every file spans the full key range).
+        """
+        m = self._resolve(version, None)
+        live, _ = self.files_for_keys(col, keys, version=m["version"])
+        return self._read_files(m, live)
 
     def read_changes(self, from_version: int,
                      to_version: int | None = None) -> DataFrame:
