@@ -711,9 +711,11 @@ def _incremental_leg(spark, n_convs: int) -> dict:
     timings: dict[str, list[float]] = {
         "cagg_full": [], "cagg_incr": [], "fv_full": [], "fv_incr": [],
     }
+    bloom_live = bloom_total = None
     for _ in range(INCR_REPEATS):
         root = tempfile.mkdtemp(prefix="bench_incr_")
-        src = SnapshotTable(spark, root, "raw", stats_cols=("ts",))
+        src = SnapshotTable(spark, root, "raw", stats_cols=("ts",),
+                            bloom_cols=("conv_id",))
         tgt = SnapshotTable(spark, root, "tier_1h",
                             stats_cols=("bucket_ts",))
         ftg = SnapshotTable(spark, root, "feats", stats_cols=("_kb",))
@@ -732,6 +734,13 @@ def _incremental_leg(spark, n_convs: int) -> dict:
         t0 = time.time(); s = view.refresh()
         timings["fv_incr"].append(time.time() - t0)
         assert s["mode"] == "incremental", s
+        if bloom_live is None:
+            # how many raw files the dirty-history scan actually opened
+            # (manifest key blooms): the I/O side of fv_incr's speedup
+            dirty = [r[0] for r in
+                     delta.select("conv_id").distinct().collect()]
+            lv, tot = src.files_for_keys("conv_id", dirty)
+            bloom_live, bloom_total = len(lv), tot
         shutil.rmtree(root, ignore_errors=True)
     best = {k: min(v) for k, v in timings.items()}
     return {
@@ -739,6 +748,8 @@ def _incremental_leg(spark, n_convs: int) -> dict:
         "n_base_turns": n_base,
         "n_delta_turns": n_delta,
         "n_dirty_convs": n_dirty_convs,
+        "bloom_files_opened": bloom_live,
+        "bloom_files_total": bloom_total,
         "delta_fraction": round(n_delta / max(n_base, 1), 5),
         "fv_speedup": round(best["fv_full"] / best["fv_incr"], 2),
         "cagg_speedup": round(best["cagg_full"] / best["cagg_incr"], 2),

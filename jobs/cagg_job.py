@@ -83,6 +83,11 @@ def main() -> None:
     ap.add_argument("--min-series-len", type=int, default=20)
     ap.add_argument("--feature-buckets", type=int, default=256)
     ap.add_argument("--max-commits", type=int, default=8)
+    ap.add_argument("--no-key-blooms", action="store_true",
+                    help="skip per-file conv_id blooms on the raw table "
+                         "(they cost one column read per staged file at "
+                         "ingest and buy file-level pruning for the "
+                         "FeatureView's dirty-history scans)")
     args = ap.parse_args()
 
     from feasts_spark.operators.continuous import (
@@ -93,8 +98,9 @@ def main() -> None:
     from feasts_spark.sources.transcripts import turn_series
 
     spark = get_spark(app_name="feasts_cagg_job")
-    raw = SnapshotTable(spark, args.table_root, "raw_turns",
-                        stats_cols=("ts",))
+    raw = SnapshotTable(
+        spark, args.table_root, "raw_turns", stats_cols=("ts",),
+        bloom_cols=() if args.no_key_blooms else ("conv_id",))
 
     out: dict = {"table_root": args.table_root, "steps": {}}
     if args.ingest:
