@@ -487,6 +487,129 @@ class SnapshotTable:
             shutil.rmtree(commit_dir, ignore_errors=True)
             raise
 
+    def _split_by_keys(self, parent: dict, col: str, probe_keys
+                       ) -> tuple[list[dict], list[dict]]:
+        """(files that CANNOT hold any probe key, files that might).
+
+        Bloom-probed on `col`; a file without a bloom lands in `might`
+        (must inspect). probe_keys=None means "unknown key set" — every
+        file might. Superset discipline as everywhere: kept files are
+        PROVABLY clean, so carrying them by reference is exact."""
+        if probe_keys is None:
+            return [], list(parent["files"])
+        h = _bloom_hash(list(probe_keys))
+        kept, might = [], []
+        for f in parent["files"]:
+            b = f.get("bloom", {}).get(col)
+            if b is None or _bloom_any_match(b, h):
+                might.append(f)
+            else:
+                kept.append(f)
+        return kept, might
+
+    def _collect_probe_keys(self, df: DataFrame, col: str,
+                            cap: int = 100_000) -> list | None:
+        """df's distinct `col` values for bloom probing, or None when the
+        set exceeds `cap` (probe cost stops paying; callers fall back to
+        rewrite-everything-that-might, i.e. every file)."""
+        if col not in self.bloom_cols:
+            return None
+        rows = df.select(col).distinct().limit(cap + 1).collect()
+        if len(rows) > cap:
+            return None
+        return [r[0] for r in rows if r[0] is not None]
+
+    def upsert_keyed(self, df_new: DataFrame, key_cols,
+                     sort_within: bool = True,
+                     extra_summary: dict | None = None) -> int:
+        """MERGE by key equality: rows whose `key_cols` tuple appears in
+        `df_new` are replaced by df_new's rows; unmatched old rows
+        survive; new keys insert. The key-addressed twin of
+        `replace_where` — for upserts that are not range-shaped (a
+        re-crawled conversation, a corrected series) on tables whose
+        files are clustered by something else.
+
+        Only files whose bloom (on the FIRST key column) may hold an
+        incoming key are rewritten; provably-clean files carry by
+        reference, so the rewrite I/O is bounded by the files the keys
+        actually live in, not the table. Without blooms every file is
+        rewritten (correct, just not pruned). Old rows with a NULL key
+        never match and always survive; df_new NULL-key rows insert as-is.
+        """
+        key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        parent = self.manifest()
+        schema_json = self._check_schema(df_new, parent)
+        probe = self._collect_probe_keys(df_new, key_cols[0])
+        kept, might = self._split_by_keys(parent, key_cols[0], probe)
+        out = df_new
+        if might:
+            from pyspark.sql import functions as F  # noqa: F401
+            old = self._read_files(parent, might)
+            survivors = old.join(
+                df_new.select(*key_cols).distinct(), key_cols, "left_anti")
+            out = survivors.unionByName(df_new)
+        commit_dir, new_files = self._stage_files(out, sort_within)
+        try:
+            return self._commit(
+                kept + new_files, "upsert", parent, schema_json,
+                {"key_cols": key_cols, "rewritten_files": len(might),
+                 "kept_files": len(kept), "added_files": len(new_files),
+                 **(extra_summary or {})},
+            )
+        except SnapshotConflict:
+            shutil.rmtree(commit_dir, ignore_errors=True)
+            raise
+
+    def delete_keyed(self, col: str, keys,
+                     sort_within: bool = True,
+                     extra_summary: dict | None = None) -> int | None:
+        """Delete every row whose `col` equals one of `keys` — the
+        compliance-erasure shape ("remove conversation X from the
+        corpus") that is equality- not range-addressed, so `delete_below`
+        / `replace_where` can't prune for it. Bloom-probed like
+        `upsert_keyed`: only files that may hold a key are rewritten,
+        the rest carry by reference; a downstream continuous aggregate
+        sees the rewrite as changed ∪ removed rows and invalidates
+        exactly the buckets the erased series touched. NULL rows never
+        match an equality key and survive. Returns the new version, or
+        None when no file could hold any key (metadata-only no-op —
+        NOT a commit, so cursors don't advance on provable no-ops).
+        """
+        keys = [k for k in keys if k is not None]
+        if not keys:
+            return None
+        parent = self.manifest()
+        if not parent["files"]:
+            return None
+        kept, might = self._split_by_keys(
+            parent, col, keys if col in self.bloom_cols else None)
+        if not might:
+            return None
+        from pyspark.sql import functions as F
+        old = self._read_files(parent, might)
+        if len(keys) <= 1000:
+            survivors = old.filter(
+                ~F.col(col).isin(keys) | F.col(col).isNull())
+        else:
+            # big erasure lists: a literal IN won't codegen — anti join
+            # against a broadcast key frame instead (NULLs survive an
+            # anti join by construction)
+            kdf = self.spark.createDataFrame(
+                [(k,) for k in keys], old.select(col).schema)
+            survivors = old.join(F.broadcast(kdf), [col], "left_anti")
+        commit_dir, new_files = self._stage_files(survivors, sort_within)
+        try:
+            return self._commit(
+                kept + new_files, "delete", parent,
+                parent["schema"],
+                {"key_col": col, "n_keys": len(keys),
+                 "rewritten_files": len(might), "kept_files": len(kept),
+                 **(extra_summary or {})},
+            )
+        except SnapshotConflict:
+            shutil.rmtree(commit_dir, ignore_errors=True)
+            raise
+
     # ----- read path ------------------------------------------------------
 
     def _resolve(self, version: int | None, as_of: float | None) -> dict:
