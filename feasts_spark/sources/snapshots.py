@@ -543,10 +543,14 @@ class SnapshotTable:
         kept, might = self._split_by_keys(parent, key_cols[0], probe)
         out = df_new
         if might:
-            from pyspark.sql import functions as F  # noqa: F401
+            from pyspark.sql import functions as F
             old = self._read_files(parent, might)
+            # the incoming key set is the small side by construction (an
+            # upsert delta); broadcast it so the rewritten files never
+            # shuffle — the anti join stays a map-side probe
             survivors = old.join(
-                df_new.select(*key_cols).distinct(), key_cols, "left_anti")
+                F.broadcast(df_new.select(*key_cols).distinct()),
+                key_cols, "left_anti")
             out = survivors.unionByName(df_new)
         commit_dir, new_files = self._stage_files(out, sort_within)
         try:
