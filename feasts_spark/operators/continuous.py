@@ -314,8 +314,12 @@ class ContinuousAggregate:
             dirty = delta_tier.select(*_KEY_COLS)
         else:
             mode = "recompute"
+            # allowMissingColumns: a schema evolution between cursor and
+            # head gives the pre-image the old shape — invalidation only
+            # needs key+ts, which every shape carries
             changed = self.source.read_changes(cur, head).unionByName(
-                self.source.read_removed(cur, head)
+                self.source.read_removed(cur, head),
+                allowMissingColumns=True,
             )
             dirty = invalidated_buckets(
                 self._with_ts(changed), self.tier, self.key_col, self.ts_col
@@ -496,7 +500,7 @@ class FeatureView:
             return stats
 
         changed = self.source.read_changes(cur, head).unionByName(
-            self.source.read_removed(cur, head))
+            self.source.read_removed(cur, head), allowMissingColumns=True)
         dirty_keys = changed.select(self.key_col).distinct() \
             .select(F.col(self.key_col), self._kb()) \
             .localCheckpoint(eager=True)

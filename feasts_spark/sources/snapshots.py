@@ -487,6 +487,90 @@ class SnapshotTable:
             shutil.rmtree(commit_dir, ignore_errors=True)
             raise
 
+    # ----- schema evolution ----------------------------------------------
+
+    def evolve_add_columns(self, cols: dict[str, str]) -> int:
+        """Metadata-only ADD COLUMN: a new snapshot with the SAME data
+        files and an evolved schema — no data is read or written, so the
+        cost is one manifest regardless of table size. Old files simply
+        lack the column and every read materializes NULL for them (Spark
+        parquet reads with an explicit schema fill missing columns with
+        NULL); new appends must carry it — use :meth:`aligned` to upgrade
+        a legacy writer frame. `cols` maps name -> Spark DDL type
+        ("double", "array<string>", ...). Added columns are nullable by
+        construction (old rows have no value). Time travel keeps the
+        per-version schema: reading a pre-evolution snapshot returns the
+        old shape. Rename and type changes are out of scope (they need
+        Iceberg-style field IDs; this layer matches columns by name).
+        """
+        parent = self.manifest()
+        if parent["schema"] is None:
+            raise ValueError(
+                "empty table has no schema to evolve; append with the "
+                "desired schema instead")
+        schema = StructType.fromJson(json.loads(parent["schema"]))
+        names = {f.name for f in schema.fields}
+        for name, ddl in cols.items():
+            if name in names:
+                raise ValueError(f"column {name!r} already exists")
+            from pyspark.sql.types import StructField
+            added = StructType.fromDDL(f"`{name}` {ddl}")
+            schema = StructType(
+                schema.fields
+                + [StructField(name, added.fields[0].dataType, True)]
+            )
+        return self._commit(
+            parent["files"], "evolve", parent, schema.json(),
+            {"added_columns": {n: d for n, d in cols.items()}},
+        )
+
+    def evolve_drop_columns(self, names) -> int:
+        """Metadata-only DROP COLUMN: same files, narrowed schema — reads
+        prune the column away (parquet column projection skips it at
+        I/O level), rewrites from now on omit it. Values remain in old
+        files until those are naturally rewritten; time travel to a
+        pre-drop version still sees them."""
+        names = [names] if isinstance(names, str) else list(names)
+        parent = self.manifest()
+        if parent["schema"] is None:
+            raise ValueError("empty table has no schema to evolve")
+        schema = StructType.fromJson(json.loads(parent["schema"]))
+        have = {f.name for f in schema.fields}
+        missing = [n for n in names if n not in have]
+        if missing:
+            raise ValueError(f"cannot drop absent columns: {missing}")
+        remaining = [f for f in schema.fields if f.name not in set(names)]
+        if not remaining:
+            raise ValueError("cannot drop every column")
+        return self._commit(
+            parent["files"], "evolve", parent,
+            StructType(remaining).json(),
+            {"dropped_columns": names},
+        )
+
+    def aligned(self, df: DataFrame) -> DataFrame:
+        """`df` upgraded to the current snapshot schema: missing NULLABLE
+        columns are added as typed NULLs and columns are reordered —
+        the convenience that lets a pre-evolution writer keep appending
+        after an ADD COLUMN. Missing non-nullable columns still raise
+        (there is no honest default for them)."""
+        from pyspark.sql import functions as F
+        parent = self.manifest()
+        if parent["schema"] is None:
+            return df
+        schema = StructType.fromJson(json.loads(parent["schema"]))
+        out = df
+        for f in schema.fields:
+            if f.name in out.columns:
+                continue
+            if not f.nullable:
+                raise ValueError(
+                    f"column {f.name!r} is non-nullable and absent "
+                    "from the frame")
+            out = out.withColumn(f.name,
+                                 F.lit(None).cast(f.dataType))
+        return out.select(*[f.name for f in schema.fields])
+
     def _split_by_keys(self, parent: dict, col: str, probe_keys
                        ) -> tuple[list[dict], list[dict]]:
         """(files that CANNOT hold any probe key, files that might).
