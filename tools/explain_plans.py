@@ -211,6 +211,33 @@ def main() -> None:
         "scan to dirty series; one applyInPandas exchange)": fv_recompute,
     })
 
+    # key-bloom pruning + keyed writes: a raw table clustered by ts but
+    # bloom-indexed by key — read_containing opens only files whose
+    # bloom admits a probed key, and upsert_keyed's survivor frame is a
+    # broadcast anti join over exactly those files (never a shuffle)
+    ksnap = SnapshotTable(spark, snap_root, "raw_keyed",
+                          stats_cols=("ts",), bloom_cols=("conv_id",))
+    for i in range(4):  # key-disjoint commits -> blooms can prune
+        ksnap.append(raw_turns.filter(
+            F.pmod(F.xxhash64("conv_id"), F.lit(4)) == i))
+    probe = [r[0] for r in raw_turns.select("conv_id").distinct()
+             .limit(3).collect()]
+    klive, kall = ksnap.files_for_keys("conv_id", probe)
+    kread = ksnap.read_containing("conv_id", probe)
+    upsert_new = raw_turns.filter(F.col("conv_id").isin(probe)) \
+        .withColumn("value", F.col("value") * 2)
+    survivors = ksnap._read_files(ksnap.manifest(), klive).join(
+        F.broadcast(upsert_new.select("conv_id").distinct()),
+        ["conv_id"], "left_anti").unionByName(upsert_new)
+    plans.update({
+        f"snapshot_read_containing (key blooms pruned {kall}->{len(klive)}"
+        " files for 3 probed keys; superset read, caller holds the exact "
+        "predicate)": kread,
+        "upsert_keyed survivors (broadcast anti join over only the "
+        "bloom-admitted files; clean files carry by reference outside "
+        "this plan)": survivors,
+    })
+
     from feasts_spark.operators.seasonal import (
         gg_lag_data,
         gg_season_data,
