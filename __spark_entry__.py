@@ -1075,23 +1075,108 @@ FROM rec
 """
 
 
+def q_timeweight_1h(spark, sf_dir):
+    """Time-weighted mean (LOCF + linear trapezoid) and dominant-state
+    occupancy per hourly bucket over the RAW irregular event stream
+    (operators/timeweight.py — the TimescaleDB time_weight()/state_agg()
+    semantics; feasts has no irregular-series path at all, this is what
+    makes one aggregable without gap-filling first). Segments split
+    across bucket boundaries; ties on ts pair deterministically by
+    event_id on both engines."""
+    from feasts_spark.operators.timeweight import state_top, time_weighted
+
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    tw = time_weighted(ev, "1h", "user_id", "ts", "value",
+                       tie_col="event_id")
+    st = state_top(ev, "1h", "user_id", "ts", "event_type",
+                   tie_col="event_id")
+    # same segment algebra on both sides -> identical bucket grain, 1:1
+    return tw.join(st, ["series_key", "bucket_ts"]).select(
+        "series_key", "bucket_ts",
+        _r4("twa_locf").alias("twa_locf"),
+        _r4("twa_linear").alias("twa_linear"),
+        "covered_us", "state_top", "state_top_us", "n_states",
+    )
+
+
+ORACLE_TIMEWEIGHT_1H = """
+WITH seg AS (
+  SELECT user_id, ts AS t0, lead(ts) OVER w AS t1, value AS v0,
+         lead(value) OVER w AS v1, event_type AS s0
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), segb AS (
+  SELECT user_id, t0, t1, v0, v1, s0,
+         unnest(generate_series(date_trunc('hour', t0),
+                                date_trunc('hour', t1),
+                                INTERVAL 1 HOUR)) AS bucket_ts
+  FROM seg WHERE t1 > t0
+), w AS (
+  SELECT user_id, bucket_ts, v0, v1, s0,
+         epoch_us(least(t1, bucket_ts + INTERVAL 1 HOUR))
+           - epoch_us(greatest(t0, bucket_ts)) AS w_us,
+         epoch_us(greatest(t0, bucket_ts)) - epoch_us(t0) AS off_a,
+         epoch_us(least(t1, bucket_ts + INTERVAL 1 HOUR))
+           - epoch_us(t0) AS off_b,
+         epoch_us(t1) - epoch_us(t0) AS dur_us
+  FROM segb
+), wpos AS (
+  SELECT * FROM w WHERE w_us > 0
+), tw AS (
+  SELECT user_id, bucket_ts,
+         sum(w_us * v0) / sum(w_us) AS twa_locf,
+         sum(w_us * (v0 + (v1 - v0) * off_a / dur_us
+                     + v0 + (v1 - v0) * off_b / dur_us)
+             / 2.0::DOUBLE) / sum(w_us) AS twa_linear,
+         CAST(sum(w_us) AS BIGINT) AS covered_us
+  FROM wpos GROUP BY 1, 2
+), sd AS (
+  SELECT user_id, bucket_ts, s0 AS state, sum(w_us) AS state_us
+  FROM wpos GROUP BY 1, 2, 3
+), st AS (
+  SELECT user_id, bucket_ts, state AS state_top,
+         CAST(state_us AS BIGINT) AS state_top_us,
+         CAST(count(*) OVER (PARTITION BY user_id, bucket_ts)
+              AS BIGINT) AS n_states,
+         row_number() OVER (PARTITION BY user_id, bucket_ts
+                            ORDER BY state_us DESC, state ASC) AS rn
+  FROM sd
+)
+SELECT tw.user_id AS series_key, tw.bucket_ts,
+       floor(tw.twa_locf * 1e4 + 0.500001::DOUBLE) / 1e4 AS twa_locf,
+       floor(tw.twa_linear * 1e4 + 0.500001::DOUBLE) / 1e4 AS twa_linear,
+       tw.covered_us, st.state_top, st.state_top_us, st.n_states
+FROM tw JOIN st ON tw.user_id = st.user_id
+               AND tw.bucket_ts = st.bucket_ts
+WHERE st.rn = 1
+"""
+
+
 def q_rate_ewma_1h(spark, sf_dir):
-    """Counter-rate and EWMA siblings joined on their shared hourly key
-    (both bucket the same raw-event hours, so the inner join is 1:1) —
-    one registry row keeps both value-exact oracles inside the driver's
-    checked window."""
+    """Counter-rate, EWMA and time-weighted siblings joined on their
+    shared hourly key — one registry row keeps all the value-exact
+    oracles inside the driver's checked window. cr/ew bucket exactly the
+    sample-carrying hours; the time-weighted frame also covers gap hours
+    a LOCF segment crosses, so the inner join trims both engines to the
+    common grain identically."""
     cr = q_counter_rate_1h(spark, sf_dir)
     ew = q_ewma_1h(spark, sf_dir)
-    return cr.join(ew, ["series_key", "bucket_ts"])
+    tw = q_timeweight_1h(spark, sf_dir)
+    return cr.join(ew, ["series_key", "bucket_ts"]) \
+             .join(tw, ["series_key", "bucket_ts"])
 
 
 def _rate_ewma_oracle() -> str:
     return (
         f"WITH cr AS ({ORACLE_COUNTER_RATE_1H}),\n"
-        f"ew AS ({ORACLE_EWMA_1H})\n"
+        f"ew AS ({ORACLE_EWMA_1H}),\n"
+        f"tw AS ({ORACLE_TIMEWEIGHT_1H})\n"
         "SELECT cr.series_key, cr.bucket_ts, cr.increase, cr.n_resets,\n"
-        "       cr.n_samples, ew.val_avg, ew.ewma\n"
-        "FROM cr JOIN ew USING (series_key, bucket_ts)"
+        "       cr.n_samples, ew.val_avg, ew.ewma,\n"
+        "       tw.twa_locf, tw.twa_linear, tw.covered_us,\n"
+        "       tw.state_top, tw.state_top_us, tw.n_states\n"
+        "FROM cr JOIN ew USING (series_key, bucket_ts)\n"
+        "        JOIN tw USING (series_key, bucket_ts)"
     )
 
 
