@@ -316,6 +316,15 @@ def main() -> None:
             ),
     })
 
+    from feasts_spark.operators.timeweight import time_weighted
+
+    plans.update({
+        "time_weighted_1h (2 exchanges: key window + partial-combined "
+        "bucket-grain agg, carrying bucket rows not raw; no python)":
+            time_weighted(ev, "1h", "user_id", "ts", "value",
+                          tie_col="event_id"),
+    })
+
     from feasts_spark.operators.rollup import rollup_refresh
 
     _late = ev.filter(F.pmod(F.xxhash64("event_id"), F.lit(10)) == 0)
