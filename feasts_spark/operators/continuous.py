@@ -97,10 +97,17 @@ from feasts_spark.sources.snapshots import SnapshotTable
 
 _KEY_COLS = ["series_key", "bucket_ts"]
 
-# dirty-key sets beyond this skip bloom probing (driver-side probe cost and
-# key-list size stop paying for themselves; the full-scan semi join is the
-# right plan for a widely-dirty refresh anyway)
-_MAX_PROBE_KEYS = 100_000
+
+def _require_cols(df, cols, what: str) -> None:
+    """Loud failure when an invalidation input lost a load-bearing column
+    (e.g. evolve_drop_columns removed the cagg's key/ts): the permissive
+    union below would otherwise NULL-fill it and silently skip
+    invalidation."""
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"{what} is missing column(s) {missing} — was the source "
+            "schema evolved out from under this consumer?")
 
 
 # ----- shared cursor / change-classification machinery ---------------------
@@ -316,11 +323,13 @@ class ContinuousAggregate:
             mode = "recompute"
             # allowMissingColumns: a schema evolution between cursor and
             # head gives the pre-image the old shape — invalidation only
-            # needs key+ts, which every shape carries
-            changed = self.source.read_changes(cur, head).unionByName(
-                self.source.read_removed(cur, head),
-                allowMissingColumns=True,
-            )
+            # needs key+ts, whose presence the guard enforces loudly
+            post = self.source.read_changes(cur, head)
+            pre = self.source.read_removed(cur, head)
+            for side, df_ in (("post-image", post), ("pre-image", pre)):
+                _require_cols(df_, [self.key_col, self.ts_col],
+                              f"cagg {self.name} {side}")
+            changed = post.unionByName(pre, allowMissingColumns=True)
             dirty = invalidated_buckets(
                 self._with_ts(changed), self.tier, self.key_col, self.ts_col
             ).localCheckpoint(eager=True)
@@ -499,8 +508,12 @@ class FeatureView:
             stats.update(mode="full", commits=1)
             return stats
 
-        changed = self.source.read_changes(cur, head).unionByName(
-            self.source.read_removed(cur, head), allowMissingColumns=True)
+        post = self.source.read_changes(cur, head)
+        pre = self.source.read_removed(cur, head)
+        for side, df_ in (("post-image", post), ("pre-image", pre)):
+            _require_cols(df_, [self.key_col],
+                          f"feature view {self.name} {side}")
+        changed = post.unionByName(pre, allowMissingColumns=True)
         dirty_keys = changed.select(self.key_col).distinct() \
             .select(F.col(self.key_col), self._kb()) \
             .localCheckpoint(eager=True)
@@ -520,11 +533,12 @@ class FeatureView:
         # whole key space.
         src = None
         if self.key_col in getattr(self.source, "bloom_cols", ()):
-            probe = [
-                r[0] for r in dirty_keys.select(self.key_col)
-                .limit(_MAX_PROBE_KEYS + 1).collect()
-            ]
-            if len(probe) <= _MAX_PROBE_KEYS:
+            # shared probe helper: caps the key set (beyond the cap the
+            # full-scan semi join is the right plan anyway) and strips
+            # NULLs before hashing
+            probe = self.source._collect_probe_keys(
+                dirty_keys, self.key_col)
+            if probe is not None:
                 src = self.source.read_containing(
                     self.key_col, probe, version=head)
         if src is None:

@@ -158,7 +158,21 @@ def _bloom_hash(values) -> "np.ndarray":
 
     out = np.empty((len(values), 2), dtype=np.uint64)
     for i, v in enumerate(values):
-        s = v if isinstance(v, str) else str(_json_safe(v))
+        # canonicalize numeric renderings so a bloom built from a float
+        # column ('7.0') still matches an int probe key 7 (Spark equality
+        # coerces across the numeric family; the hash must too). str keys
+        # vs numeric columns remain the caller's type error to avoid.
+        if isinstance(v, str):
+            s = v
+        elif isinstance(v, bool):
+            s = str(v)
+        elif isinstance(v, int) or isinstance(v, np.integer):
+            s = str(int(v))
+        elif isinstance(v, float) or isinstance(v, np.floating):
+            f = float(v)
+            s = str(int(f)) if f.is_integer() else repr(f)
+        else:
+            s = str(_json_safe(v))
         d = hashlib.blake2b(s.encode("utf-8"), digest_size=16).digest()
         out[i, 0] = int.from_bytes(d[:8], "little")
         out[i, 1] = int.from_bytes(d[8:], "little")
@@ -174,8 +188,8 @@ def _bloom_build(values: list, max_bytes: int) -> dict:
     import numpy as np
 
     n = max(1, len(values))
-    m = 1 << max(10, min((8 * max_bytes).bit_length() - 1,
-                         int(n * 9.6).bit_length()))
+    cap_exp = max(3, (8 * max(1, max_bytes)).bit_length() - 1)
+    m = 1 << min(cap_exp, max(10, int(n * 9.6).bit_length()))
     k = max(1, min(8, round(0.693 * m / n)))
     h = _bloom_hash(values)
     i = np.arange(k, dtype=np.uint64)
@@ -344,7 +358,10 @@ class SnapshotTable:
                 vals = pc.unique(pc.drop_null(
                     pq.read_table(path, columns=[col]).column(col)
                 )).to_pylist()
-                if 0 < len(vals) <= self.bloom_max_distinct:
+                if len(vals) <= self.bloom_max_distinct:
+                    # an all-NULL file gets an EMPTY bloom (matches no
+                    # key): equality never selects NULL rows, so keyed
+                    # reads/writes may always skip it
                     blooms[col] = _bloom_build(vals, self.bloom_max_bytes)
             if blooms:
                 entry["bloom"] = blooms
@@ -386,8 +403,10 @@ class SnapshotTable:
                 raise ValueError(
                     "schema mismatch vs current snapshot: "
                     f"{old.simpleString()} != {df.schema.simpleString()}; "
-                    "snapshot tables pin the schema (evolution is a "
-                    "documented non-goal of this layer)"
+                    "snapshot tables pin the schema per version — use "
+                    "aligned(df) to upgrade a pre-evolution writer frame, "
+                    "or evolve_add_columns/evolve_drop_columns to change "
+                    "the pinned shape (rename/type changes unsupported)"
                 )
         return schema_json
 
@@ -559,6 +578,14 @@ class SnapshotTable:
         if parent["schema"] is None:
             return df
         schema = StructType.fromJson(json.loads(parent["schema"]))
+        known = {f.name for f in schema.fields}
+        extra = [c for c in df.columns if c not in known]
+        if extra:
+            # silently projecting these away would lose data the writer
+            # clearly meant to keep
+            raise ValueError(
+                f"frame carries columns unknown to the snapshot schema: "
+                f"{extra}; call evolve_add_columns first (or drop them)")
         out = df
         for f in schema.fields:
             if f.name in out.columns:
@@ -623,6 +650,11 @@ class SnapshotTable:
         key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
         parent = self.manifest()
         schema_json = self._check_schema(df_new, parent)
+        # pin the delta: it is evaluated three times (probe collect,
+        # anti-join key set, staged write) and a nondeterministic input
+        # plan could otherwise write keys the bloom probe never saw,
+        # leaving their old rows alive in a "provably clean" carried file
+        df_new = df_new.localCheckpoint(eager=True)
         probe = self._collect_probe_keys(df_new, key_cols[0])
         kept, might = self._split_by_keys(parent, key_cols[0], probe)
         out = df_new
@@ -750,29 +782,27 @@ class SnapshotTable:
             F.col(col).between(F.lit(lo), F.lit(hi))
         )
 
-    def files_for_keys(self, col: str, keys, version: int | None = None
+    def files_for_keys(self, col: str, keys, version: int | None = None,
+                       _manifest: dict | None = None
                        ) -> tuple[list[dict], int]:
         """(files that may contain ANY of `keys` in `col`, total files).
 
-        Bloom-probed: a file without a bloom for `col` (bloom_cols unset at
+        Bloom-probed via :meth:`_split_by_keys` (the single probe
+        predicate): a file without a bloom for `col` (bloom_cols unset at
         write time, distinct cap exceeded, or column absent) always
         survives — the result is a superset of the files actually holding
-        the keys, never a subset. NULL-only files never match: a key
-        equality predicate cannot select NULL rows anyway.
+        the keys, never a subset. NULL keys are dropped from the probe
+        (equality never selects NULL rows) and an all-NULL file carries
+        an empty bloom, so it never survives a key probe.
         """
-        m = self._resolve(version, None)
+        m = _manifest if _manifest is not None else self._resolve(version, None)
         if m["version"] == 0:
             raise ValueError("table has no snapshots yet")
-        keys = list(keys)
+        keys = [k for k in keys if k is not None]
         if not keys:
             return [], len(m["files"])
-        h = _bloom_hash(keys)
-        live = [
-            f for f in m["files"]
-            if "bloom" not in f or col not in f["bloom"]
-            or _bloom_any_match(f["bloom"][col], h)
-        ]
-        return live, len(m["files"])
+        _kept, might = self._split_by_keys(m, col, keys)
+        return might, len(m["files"])
 
     def read_containing(self, col: str, keys,
                         version: int | None = None) -> DataFrame:
@@ -786,7 +816,7 @@ class SnapshotTable:
         every file spans the full key range).
         """
         m = self._resolve(version, None)
-        live, _ = self.files_for_keys(col, keys, version=m["version"])
+        live, _ = self.files_for_keys(col, keys, _manifest=m)
         return self._read_files(m, live)
 
     def read_changes(self, from_version: int,

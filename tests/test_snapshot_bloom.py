@@ -176,3 +176,42 @@ class TestFeatureViewBloomPruning:
         pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                       b.reset_index(drop=True),
                                       check_exact=False, rtol=1e-9)
+
+
+class TestReviewHardening:
+    def test_numeric_cross_type_probe_matches(self, spark, tmp_path):
+        """Bloom built from a DOUBLE column must match int probe keys
+        (Spark equality coerces across the numeric family)."""
+        t = SnapshotTable(spark, str(tmp_path), "num",
+                          bloom_cols=("uid",))
+        df = spark.range(5).select(
+            (F.col("id") + 100).cast("double").alias("uid"),
+            F.lit(1.0).alias("value"))
+        t.append(df)
+        live, total = t.files_for_keys("uid", [102])   # int probe
+        assert len(live) >= 1                          # no false negative
+        assert t.delete_keyed("uid", [102]) is not None
+        assert t.read().count() == 4
+        assert t.read().filter(F.col("uid") == 102.0).count() == 0
+
+    def test_all_null_file_never_matches(self, spark, tmp_path):
+        t = SnapshotTable(spark, str(tmp_path), "nn",
+                          bloom_cols=("conv_id",))
+        rows = [Row(conv_id=None, ts=T0, value=1.0)]
+        t.append(spark.createDataFrame(rows, _SCHEMA))
+        t.append(_turns(spark, ["real"], minutes=2))
+        live, total = t.files_for_keys("conv_id", ["real"])
+        assert len(live) < total  # the all-NULL file is provably clean
+
+    def test_bloom_max_bytes_cap_respected(self):
+        from feasts_spark.sources.snapshots import _bloom_build
+        b = _bloom_build([f"k{i}" for i in range(50)], max_bytes=64)
+        assert b["m"] <= 8 * 64
+
+    def test_null_probe_keys_stripped(self, spark, tmp_path):
+        t = SnapshotTable(spark, str(tmp_path), "np",
+                          bloom_cols=("conv_id",))
+        t.append(_turns(spark, ["x"], minutes=2))
+        live, total = t.files_for_keys("conv_id", [None, "x"])
+        assert len(live) == total
+        assert t.files_for_keys("conv_id", [None]) == ([], total)

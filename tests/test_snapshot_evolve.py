@@ -132,3 +132,26 @@ class TestDownstreamAcrossEvolution:
         table.compact(small_bytes=1 << 30)
         got = table.read()
         assert "tool" in got.columns and got.count() == 10
+
+
+class TestReviewHardening:
+    def test_aligned_rejects_unknown_columns(self, spark, table):
+        bad = _turns(spark, ["q"]).withColumn("mystery", F.lit(1))
+        with pytest.raises(ValueError, match="unknown to the snapshot"):
+            table.aligned(bad)
+
+    def test_cagg_raises_loudly_when_ts_evolved_away(self, spark, tmp_path):
+        from feasts_spark.operators.continuous import ContinuousAggregate
+        src = SnapshotTable(spark, str(tmp_path), "raw",
+                            stats_cols=("ts",))
+        tgt = SnapshotTable(spark, str(tmp_path), "t1h",
+                            stats_cols=("bucket_ts",))
+        src.append(_turns(spark, ["a"], minutes=120))
+        cagg = ContinuousAggregate(src, tgt, "1h")
+        assert cagg.refresh()["mode"] == "full"
+        src.evolve_drop_columns("value")
+        # force a recompute-classified change on the narrowed schema
+        src.append(_turns(spark, ["b"], minutes=3, day=1).drop("value"))
+        src.delete_below("ts", T0 + dt.timedelta(minutes=1))
+        with pytest.raises(Exception):
+            cagg.refresh()  # value_col gone: loud, not silently stale
