@@ -156,6 +156,104 @@ def stream_time_weighted(
     )
 
 
+def stream_duration_in_state(
+    stream: DataFrame,
+    tier: str,
+    key_col: str = "series_key",
+    ts_col: str = "ts",
+    state_col: str = "state",
+    watermark: str = "10 minutes",
+    idle_ttl_seconds: int = 7 * 24 * 3600,
+) -> DataFrame:
+    """Streaming twin of operators.timeweight.duration_in_state: append
+    stream of additive (key, bucket, state, w_us) partials, one emission
+    per closed segment-bucket overlap. Partials merge by plain SUM over
+    (key, bucket, state); run `state_top`-style argmax over the summed
+    frame for dominance queries. Same state/staleness contract as
+    :func:`stream_time_weighted` (one carried sample per key)."""
+    if tier not in TIER_SECONDS:
+        raise ValueError(f"unknown tier {tier!r}")
+    from pyspark.sql import types as T
+    if not isinstance(stream.schema[state_col].dataType, T.StringType):
+        raise ValueError(
+            "stream_duration_in_state carries the last state in string "
+            f"state storage; {state_col!r} must be a string column "
+            "(cast categorical codes first)")
+    tier_us = TIER_SECONDS[tier] * 1_000_000
+    key_type = stream.schema[key_col].dataType
+    out_schema = (
+        f"series_key {key_type.simpleString()}, bucket_ts timestamp, "
+        "state string, w_us long"
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        k = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        batch = pd.concat(parts, ignore_index=True)
+        batch = batch.sort_values(ts_col, kind="mergesort")
+        ts = batch[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        sts = batch[state_col].to_numpy()
+
+        if state.exists:
+            last_us, last_state = state.get
+            keep = ts > last_us
+            ts, sts = ts[keep], sts[keep]
+            if ts.size == 0:
+                _arm(state, last_us)
+                return
+            ts = np.concatenate(([last_us], ts))
+            sts = np.concatenate(([last_state], sts))
+
+        state.update((int(ts[-1]), None if sts[-1] is None
+                      else str(sts[-1])))
+        _arm(state, int(ts[-1]))
+        if ts.size < 2:
+            return
+        t0, t1, s0 = ts[:-1], ts[1:], sts[:-1]
+        ok = t1 > t0
+        t0, t1, s0 = t0[ok], t1[ok], s0[ok]
+        if t0.size == 0:
+            return
+        b0, b1 = t0 // tier_us, t1 // tier_us
+        counts = (b1 - b0 + 1).astype("int64")
+        idx = np.repeat(np.arange(t0.size), counts)
+        within = np.arange(idx.size) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        b = b0[idx] + within
+        w = (np.minimum(t1[idx], (b + 1) * tier_us)
+             - np.maximum(t0[idx], b * tier_us))
+        pos = w > 0
+        idx, b, w = idx[pos], b[pos], w[pos]
+        if w.size == 0:
+            return
+        part = pd.DataFrame({"b": b, "state": s0[idx], "w_us": w}) \
+            .groupby(["b", "state"], as_index=False, dropna=False).sum()
+        part["series_key"] = k
+        part["bucket_ts"] = pd.to_datetime(part.pop("b") * tier_us,
+                                           unit="us")
+        yield part[["series_key", "bucket_ts", "state", "w_us"]]
+
+    def _arm(st: GroupState, last_us: int) -> None:
+        to_ms = last_us // 1000 + idle_ttl_seconds * 1000
+        st.setTimeoutTimestamp(max(to_ms, st.getCurrentWatermarkMs() + 1))
+
+    keyed = stream.select(
+        F.col(key_col), F.col(ts_col), F.col(state_col)
+    ).withWatermark(ts_col, watermark)
+    return keyed.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="last_ts_us long, last_state string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def finalize_time_weighted(partials: DataFrame) -> DataFrame:
     """Accumulated partials -> the batch operator's output frame
     (twa_locf, twa_linear, covered_us per key and bucket). Partials are

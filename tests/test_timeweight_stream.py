@@ -119,3 +119,78 @@ class TestStreamTimeWeighted:
         # segments: [0,30)@v1 and [30,50)@v2 — stale/duplicate dropped
         assert r.covered_us == 50 * 60 * 1_000_000
         assert r.twa_locf == pytest.approx((30 * 1.0 + 20 * 2.0) / 50)
+
+
+class TestStreamDurationInState:
+    def test_partials_sum_equals_batch(self, spark, tmp_path):
+        from feasts_spark.operators.timeweight import duration_in_state
+        from feasts_spark.streaming.timeweight_stream import (
+            stream_duration_in_state,
+        )
+        base = pd.Timestamp("2024-05-01")
+        rng = np.random.default_rng(5)
+        rows = []
+        for key in ("a", "b"):
+            t = 0.0
+            while t < 5 * 60:
+                rows.append((key, base + pd.Timedelta(minutes=t),
+                             str(rng.choice(["idle", "busy", "tool"]))))
+                t += float(rng.uniform(2, 25))
+        pdf = pd.DataFrame(rows, columns=["series_key", "ts", "state"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf = pdf.sort_values("ts", ignore_index=True)
+        d = tmp_path / "in"
+        d.mkdir()
+        for i, part in enumerate(np.array_split(pdf, 4)):
+            part.to_parquet(d / f"b{i}.parquet", index=False)
+        stream = (spark.readStream
+                  .schema("series_key string, ts timestamp, state string")
+                  .option("maxFilesPerTrigger", 1).parquet(str(d)))
+        q = (stream_duration_in_state(stream, "1h",
+                                      watermark="30 minutes")
+             .writeStream.outputMode("append").format("memory")
+             .queryName("t_dis_stream").trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        got = (spark.sql("SELECT * FROM t_dis_stream")
+               .groupBy("series_key", "bucket_ts", "state")
+               .agg(F.sum("w_us").alias("state_us"))
+               .orderBy("series_key", "bucket_ts", "state").toPandas())
+        batch = duration_in_state(spark.createDataFrame(pdf), "1h") \
+            .orderBy("series_key", "bucket_ts", "state") \
+            .toPandas()[got.columns]
+        pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                      batch.reset_index(drop=True),
+                                      check_exact=True)
+
+
+class TestTranscriptRoleOccupancy:
+    def test_role_occupancy_over_synthesized_transcripts(self, spark):
+        """The north-rule input shape end-to-end: wall-clock per role per
+        conversation-hour over synthesized transcripts, via the generic
+        state-occupancy operator."""
+        from feasts_spark.operators.timeweight import (
+            duration_in_state, state_top,
+        )
+        from feasts_spark.sources.transcripts import synthesize_transcripts
+
+        tr = synthesize_transcripts(spark, n_convs=30, max_turns=3000)
+        assert {"conv_id", "turn_idx", "role", "text", "tool", "ts"} \
+            <= set(tr.columns)
+        occ = duration_in_state(tr, "1h", key_col="conv_id",
+                                ts_col="ts", state_col="role",
+                                tie_col="turn_idx")
+        tot = occ.agg(F.sum("state_us")).collect()[0][0]
+        assert tot and tot > 0
+        top = state_top(tr, "1h", key_col="conv_id", ts_col="ts",
+                        state_col="role", tie_col="turn_idx")
+        r = top.first()
+        assert r.state_top in ("user", "assistant", "system", "tool")
+        # occupancy partitions the covered wall-clock exactly
+        per_bucket = occ.groupBy("series_key", "bucket_ts") \
+            .agg(F.sum("state_us").alias("s"))
+        joined = per_bucket.join(
+            top.select("series_key", "bucket_ts", "state_top_us"),
+            ["series_key", "bucket_ts"])
+        assert joined.filter(
+            F.col("state_top_us") > F.col("s")).count() == 0
