@@ -83,6 +83,59 @@ def _trunc_unit(tier: str) -> str:
     return {"1m": "minute", "1h": "hour", "1d": "day"}[tier]
 
 
+def time_weighted_partials(df: DataFrame, tier: str,
+                           key_col: str = "series_key",
+                           ts_col: str = "ts", value_col: str = "value",
+                           tie_col: str | None = None) -> DataFrame:
+    """ADDITIVE per-(series, bucket) time-weight sums: swv_locf (Σ w·v),
+    swv_linear (Σ w·v̄ of the trapezoid), w_us (Σ w). This is the
+    tier-algebra form — partials re-aggregate to any coarser tier by
+    plain SUM (a 1h bucket's sums are exactly its 60 1m buckets' sums,
+    because bucket splitting at the fine tier subdivides the same
+    segments), the same cascade property the rollup tiers exploit; it
+    is also what the streaming twin emits. `finalize_time_weighted`
+    turns partials into means."""
+    seg = _segments(df, key_col, ts_col, {value_col: "v"}, tie_col)
+    bk = _bucketed(seg, tier)
+    # linear interpolant value at the clip points a/b
+    slope = (F.col("v_next") - F.col("v")) / F.col("dur_us")
+    va = F.col("v") + slope * F.col("off_a")
+    vb = F.col("v") + slope * F.col("off_b")
+    return bk.groupBy("series_key", "bucket_ts").agg(
+        F.sum(F.col("w_us") * F.col("v")).alias("swv_locf"),
+        F.sum(F.col("w_us") * (va + vb) / F.lit(2.0))
+        .alias("swv_linear"),
+        F.sum("w_us").alias("w_us"),
+    )
+
+
+def cascade_time_weighted_partials(partials: DataFrame,
+                                   tier: str) -> DataFrame:
+    """Re-aggregate fine-tier partials to a coarser tier by SUM — no
+    rescan of the raw stream, the TWA twin of `rollup_cascade`. Exact
+    up to float re-association: the coarse bucket's segment pieces are
+    a refinement of the fine tier's."""
+    unit = _trunc_unit(tier)
+    return partials.groupBy(
+        "series_key",
+        F.date_trunc(unit, "bucket_ts").alias("bucket_ts"),
+    ).agg(
+        F.sum("swv_locf").alias("swv_locf"),
+        F.sum("swv_linear").alias("swv_linear"),
+        F.sum("w_us").alias("w_us"),
+    )
+
+
+def finalize_time_weighted(partials: DataFrame) -> DataFrame:
+    """Partials -> means: twa_locf, twa_linear, covered_us."""
+    return partials.select(
+        "series_key", "bucket_ts",
+        (F.col("swv_locf") / F.col("w_us")).alias("twa_locf"),
+        (F.col("swv_linear") / F.col("w_us")).alias("twa_linear"),
+        F.col("w_us").alias("covered_us"),
+    )
+
+
 def time_weighted(df: DataFrame, tier: str, key_col: str = "series_key",
                   ts_col: str = "ts", value_col: str = "value",
                   tie_col: str | None = None) -> DataFrame:
@@ -94,19 +147,9 @@ def time_weighted(df: DataFrame, tier: str, key_col: str = "series_key",
     series with a multi-bucket gap still covers the gap buckets (the
     LOCF carry is exactly what gap-fill would write there).
     """
-    seg = _segments(df, key_col, ts_col, {value_col: "v"}, tie_col)
-    bk = _bucketed(seg, tier)
-    # linear interpolant value at the clip points a/b
-    slope = (F.col("v_next") - F.col("v")) / F.col("dur_us")
-    va = F.col("v") + slope * F.col("off_a")
-    vb = F.col("v") + slope * F.col("off_b")
-    return bk.groupBy("series_key", "bucket_ts").agg(
-        (F.sum(F.col("w_us") * F.col("v")) / F.sum("w_us"))
-        .alias("twa_locf"),
-        (F.sum(F.col("w_us") * (va + vb) / F.lit(2.0)) / F.sum("w_us"))
-        .alias("twa_linear"),
-        F.sum("w_us").alias("covered_us"),
-    )
+    return finalize_time_weighted(
+        time_weighted_partials(df, tier, key_col, ts_col, value_col,
+                               tie_col))
 
 
 def duration_in_state(df: DataFrame, tier: str,

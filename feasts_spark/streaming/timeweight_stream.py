@@ -255,13 +255,18 @@ def stream_duration_in_state(
 
 
 def finalize_time_weighted(partials: DataFrame) -> DataFrame:
-    """Accumulated partials -> the batch operator's output frame
-    (twa_locf, twa_linear, covered_us per key and bucket). Partials are
-    additive, so this is one plain SUM aggregate — safe to run over any
-    union of micro-batch emissions, including after a snapshot-table
-    merge."""
-    return partials.groupBy("series_key", "bucket_ts").agg(
-        (F.sum("swv_locf") / F.sum("w_us")).alias("twa_locf"),
-        (F.sum("swv_linear") / F.sum("w_us")).alias("twa_linear"),
-        F.sum("w_us").alias("covered_us"),
+    """Accumulated micro-batch partials -> the batch operator's output
+    frame (twa_locf, twa_linear, covered_us per key and bucket).
+    Partials are additive, so this is one SUM aggregate followed by the
+    batch finalizer — safe to run over any union of micro-batch
+    emissions, including after a snapshot-table merge."""
+    from feasts_spark.operators.timeweight import (
+        finalize_time_weighted as _fin,
     )
+
+    summed = partials.groupBy("series_key", "bucket_ts").agg(
+        F.sum("swv_locf").alias("swv_locf"),
+        F.sum("swv_linear").alias("swv_linear"),
+        F.sum("w_us").alias("w_us"),
+    )
+    return _fin(summed)

@@ -116,3 +116,33 @@ class TestDurationInState:
         assert r[0].state_top == "aaa"          # 30 min each: tie -> min
         assert r[0].state_top_us == 30 * 60 * 1_000_000
         assert r[0].n_states == 2
+
+
+class TestPartialsCascade:
+    def test_cascade_1m_to_1h_equals_direct(self, spark):
+        from feasts_spark.operators.timeweight import (
+            cascade_time_weighted_partials,
+            finalize_time_weighted,
+            time_weighted_partials,
+        )
+        rows = []
+        rng = __import__("numpy").random.default_rng(2)
+        t = 0.0
+        while t < 300:
+            rows.append(("a", t, float(rng.normal(10, 2))))
+            t += float(rng.uniform(0.5, 18))
+        df = _df(spark, [(k, m, v, "x") for k, m, v in rows])
+        fine = time_weighted_partials(df, "1m", key_col="k",
+                                      ts_col="ts", value_col="value")
+        via_cascade = finalize_time_weighted(
+            cascade_time_weighted_partials(fine, "1h")) \
+            .orderBy("bucket_ts").collect()
+        direct = time_weighted(df, "1h", key_col="k", ts_col="ts",
+                               value_col="value") \
+            .orderBy("bucket_ts").collect()
+        assert len(via_cascade) == len(direct) > 0
+        for a, b in zip(via_cascade, direct):
+            assert a.bucket_ts == b.bucket_ts
+            assert a.covered_us == b.covered_us
+            assert a.twa_locf == pytest.approx(b.twa_locf, rel=1e-12)
+            assert a.twa_linear == pytest.approx(b.twa_linear, rel=1e-12)
