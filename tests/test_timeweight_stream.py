@@ -194,3 +194,44 @@ class TestTranscriptRoleOccupancy:
             ["series_key", "bucket_ts"])
         assert joined.filter(
             F.col("state_top_us") > F.col("s")).count() == 0
+
+
+class TestPartialsThroughSnapshotSink:
+    def test_sink_then_finalize_equals_batch(self, spark, tmp_path):
+        """Streamed partials -> exactly-once snapshot sink -> finalize at
+        read time. Partials merge by SUM across micro-batch commits, so
+        the sink needs no merge logic at all — append-only commits
+        suffice even when later batches add weight to an already-written
+        bucket."""
+        from feasts_spark.sources.snapshots import SnapshotTable
+        from feasts_spark.streaming.snapshot_sink import (
+            snapshot_batch_writer,
+        )
+
+        pdf = _corpus()
+        d = tmp_path / "in"
+        d.mkdir()
+        for i, part in enumerate(np.array_split(pdf, 5)):
+            part.to_parquet(d / f"b{i}.parquet", index=False)
+        table = SnapshotTable(spark, str(tmp_path), "twa_partials",
+                              stats_cols=("bucket_ts",))
+        stream = (spark.readStream.schema(SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(str(d)))
+        q = (stream_time_weighted(stream, "1h", watermark="30 minutes")
+             .writeStream
+             .foreachBatch(snapshot_batch_writer(table, "twa"))
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        assert all(h["operation"] == "append" for h in table.history())
+
+        got = finalize_time_weighted(table.read()) \
+            .orderBy("series_key", "bucket_ts").toPandas()
+        batch = time_weighted(spark.createDataFrame(pdf), "1h") \
+            .orderBy("series_key", "bucket_ts").toPandas()[got.columns]
+        assert len(got) == len(batch) > 0
+        assert (got["covered_us"] == batch["covered_us"]).all()
+        np.testing.assert_allclose(got["twa_locf"], batch["twa_locf"],
+                                   rtol=1e-12)
+        np.testing.assert_allclose(got["twa_linear"],
+                                   batch["twa_linear"], rtol=1e-12)
