@@ -111,10 +111,15 @@ def time_weighted_partials(df: DataFrame, tier: str,
 
 def cascade_time_weighted_partials(partials: DataFrame,
                                    tier: str) -> DataFrame:
-    """Re-aggregate fine-tier partials to a coarser tier by SUM — no
+    """Re-aggregate FINER-tier partials to coarser `tier` by SUM — no
     rescan of the raw stream, the TWA twin of `rollup_cascade`. Exact
     up to float re-association: the coarse bucket's segment pieces are
-    a refinement of the fine tier's."""
+    a refinement of the fine tier's. The input's grain must be strictly
+    finer than `tier` (partials carry no tier tag to validate against;
+    cascading to the same or a finer tier would silently mislabel the
+    grain, exactly as misusing rollup_cascade would)."""
+    if tier not in TIER_SECONDS:
+        raise ValueError(f"unknown tier {tier!r}")
     unit = _trunc_unit(tier)
     return partials.groupBy(
         "series_key",
@@ -127,8 +132,21 @@ def cascade_time_weighted_partials(partials: DataFrame,
 
 
 def finalize_time_weighted(partials: DataFrame) -> DataFrame:
-    """Partials -> means: twa_locf, twa_linear, covered_us."""
-    return partials.select(
+    """Partials -> means: twa_locf, twa_linear, covered_us.
+
+    Sums per (series, bucket) FIRST, so the one finalizer serves both
+    shapes a caller can hold: the batch partials frame (already unique
+    per bucket — the re-aggregation is then a no-op on pre-partitioned
+    rows) and any UNION of streamed / snapshot-sinked micro-batch
+    emissions, where a bucket legitimately appears once per emission.
+    Finalizing accumulated emissions without the sum would silently
+    yield one partial-only mean per emission — hence no raw-divide
+    variant is exported."""
+    return partials.groupBy("series_key", "bucket_ts").agg(
+        F.sum("swv_locf").alias("swv_locf"),
+        F.sum("swv_linear").alias("swv_linear"),
+        F.sum("w_us").alias("w_us"),
+    ).select(
         "series_key", "bucket_ts",
         (F.col("swv_locf") / F.col("w_us")).alias("twa_locf"),
         (F.col("swv_linear") / F.col("w_us")).alias("twa_linear"),

@@ -1,33 +1,54 @@
-"""Streaming twin of operators.timeweight.time_weighted.
+"""Streaming twins of operators.timeweight (time-weighted mean and state
+occupancy).
 
 A segment closes the moment its RIGHT endpoint arrives (no watermark wait
 — unlike a windowed aggregate, the closing event itself is the proof the
 segment is complete), so the stream can emit each segment's per-bucket
 contribution immediately and exactly once. The contributions are
-ADDITIVE partials — (Σ w·v_locf, Σ w·v̄_linear, Σ w) per (key, bucket) —
-because a bucket can keep receiving weight from segments that close in
-later micro-batches; `finalize_time_weighted` turns accumulated partials
-into the twa_locf / twa_linear / covered_us frame, the same
-split-emit/finalize contract the top-k stream uses (rank is not
-streaming-safe; neither is a ratio).
+ADDITIVE partials — (Σ w·v_locf, Σ w·v̄_linear, Σ w) per (key, bucket),
+or (Σ w) per (key, bucket, state) — because a bucket keeps receiving
+weight from segments that close in later micro-batches;
+`operators.timeweight.finalize_time_weighted` (re-exported here) sums
+then divides, the same split-emit/finalize contract the top-k stream
+uses (ratios, like ranks, are not streaming-safe).
 
-State per key is ONE row: the last sample (ts, value) — the potential
-left endpoint of the next segment. The vectorized pandas walk mirrors
-the batch operator exactly: consecutive pairs form segments, integer
-bucket arithmetic splits them across tier buckets, zero-width pairs
-(duplicate timestamps) carry no weight.
+State per key is ONE row: the last sample — the potential left endpoint
+of the next segment. The vectorized walk reuses the batch operator's
+bucket-split algebra, shared between both twins below.
+
+Input sanitation the batch twin gets for free and a stateful stream must
+do explicitly:
+
+  - NULL event times are dropped before anything else (a NaT would
+    otherwise poison the carried endpoint as int64-min and blow up the
+    bucket expansion);
+  - pairs wider than `max_segment_seconds` (default 30 days) are treated
+    as series BREAKS: no LOCF carry across them. This bounds the bucket
+    expansion per segment AND de-wedges a key whose carried endpoint was
+    corrupted by a far-future (clock-skewed) timestamp — when the
+    carried endpoint sits more than the cap ahead of the entire next
+    batch, it is discarded and the series restarts, instead of silently
+    dropping every subsequent row forever. The batch operator has no cap
+    (it sees the whole corpus at once and emits the true segment).
 
 Divergences from batch, the price of O(1) state per key:
-  - rows at or before the carried last sample's timestamp are DROPPED
-    (the stream cannot re-pair history); beyond-watermark stragglers
-    never reach the operator at all. Batch `time_weighted` over the
-    full corpus is the backfill path, as everywhere in this package.
+  - rows at or before the carried endpoint's timestamp are DROPPED (the
+    stream cannot re-pair history); beyond-watermark stragglers never
+    reach the operator at all. With duplicate timestamps this means the
+    FIRST-arriving sample wins across a micro-batch boundary while
+    `tie_col` order wins within one — pass a tie column for in-batch
+    determinism, and use the batch operator for corpora where duplicate
+    timestamps carry meaning. Batch `time_weighted` over the full
+    corpus is the backfill path, as everywhere in this package.
   - an idle key is forgotten after `idle_ttl_seconds` of event time, so
     a sample arriving after the TTL opens a fresh series: the segment
     bridging the idle gap is not emitted (batch emits it).
+  - gaps longer than `max_segment_seconds` emit no coverage (batch
+    emits the full LOCF carry).
 
-Bounded input arriving in order produces partials whose finalize equals
-the batch operator to float-association tolerance (asserted in tests).
+Bounded input arriving in order (no duplicate timestamps split across
+batches, no over-cap gaps) produces partials whose finalize equals the
+batch operator to float-association tolerance (asserted in tests).
 """
 
 from __future__ import annotations
@@ -38,17 +59,79 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from feasts_spark.operators.rollup import TIER_SECONDS
+from feasts_spark.operators.timeweight import (  # noqa: F401  (re-export)
+    finalize_time_weighted,
+)
 
-_STATE_SCHEMA = "last_ts_us long, last_val double"
+_STATE_SCHEMA_VALUE = "last_ts_us long, last_val double"
+_STATE_SCHEMA_STATE = "last_ts_us long, last_state string"
 
 
-def _out_schema(key_type) -> str:
-    from pyspark.sql import types as T
+def _arm(state: GroupState, last_us: int, ttl_s: int) -> None:
+    to_ms = last_us // 1000 + ttl_s * 1000
+    state.setTimeoutTimestamp(max(to_ms, state.getCurrentWatermarkMs() + 1))
 
-    return (
-        f"series_key {key_type.simpleString()}, bucket_ts timestamp, "
-        "w_us long, swv_locf double, swv_linear double"
-    )
+
+def _clean_sorted(pdfs, ts_col: str, tie_col: str | None) -> pd.DataFrame:
+    """Concatenate a micro-batch's chunks, drop NULL event times, sort by
+    (ts, tie). Returns an empty frame when nothing survives."""
+    parts = [p for p in pdfs if len(p)]
+    if not parts:
+        return pd.DataFrame()
+    batch = pd.concat(parts, ignore_index=True)
+    batch = batch[batch[ts_col].notna()]
+    if batch.empty:
+        return batch
+    cols = [ts_col] + ([tie_col] if tie_col else [])
+    return batch.sort_values(cols, kind="mergesort")
+
+
+def _merge_carried(ts, pay, state: GroupState, max_seg_us: int):
+    """Prepend the carried endpoint to the batch arrays.
+
+    Returns (ts, pay, rearm_only_us): rearm_only_us is set when every
+    batch row is stale (<= carried endpoint) and the caller should just
+    re-arm the TTL. A carried endpoint more than max_seg_us AHEAD of the
+    whole batch is corrupt (clock-skewed future sample): it is discarded
+    and the series restarts from this batch."""
+    if not state.exists:
+        return ts, pay, None
+    last_us, last_pay = state.get
+    if last_us - int(ts[-1]) > max_seg_us:
+        return ts, pay, None  # de-wedge: drop the poisoned endpoint
+    keep = ts > last_us
+    ts, pay = ts[keep], pay[keep]
+    if ts.size == 0:
+        return ts, pay, last_us
+    return (np.concatenate(([last_us], ts)),
+            np.concatenate(([last_pay], pay)), None)
+
+
+def _closed_pairs(ts, pay, max_seg_us: int):
+    """(t0, t1, p0, p1) for consecutive pairs that form real segments:
+    positive width, no wider than the cap (over-cap = series break)."""
+    t0, t1 = ts[:-1], ts[1:]
+    p0, p1 = pay[:-1], pay[1:]
+    ok = (t1 > t0) & (t1 - t0 <= max_seg_us)
+    return t0[ok], t1[ok], p0[ok], p1[ok]
+
+
+def _bucket_pieces(t0, t1, tier_us: int):
+    """Split segments across tier buckets: (idx, b, a_us, e_us, w) for
+    every positive-width in-bucket piece — the same algebra as the batch
+    operator's `_bucketed`, vectorized over numpy. Piece counts are
+    bounded by max_segment_seconds / tier."""
+    b0, b1 = t0 // tier_us, t1 // tier_us
+    counts = (b1 - b0 + 1).astype("int64")
+    idx = np.repeat(np.arange(t0.size), counts)
+    within = np.arange(idx.size) - np.repeat(
+        np.cumsum(counts) - counts, counts)
+    b = b0[idx] + within
+    a = np.maximum(t0[idx], b * tier_us)
+    e = np.minimum(t1[idx], (b + 1) * tier_us)
+    w = e - a
+    pos = w > 0
+    return idx[pos], b[pos], a[pos], e[pos], w[pos]
 
 
 def stream_time_weighted(
@@ -57,71 +140,49 @@ def stream_time_weighted(
     key_col: str = "series_key",
     ts_col: str = "ts",
     value_col: str = "value",
+    tie_col: str | None = None,
     watermark: str = "10 minutes",
     idle_ttl_seconds: int = 7 * 24 * 3600,
+    max_segment_seconds: int = 30 * 24 * 3600,
 ) -> DataFrame:
     """Append stream of additive time-weight partials per (key, bucket).
 
-    Feed the accumulated output through :func:`finalize_time_weighted`
-    (or commit partials to a snapshot table and finalize at query time —
-    partials merge by plain SUM, so `rollup_merge`-style re-aggregation
-    applies).
+    Feed the accumulated output through `finalize_time_weighted` (or
+    commit partials to a snapshot table and finalize at query time —
+    partials merge by plain SUM, so append-only commits suffice).
     """
     if tier not in TIER_SECONDS:
         raise ValueError(f"unknown tier {tier!r}")
     tier_us = TIER_SECONDS[tier] * 1_000_000
-    key_type = stream.schema[key_col].dataType
-    out_schema = _out_schema(key_type)
+    max_seg_us = max_segment_seconds * 1_000_000
+    key_type = stream.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"series_key {key_type}, bucket_ts timestamp, "
+        "w_us long, swv_locf double, swv_linear double"
+    )
 
     def fn(key, pdfs, state: GroupState):
         k = key[0]
         if state.hasTimedOut:
             state.remove()  # idle key: forget the dangling left endpoint
             return
-
-        parts = [p for p in pdfs if len(p)]
-        if not parts:
+        batch = _clean_sorted(pdfs, ts_col, tie_col)
+        if batch.empty:
             return
-        batch = pd.concat(parts, ignore_index=True)
-        batch = batch.sort_values(ts_col, kind="mergesort")
         ts = batch[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
         vals = batch[value_col].to_numpy(dtype="float64")
-
-        if state.exists:
-            last_us, last_val = state.get
-            keep = ts > last_us  # cannot re-pair history; drop stale rows
-            ts, vals = ts[keep], vals[keep]
-            if ts.size == 0:
-                # nothing new: re-arm the TTL and keep the endpoint
-                _arm(state, last_us, idle_ttl_seconds)
-                return
-            ts = np.concatenate(([last_us], ts))
-            vals = np.concatenate(([last_val], vals))
-
+        ts, vals, rearm_us = _merge_carried(ts, vals, state, max_seg_us)
+        if rearm_us is not None:
+            _arm(state, rearm_us, idle_ttl_seconds)
+            return
         state.update((int(ts[-1]), float(vals[-1])))
         _arm(state, int(ts[-1]), idle_ttl_seconds)
         if ts.size < 2:
             return
-
-        t0, t1 = ts[:-1], ts[1:]
-        v0, v1 = vals[:-1], vals[1:]
-        ok = t1 > t0  # zero-width pairs (duplicate ts) carry no weight
-        t0, t1, v0, v1 = t0[ok], t1[ok], v0[ok], v1[ok]
+        t0, t1, v0, v1 = _closed_pairs(ts, vals, max_seg_us)
         if t0.size == 0:
             return
-
-        # vectorized bucket split: same algebra as the batch operator
-        b0, b1 = t0 // tier_us, t1 // tier_us
-        counts = (b1 - b0 + 1).astype("int64")
-        idx = np.repeat(np.arange(t0.size), counts)
-        within = np.arange(idx.size) - np.repeat(
-            np.cumsum(counts) - counts, counts)
-        b = b0[idx] + within
-        a_us = np.maximum(t0[idx], b * tier_us)
-        e_us = np.minimum(t1[idx], (b + 1) * tier_us)
-        w = e_us - a_us
-        pos = w > 0
-        idx, b, a_us, e_us, w = idx[pos], b[pos], a_us[pos], e_us[pos], w[pos]
+        idx, b, a_us, e_us, w = _bucket_pieces(t0, t1, tier_us)
         if w.size == 0:
             return
         slope = (v1[idx] - v0[idx]) / (t1[idx] - t0[idx])
@@ -139,18 +200,14 @@ def stream_time_weighted(
         yield part[["series_key", "bucket_ts", "w_us",
                     "swv_locf", "swv_linear"]]
 
-    def _arm(state: GroupState, last_us: int, ttl_s: int) -> None:
-        to_ms = last_us // 1000 + ttl_s * 1000
-        state.setTimeoutTimestamp(
-            max(to_ms, state.getCurrentWatermarkMs() + 1))
-
-    keyed = stream.select(
-        F.col(key_col), F.col(ts_col), F.col(value_col)
-    ).withWatermark(ts_col, watermark)
+    cols = [F.col(key_col), F.col(ts_col), F.col(value_col)]
+    if tie_col:
+        cols.append(F.col(tie_col))
+    keyed = stream.select(*cols).withWatermark(ts_col, watermark)
     return keyed.groupBy(key_col).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
-        stateStructType=_STATE_SCHEMA,
+        stateStructType=_STATE_SCHEMA_VALUE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
@@ -162,15 +219,17 @@ def stream_duration_in_state(
     key_col: str = "series_key",
     ts_col: str = "ts",
     state_col: str = "state",
+    tie_col: str | None = None,
     watermark: str = "10 minutes",
     idle_ttl_seconds: int = 7 * 24 * 3600,
+    max_segment_seconds: int = 30 * 24 * 3600,
 ) -> DataFrame:
     """Streaming twin of operators.timeweight.duration_in_state: append
     stream of additive (key, bucket, state, w_us) partials, one emission
     per closed segment-bucket overlap. Partials merge by plain SUM over
-    (key, bucket, state); run `state_top`-style argmax over the summed
-    frame for dominance queries. Same state/staleness contract as
-    :func:`stream_time_weighted` (one carried sample per key)."""
+    (key, bucket, state); run a `state_top`-style argmax over the summed
+    frame for dominance queries. Same state / sanitation / staleness
+    contract as :func:`stream_time_weighted`."""
     if tier not in TIER_SECONDS:
         raise ValueError(f"unknown tier {tier!r}")
     from pyspark.sql import types as T
@@ -180,9 +239,10 @@ def stream_duration_in_state(
             f"state storage; {state_col!r} must be a string column "
             "(cast categorical codes first)")
     tier_us = TIER_SECONDS[tier] * 1_000_000
-    key_type = stream.schema[key_col].dataType
+    max_seg_us = max_segment_seconds * 1_000_000
+    key_type = stream.schema[key_col].dataType.simpleString()
     out_schema = (
-        f"series_key {key_type.simpleString()}, bucket_ts timestamp, "
+        f"series_key {key_type}, bucket_ts timestamp, "
         "state string, w_us long"
     )
 
@@ -191,44 +251,24 @@ def stream_duration_in_state(
         if state.hasTimedOut:
             state.remove()
             return
-        parts = [p for p in pdfs if len(p)]
-        if not parts:
+        batch = _clean_sorted(pdfs, ts_col, tie_col)
+        if batch.empty:
             return
-        batch = pd.concat(parts, ignore_index=True)
-        batch = batch.sort_values(ts_col, kind="mergesort")
         ts = batch[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
         sts = batch[state_col].to_numpy()
-
-        if state.exists:
-            last_us, last_state = state.get
-            keep = ts > last_us
-            ts, sts = ts[keep], sts[keep]
-            if ts.size == 0:
-                _arm(state, last_us)
-                return
-            ts = np.concatenate(([last_us], ts))
-            sts = np.concatenate(([last_state], sts))
-
-        state.update((int(ts[-1]), None if sts[-1] is None
-                      else str(sts[-1])))
-        _arm(state, int(ts[-1]))
+        ts, sts, rearm_us = _merge_carried(ts, sts, state, max_seg_us)
+        if rearm_us is not None:
+            _arm(state, rearm_us, idle_ttl_seconds)
+            return
+        state.update((int(ts[-1]),
+                      None if sts[-1] is None else str(sts[-1])))
+        _arm(state, int(ts[-1]), idle_ttl_seconds)
         if ts.size < 2:
             return
-        t0, t1, s0 = ts[:-1], ts[1:], sts[:-1]
-        ok = t1 > t0
-        t0, t1, s0 = t0[ok], t1[ok], s0[ok]
+        t0, t1, s0, _s1 = _closed_pairs(ts, sts, max_seg_us)
         if t0.size == 0:
             return
-        b0, b1 = t0 // tier_us, t1 // tier_us
-        counts = (b1 - b0 + 1).astype("int64")
-        idx = np.repeat(np.arange(t0.size), counts)
-        within = np.arange(idx.size) - np.repeat(
-            np.cumsum(counts) - counts, counts)
-        b = b0[idx] + within
-        w = (np.minimum(t1[idx], (b + 1) * tier_us)
-             - np.maximum(t0[idx], b * tier_us))
-        pos = w > 0
-        idx, b, w = idx[pos], b[pos], w[pos]
+        idx, b, _a, _e, w = _bucket_pieces(t0, t1, tier_us)
         if w.size == 0:
             return
         part = pd.DataFrame({"b": b, "state": s0[idx], "w_us": w}) \
@@ -238,35 +278,14 @@ def stream_duration_in_state(
                                            unit="us")
         yield part[["series_key", "bucket_ts", "state", "w_us"]]
 
-    def _arm(st: GroupState, last_us: int) -> None:
-        to_ms = last_us // 1000 + idle_ttl_seconds * 1000
-        st.setTimeoutTimestamp(max(to_ms, st.getCurrentWatermarkMs() + 1))
-
-    keyed = stream.select(
-        F.col(key_col), F.col(ts_col), F.col(state_col)
-    ).withWatermark(ts_col, watermark)
+    cols = [F.col(key_col), F.col(ts_col), F.col(state_col)]
+    if tie_col:
+        cols.append(F.col(tie_col))
+    keyed = stream.select(*cols).withWatermark(ts_col, watermark)
     return keyed.groupBy(key_col).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
-        stateStructType="last_ts_us long, last_state string",
+        stateStructType=_STATE_SCHEMA_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-
-
-def finalize_time_weighted(partials: DataFrame) -> DataFrame:
-    """Accumulated micro-batch partials -> the batch operator's output
-    frame (twa_locf, twa_linear, covered_us per key and bucket).
-    Partials are additive, so this is one SUM aggregate followed by the
-    batch finalizer — safe to run over any union of micro-batch
-    emissions, including after a snapshot-table merge."""
-    from feasts_spark.operators.timeweight import (
-        finalize_time_weighted as _fin,
-    )
-
-    summed = partials.groupBy("series_key", "bucket_ts").agg(
-        F.sum("swv_locf").alias("swv_locf"),
-        F.sum("swv_linear").alias("swv_linear"),
-        F.sum("w_us").alias("w_us"),
-    )
-    return _fin(summed)

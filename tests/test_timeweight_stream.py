@@ -235,3 +235,105 @@ class TestPartialsThroughSnapshotSink:
                                    rtol=1e-12)
         np.testing.assert_allclose(got["twa_linear"],
                                    batch["twa_linear"], rtol=1e-12)
+
+
+class TestStreamSanitation:
+    def _run_files(self, spark, tmp_path, frames, name, **kw):
+        d = tmp_path / "in"
+        d.mkdir()
+        for i, part in enumerate(frames):
+            part = part.copy()
+            part["ts"] = part["ts"].astype("datetime64[us]")
+            part.to_parquet(d / f"b{i}.parquet", index=False)
+        stream = (spark.readStream.schema(SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(str(d)))
+        q = (stream_time_weighted(stream, "1h", watermark="2 hours", **kw)
+             .writeStream.outputMode("append").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination()
+        return finalize_time_weighted(spark.sql(f"SELECT * FROM {name}"))
+
+    def test_null_event_times_dropped_not_poisoning(self, spark, tmp_path):
+        base = pd.Timestamp("2024-05-01")
+        f1 = pd.DataFrame({
+            "series_key": ["a", "a", "a"],
+            "ts": [base, pd.NaT, base + pd.Timedelta(minutes=30)],
+            "value": [1.0, 50.0, 2.0],
+        })
+        f2 = pd.DataFrame({
+            "series_key": ["a"],
+            "ts": [base + pd.Timedelta(minutes=40)],
+            "value": [3.0],
+        })
+        got = self._run_files(spark, tmp_path, (f1, f2), "t_twa_nat") \
+            .collect()
+        assert len(got) == 1
+        assert got[0].covered_us == 40 * 60 * 1_000_000
+
+    def test_future_endpoint_dewedges(self, spark, tmp_path):
+        base = pd.Timestamp("2024-05-01")
+        f1 = pd.DataFrame({
+            "series_key": ["a", "a"],
+            "ts": [base, pd.Timestamp("2090-01-01")],  # clock-skewed
+            "value": [1.0, 999.0],
+        })
+        f2 = pd.DataFrame({
+            "series_key": ["a", "a"],
+            "ts": [base + pd.Timedelta(minutes=10),
+                   base + pd.Timedelta(minutes=30)],
+            "value": [5.0, 6.0],
+        })
+        got = self._run_files(spark, tmp_path, (f1, f2), "t_twa_wedge") \
+            .collect()
+        # the 2090 endpoint is discarded (over-cap ahead of batch 2);
+        # the real series restarts and emits its 20-minute segment —
+        # the base->2090 pair itself is an over-cap break, no coverage
+        assert len(got) == 1
+        assert got[0].covered_us == 20 * 60 * 1_000_000
+        assert got[0].twa_locf == pytest.approx(5.0)
+
+    def test_over_cap_gap_is_series_break(self, spark, tmp_path):
+        base = pd.Timestamp("2024-05-01")
+        f1 = pd.DataFrame({
+            "series_key": ["a", "a", "a"],
+            "ts": [base, base + pd.Timedelta(minutes=30),
+                   base + pd.Timedelta(days=90)],
+            "value": [1.0, 2.0, 3.0],
+        })
+        got = self._run_files(spark, tmp_path, (f1,), "t_twa_break") \
+            .collect()
+        # only the 30-minute segment: the 90-day gap exceeds the cap
+        assert len(got) == 1
+        assert got[0].covered_us == 30 * 60 * 1_000_000
+
+    def test_tie_col_deterministic_duplicates(self, spark, tmp_path):
+        base = pd.Timestamp("2024-05-01")
+        f1 = pd.DataFrame({
+            "series_key": ["a", "a", "a", "a"],
+            "ts": [base, base + pd.Timedelta(minutes=30),
+                   base + pd.Timedelta(minutes=30),
+                   base + pd.Timedelta(minutes=60)],
+            "value": [1.0, 9.0, 2.0, 0.0],
+        })
+        f1["tie"] = [0, 1, 2, 3]
+        d = tmp_path / "in"
+        d.mkdir()
+        f1c = f1.copy()
+        f1c["ts"] = f1c["ts"].astype("datetime64[us]")
+        f1c.to_parquet(d / "b0.parquet", index=False)
+        stream = (spark.readStream
+                  .schema(SCHEMA + ", tie long")
+                  .option("maxFilesPerTrigger", 1).parquet(str(d)))
+        q = (stream_time_weighted(stream, "1h", tie_col="tie",
+                                  watermark="2 hours")
+             .writeStream.outputMode("append").format("memory")
+             .queryName("t_twa_tie").trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = finalize_time_weighted(
+            spark.sql("SELECT * FROM t_twa_tie")).collect()
+        # tie order: the minute-30 duplicate with tie=2 opens the second
+        # segment (LOCF v=2.0), deterministically; both segments land in
+        # the single hour bucket
+        assert len(got) == 1
+        assert got[0].covered_us == 3600 * 1_000_000
+        assert got[0].twa_locf == pytest.approx((30 * 1.0 + 30 * 2.0) / 60)
