@@ -1153,17 +1153,19 @@ WHERE st.rn = 1
 
 
 def q_rate_ewma_1h(spark, sf_dir):
-    """Counter-rate, EWMA and time-weighted siblings joined on their
-    shared hourly key — one registry row keeps all the value-exact
-    oracles inside the driver's checked window. cr/ew bucket exactly the
-    sample-carrying hours; the time-weighted frame also covers gap hours
-    a LOCF segment crosses, so the inner join trims both engines to the
-    common grain identically."""
+    """Counter-rate, EWMA and time-weighted siblings on their shared
+    hourly key — one registry row keeps all the value-exact oracles
+    inside the driver's checked window. cr/ew bucket exactly the
+    sample-carrying hours; the time-weighted frame ALSO covers gap hours
+    a LOCF segment crosses and MISSES a bucket whose only sample is the
+    series-final one (nothing closes it), so the FULL OUTER join checks
+    every grain — gap hours carry NULL cr/ew columns, final-sample hours
+    NULL tw columns — identically on both engines."""
     cr = q_counter_rate_1h(spark, sf_dir)
     ew = q_ewma_1h(spark, sf_dir)
     tw = q_timeweight_1h(spark, sf_dir)
     return cr.join(ew, ["series_key", "bucket_ts"]) \
-             .join(tw, ["series_key", "bucket_ts"])
+             .join(tw, ["series_key", "bucket_ts"], "full")
 
 
 def _rate_ewma_oracle() -> str:
@@ -1171,12 +1173,12 @@ def _rate_ewma_oracle() -> str:
         f"WITH cr AS ({ORACLE_COUNTER_RATE_1H}),\n"
         f"ew AS ({ORACLE_EWMA_1H}),\n"
         f"tw AS ({ORACLE_TIMEWEIGHT_1H})\n"
-        "SELECT cr.series_key, cr.bucket_ts, cr.increase, cr.n_resets,\n"
+        "SELECT series_key, bucket_ts, cr.increase, cr.n_resets,\n"
         "       cr.n_samples, ew.val_avg, ew.ewma,\n"
         "       tw.twa_locf, tw.twa_linear, tw.covered_us,\n"
         "       tw.state_top, tw.state_top_us, tw.n_states\n"
         "FROM cr JOIN ew USING (series_key, bucket_ts)\n"
-        "        JOIN tw USING (series_key, bucket_ts)"
+        "        FULL JOIN tw USING (series_key, bucket_ts)"
     )
 
 
