@@ -19,6 +19,12 @@ from feasts_spark.streaming.timeweight_stream import (
 SCHEMA = "series_key string, ts timestamp, value double"
 
 
+def _chunks(pdf, n):
+    """Contiguous row chunks (np.array_split on a DataFrame is
+    deprecated)."""
+    return [pdf.iloc[ix] for ix in np.array_split(np.arange(len(pdf)), n)]
+
+
 def _corpus():
     rng = np.random.default_rng(11)
     base = pd.Timestamp("2024-05-01")
@@ -38,7 +44,7 @@ def _corpus():
 def _run(spark, tmp_path, pdf, n_files=5, name="t_twa_stream"):
     d = tmp_path / "in"
     d.mkdir()
-    for i, part in enumerate(np.array_split(pdf, n_files)):
+    for i, part in enumerate(_chunks(pdf, n_files)):
         part.to_parquet(d / f"b{i:02d}.parquet", index=False)
     stream = (spark.readStream.schema(SCHEMA)
               .option("maxFilesPerTrigger", 1).parquet(str(d)))
@@ -141,7 +147,7 @@ class TestStreamDurationInState:
         pdf = pdf.sort_values("ts", ignore_index=True)
         d = tmp_path / "in"
         d.mkdir()
-        for i, part in enumerate(np.array_split(pdf, 4)):
+        for i, part in enumerate(_chunks(pdf, 4)):
             part.to_parquet(d / f"b{i}.parquet", index=False)
         stream = (spark.readStream
                   .schema("series_key string, ts timestamp, state string")
@@ -211,7 +217,7 @@ class TestPartialsThroughSnapshotSink:
         pdf = _corpus()
         d = tmp_path / "in"
         d.mkdir()
-        for i, part in enumerate(np.array_split(pdf, 5)):
+        for i, part in enumerate(_chunks(pdf, 5)):
             part.to_parquet(d / f"b{i}.parquet", index=False)
         table = SnapshotTable(spark, str(tmp_path), "twa_partials",
                               stats_cols=("bucket_ts",))
