@@ -136,17 +136,24 @@ def finalize_time_weighted(partials: DataFrame) -> DataFrame:
 
     Sums per (series, bucket) FIRST, so the one finalizer serves both
     shapes a caller can hold: the batch partials frame (already unique
-    per bucket — the re-aggregation is then a no-op on pre-partitioned
-    rows) and any UNION of streamed / snapshot-sinked micro-batch
+    per bucket) and any UNION of streamed / snapshot-sinked micro-batch
     emissions, where a bucket legitimately appears once per emission.
     Finalizing accumulated emissions without the sum would silently
     yield one partial-only mean per emission — hence no raw-divide
-    variant is exported."""
-    return partials.groupBy("series_key", "bucket_ts").agg(
+    variant is exported (`time_weighted` composes the private
+    projection directly, skipping the redundant re-aggregation on the
+    hot batch path)."""
+    return _divide(partials.groupBy("series_key", "bucket_ts").agg(
         F.sum("swv_locf").alias("swv_locf"),
         F.sum("swv_linear").alias("swv_linear"),
         F.sum("w_us").alias("w_us"),
-    ).select(
+    ))
+
+
+def _divide(partials: DataFrame) -> DataFrame:
+    """Unique-per-bucket partials -> means (internal; the public
+    finalizer sums first so accumulated emissions cannot be misused)."""
+    return partials.select(
         "series_key", "bucket_ts",
         (F.col("swv_locf") / F.col("w_us")).alias("twa_locf"),
         (F.col("swv_linear") / F.col("w_us")).alias("twa_linear"),
@@ -165,7 +172,7 @@ def time_weighted(df: DataFrame, tier: str, key_col: str = "series_key",
     series with a multi-bucket gap still covers the gap buckets (the
     LOCF carry is exactly what gap-fill would write there).
     """
-    return finalize_time_weighted(
+    return _divide(
         time_weighted_partials(df, tier, key_col, ts_col, value_col,
                                tie_col))
 

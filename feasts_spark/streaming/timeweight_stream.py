@@ -27,14 +27,28 @@ do explicitly:
     expansion per segment AND de-wedges a key whose carried endpoint was
     corrupted by a far-future (clock-skewed) timestamp — when the
     carried endpoint sits more than the cap ahead of the entire next
-    batch, it is discarded and the series restarts, instead of silently
-    dropping every subsequent row forever. The batch operator has no cap
-    (it sees the whole corpus at once and emits the true segment).
+    batch, the state falls back to the PREVIOUS endpoint (whose over-cap
+    pair was never emitted, so it is exactly where emissions stopped):
+    the staleness boundary and the bridging segment both recover, and
+    nothing double-counts. Only a run of ≥2 consecutive poisoned
+    samples loses that boundary; the series then restarts from the
+    batch, and stragglers older than the last pre-poison emission could
+    re-emit overlapping coverage (residual, documented). NOTE the
+    cross-key blast radius Spark imposes regardless: the poisoned event
+    advances the GLOBAL event-time watermark, which fires every other
+    key's armed TTL timeout — their endpoints are dropped as idle and
+    each series restarts cleanly (one bridging segment lost per key, no
+    double-count). The batch operator has no cap and no watermark (it
+    sees the whole corpus at once and emits the true segments).
 
 Divergences from batch, the price of O(1) state per key:
   - rows at or before the carried endpoint's timestamp are DROPPED (the
-    stream cannot re-pair history); beyond-watermark stragglers never
-    reach the operator at all. With duplicate timestamps this means the
+    stream cannot re-pair history). Spark does NOT filter the operator's
+    input rows by the watermark (applyInPandasWithState hands over
+    whatever arrives; the watermark only drives timeouts) — the per-key
+    staleness check is the real guard, and a months-late straggler on a
+    TTL-forgotten key opens a fresh series rather than being dropped.
+    With duplicate timestamps this means the
     FIRST-arriving sample wins across a micro-batch boundary while
     `tie_col` order wins within one — pass a tie column for in-batch
     determinism, and use the batch operator for corpora where duplicate
@@ -63,8 +77,12 @@ from feasts_spark.operators.timeweight import (  # noqa: F401  (re-export)
     finalize_time_weighted,
 )
 
-_STATE_SCHEMA_VALUE = "last_ts_us long, last_val double"
-_STATE_SCHEMA_STATE = "last_ts_us long, last_state string"
+_STATE_SCHEMA_VALUE = (
+    "last_ts_us long, last_val double, prev_ts_us long, prev_val double"
+)
+_STATE_SCHEMA_STATE = (
+    "last_ts_us long, last_state string, prev_ts_us long, prev_state string"
+)
 
 
 def _arm(state: GroupState, last_us: int, ttl_s: int) -> None:
@@ -91,14 +109,27 @@ def _merge_carried(ts, pay, state: GroupState, max_seg_us: int):
 
     Returns (ts, pay, rearm_only_us): rearm_only_us is set when every
     batch row is stale (<= carried endpoint) and the caller should just
-    re-arm the TTL. A carried endpoint more than max_seg_us AHEAD of the
-    whole batch is corrupt (clock-skewed future sample): it is discarded
-    and the series restarts from this batch."""
+    re-arm the TTL.
+
+    De-wedge: a carried endpoint more than max_seg_us AHEAD of the whole
+    batch is corrupt (clock-skewed future sample). Its over-cap pair was
+    never emitted, so emissions truly end at the PREVIOUS endpoint — the
+    state carries that too, and recovery restores it as both the
+    staleness boundary (rows at or before it cannot re-pair and
+    double-count already-emitted coverage) and the bridging left
+    endpoint (no segment is lost). Only a RUN of ≥2 consecutive
+    poisoned samples loses the real boundary; then the series restarts
+    from the batch, with a documented residual overlap risk for
+    stragglers older than the last pre-poison emission."""
     if not state.exists:
         return ts, pay, None
-    last_us, last_pay = state.get
+    last_us, last_pay, prev_us, prev_pay = state.get
     if last_us - int(ts[-1]) > max_seg_us:
-        return ts, pay, None  # de-wedge: drop the poisoned endpoint
+        # poisoned endpoint; fall back to the pre-poison endpoint if it
+        # is itself sane, else restart from the batch
+        if prev_us is None or prev_us - int(ts[-1]) > max_seg_us:
+            return ts, pay, None
+        last_us, last_pay = prev_us, prev_pay
     keep = ts > last_us
     ts, pay = ts[keep], pay[keep]
     if ts.size == 0:
@@ -175,7 +206,11 @@ def stream_time_weighted(
         if rearm_us is not None:
             _arm(state, rearm_us, idle_ttl_seconds)
             return
-        state.update((int(ts[-1]), float(vals[-1])))
+        state.update((
+            int(ts[-1]), float(vals[-1]),
+            int(ts[-2]) if ts.size >= 2 else None,
+            float(vals[-2]) if ts.size >= 2 else None,
+        ))
         _arm(state, int(ts[-1]), idle_ttl_seconds)
         if ts.size < 2:
             return
@@ -260,8 +295,12 @@ def stream_duration_in_state(
         if rearm_us is not None:
             _arm(state, rearm_us, idle_ttl_seconds)
             return
-        state.update((int(ts[-1]),
-                      None if sts[-1] is None else str(sts[-1])))
+        state.update((
+            int(ts[-1]), None if sts[-1] is None else str(sts[-1]),
+            int(ts[-2]) if ts.size >= 2 else None,
+            (None if sts[-2] is None else str(sts[-2]))
+            if ts.size >= 2 else None,
+        ))
         _arm(state, int(ts[-1]), idle_ttl_seconds)
         if ts.size < 2:
             return

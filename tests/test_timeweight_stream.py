@@ -291,9 +291,34 @@ class TestStreamSanitation:
         })
         got = self._run_files(spark, tmp_path, (f1, f2), "t_twa_wedge") \
             .collect()
-        # the 2090 endpoint is discarded (over-cap ahead of batch 2);
-        # the real series restarts and emits its 20-minute segment —
-        # the base->2090 pair itself is an over-cap break, no coverage
+        # the 2090 endpoint is discarded (over-cap ahead of batch 2) and
+        # the state falls back to the pre-poison endpoint at base: the
+        # bridge base->minute-10 AND the 10->30 segment both emit —
+        # full recovery from a single clock-skew blip
+        assert len(got) == 1
+        assert got[0].covered_us == 30 * 60 * 1_000_000
+        assert got[0].twa_locf == pytest.approx(
+            (10 * 1.0 + 20 * 5.0) / 30)
+
+    def test_double_poison_restarts_without_bridge(self, spark, tmp_path):
+        base = pd.Timestamp("2024-05-01")
+        f1 = pd.DataFrame({
+            "series_key": ["a", "a", "a"],
+            "ts": [base, pd.Timestamp("2090-01-01"),
+                   pd.Timestamp("2091-01-01")],  # over-cap apart: the
+            # poison run emits nothing of its own
+            "value": [1.0, 999.0, 998.0],
+        })
+        f2 = pd.DataFrame({
+            "series_key": ["a", "a"],
+            "ts": [base + pd.Timedelta(minutes=10),
+                   base + pd.Timedelta(minutes=30)],
+            "value": [5.0, 6.0],
+        })
+        got = self._run_files(spark, tmp_path, (f1, f2),
+                              "t_twa_wedge2").collect()
+        # both carried endpoints are poisoned: the pre-poison boundary is
+        # lost, the series restarts from batch 2 — only its own segment
         assert len(got) == 1
         assert got[0].covered_us == 20 * 60 * 1_000_000
         assert got[0].twa_locf == pytest.approx(5.0)
