@@ -3076,6 +3076,148 @@ def _unitroot_sql_oracle() -> str:
     )
 
 
+def q_unitroot_pack(spark, sf_dir):
+    """The whole unit-root surface (features.R:137-203) in ONE tagged
+    registry row: KPSS stat+pvalue, Phillips-Perron Z-tau stat+pvalue,
+    and the ndiffs iteration, normalized to (series_key, tag, stat,
+    pvalue). A tagged UNION rather than a three-way join — joining
+    several CTE-heavy SQL texts sends Catalyst constraint propagation
+    quadratic (see the documented guerrero packing hazard); unions of
+    already-aggregated legs are safe on both engines."""
+    from feasts_spark.functions.sql_features import ndiffs_sql
+
+    k = q_kpss_sql_1d(spark, sf_dir)
+    p = q_pp_sql_1d(spark, sf_dir)
+    nd = spark.sql(ndiffs_sql())
+    null_d = F.lit(None).cast("double")
+    return (
+        k.select(
+            "series_key",
+            F.lit("kpss").alias("tag"),
+            F.col("kpss_stat").alias("stat"),
+            F.col("kpss_pvalue").alias("pvalue"),
+        )
+        .unionByName(
+            p.select(
+                "series_key",
+                F.lit("pp").alias("tag"),
+                F.col("pp_stat").alias("stat"),
+                F.col("pp_pvalue").alias("pvalue"),
+            )
+        )
+        .unionByName(
+            nd.select(
+                "series_key",
+                F.lit("ndiffs").alias("tag"),
+                F.col("ndiffs").cast("double").alias("stat"),
+                null_d.alias("pvalue"),
+            )
+        )
+    )
+
+
+def _unitroot_pack_oracle() -> str:
+    from feasts_spark.functions.sql_features import ndiffs_sql, pp_sql
+
+    return (
+        f"WITH k AS ({_kpss_oracle()}),\n"
+        f"p AS ({pp_sql()}),\n"
+        f"nd AS ({ndiffs_sql()})\n"
+        "SELECT series_key, 'kpss' AS tag, kpss_stat AS stat,\n"
+        "       kpss_pvalue AS pvalue FROM k\n"
+        "UNION ALL\n"
+        "SELECT series_key, 'pp', pp_stat, pp_pvalue FROM p\n"
+        "UNION ALL\n"
+        "SELECT series_key, 'ndiffs', CAST(ndiffs AS DOUBLE),\n"
+        "       CAST(NULL AS DOUBLE) FROM nd"
+    )
+
+
+def q_conv_flow(spark, sf_dir):
+    """Conversation-flow analytics over the transcript shape
+    (operators/flow.py): the role-transition Markov matrix with
+    per-edge inter-turn latency distribution (mean/p50/p90/p99, Spark's
+    exact linear-interpolation percentile == DuckDB quantile_cont), and
+    per-tool call volume / reach / latency — one tagged pack. The
+    transcript derives deterministically from `events` with identical
+    SQL semantics on both engines (conv_id from user_id, turn order by
+    (ts, event_id), role/tool from event_id % 5 — same trick as
+    transcript_integrity), so every value is cross-engine exact."""
+    from feasts_spark.operators.flow import conv_flow
+
+    _utc(spark)
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    m5 = F.col("event_id") % 5
+    tr = e.select(
+        F.concat(F.lit("conv-"), F.col("user_id")).alias("conv_id"),
+        (F.row_number().over(w) - 1).alias("turn_idx"),
+        F.when(m5.isin(0, 2), F.lit("user"))
+        .when(m5 == 4, F.lit("tool"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.when(m5 == 4, F.col("event_type"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("tool"),
+        F.col("ts"),
+    )
+    out = conv_flow(tr)
+    return _round_cols(out, ["share", "mean_s", "p50_s", "p90_s", "p99_s"])
+
+
+ORACLE_CONV_FLOW = f"""
+WITH tr AS (
+  SELECT 'conv-' || user_id AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - 1 AS turn_idx,
+         CASE WHEN event_id % 5 IN (0, 2) THEN 'user'
+              WHEN event_id % 5 = 4 THEN 'tool'
+              ELSE 'assistant' END AS role,
+         CASE WHEN event_id % 5 = 4 THEN event_type END AS tool,
+         ts
+  FROM events
+), lagged AS (
+  SELECT conv_id, role AS role_to, tool,
+         lag(role) OVER w AS role_from,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1e6 AS delta_s
+  FROM tr WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), pair AS (
+  SELECT role_from, role_to, count(*) AS n,
+         count(DISTINCT conv_id) AS n_convs,
+         avg(delta_s) AS mean_s,
+         quantile_cont(delta_s, 0.5) AS p50_s,
+         quantile_cont(delta_s, 0.9) AS p90_s,
+         quantile_cont(delta_s, 0.99) AS p99_s
+  FROM lagged WHERE role_from IS NOT NULL
+  GROUP BY 1, 2
+), pair_out AS (
+  SELECT 'pair' AS tag, role_from AS k1, role_to AS k2, n, n_convs,
+         n::DOUBLE / sum(n) OVER (PARTITION BY role_from) AS share,
+         mean_s, p50_s, p90_s, p99_s
+  FROM pair
+), tool_agg AS (
+  SELECT tool, count(*) AS n, count(DISTINCT conv_id) AS n_convs,
+         avg(delta_s) AS mean_s,
+         quantile_cont(delta_s, 0.5) AS p50_s,
+         quantile_cont(delta_s, 0.9) AS p90_s,
+         quantile_cont(delta_s, 0.99) AS p99_s
+  FROM lagged WHERE tool IS NOT NULL GROUP BY 1
+), tool_out AS (
+  SELECT 'tool' AS tag, tool AS k1, CAST(NULL AS VARCHAR) AS k2, n,
+         n_convs, n::DOUBLE / sum(n) OVER () AS share,
+         mean_s, p50_s, p90_s, p99_s
+  FROM tool_agg
+), u AS (
+  SELECT * FROM pair_out UNION ALL SELECT * FROM tool_out
+)
+SELECT tag, k1, k2, n, n_convs,
+       {_sql_r4('share')} AS share, {_sql_r4('mean_s')} AS mean_s,
+       {_sql_r4('p50_s')} AS p50_s, {_sql_r4('p90_s')} AS p90_s,
+       {_sql_r4('p99_s')} AS p99_s
+FROM u
+"""
+
+
 def q_transcript_integrity(spark, sf_dir):
     """The north rule's per-row invariant as a first-class oracled query:
     exact per-turn text equality under stable (conv_id, turn_idx)
@@ -3485,8 +3627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "curation_pack": q_curation_pack,
         "guerrero_1d": q_guerrero_1d,
-        "unitroot_1d": q_unitroot_1d,
-        "unitroot_sql_1d": q_unitroot_sql_1d,
+        "unitroot_pack": q_unitroot_pack,
+        "conv_flow": q_conv_flow,
         "acf_features_1h": q_acf_features_1h,
         "transcript_integrity": q_transcript_integrity,
         "usage_1h": q_usage_1h,
@@ -3541,7 +3683,8 @@ def oracle_sql() -> dict[str, str]:
         "contamination": ORACLE_CONTAMINATION,
         "curation_pack": _curation_oracle(),
         "simhash_pairs": _oracle_simhash_pairs(),
-        "unitroot_sql_1d": _unitroot_sql_oracle(),
+        "unitroot_pack": _unitroot_pack_oracle(),
+        "conv_flow": ORACLE_CONV_FLOW,
         "transcript_integrity": ORACLE_TRANSCRIPT_INTEGRITY,
         "usage_1h": _usage_1h_oracle(),
         "activity_episodes_1h": ORACLE_EPISODES_1H,
@@ -3552,9 +3695,6 @@ def oracle_sql() -> dict[str, str]:
         "guerrero_1d": __import__(
             "feasts_spark.functions.sql_features", fromlist=["guerrero_argmin_sql"]
         ).guerrero_argmin_sql(),
-        "unitroot_1d": __import__(
-            "feasts_spark.functions.sql_features", fromlist=["ndiffs_sql"]
-        ).ndiffs_sql(),
         # The 7 rows-only queries: stl_decomp_suite / feature_pack_all /
         # cointegration_1h / tapered_cf_1h are non-SQL-expressible
         # (iterated loess, optimizers, eigen decompositions, seeded
