@@ -285,6 +285,71 @@ class SnapshotTable:
             })
         return out
 
+    # ----- inspection metadata tables --------------------------------------
+    # The Iceberg-style `table.files` / `table.snapshots` surface: table
+    # metadata as Spark DataFrames so maintenance questions (file-size
+    # skew, stats-window overlap, commit cadence, dead-row ratio) are
+    # answerable with the same query engine as the data. Manifests are
+    # driver-side JSON by design (O(files) metadata, no data pages read),
+    # so building the frame from them adds nothing the reader didn't
+    # already pay; at 10^6-file scale the frame is still only ~10^6 tiny
+    # rows — parallelize() handles that fine.
+
+    def inspect_files(self, version: int | None = None) -> DataFrame:
+        """One row per live data file of a snapshot: path, rows, bytes,
+        and the footer-stats window per stats column (stringified min/max
+        + may-have-nulls), plus which columns carry a manifest bloom."""
+        m = self._resolve(version, None)
+        rows = [
+            {
+                "version": m["version"],
+                "path": f["path"],
+                "rows": int(f["rows"]),
+                "bytes": int(f["bytes"]),
+                "min": {k: str(v) for k, v in f.get("min", {}).items()},
+                "max": {k: str(v) for k, v in f.get("max", {}).items()},
+                "may_have_nulls": dict(f.get("nulls", {})),
+                "bloom_cols": sorted(f.get("bloom", {})),
+            }
+            for f in m["files"]
+        ]
+        schema = (
+            "version long, path string, rows long, bytes long, "
+            "min map<string,string>, max map<string,string>, "
+            "may_have_nulls map<string,boolean>, bloom_cols array<string>"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def inspect_snapshots(self) -> DataFrame:
+        """One row per retained snapshot: the commit log with operation,
+        timestamps, live file/row/byte totals, and the writer's summary
+        (stringified — writers put micro-batch ids, refresh cursors,
+        staged ids there, so exactly-once and WAP audits are queryable)."""
+        rows = []
+        for v in sorted(
+            int(os.path.basename(p)[1:-5])
+            for p in glob.glob(os.path.join(self.meta_dir, "v*.json"))
+        ):
+            m = self.manifest(v)
+            rows.append({
+                "version": v,
+                "parent": m.get("parent"),
+                "operation": m.get("operation"),
+                "committed_at": float(m.get("committed_at", 0.0)),
+                "n_files": len(m["files"]),
+                "total_rows": int(sum(f["rows"] for f in m["files"])),
+                "total_bytes": int(sum(f["bytes"] for f in m["files"])),
+                "summary": {
+                    k: str(v2) for k, v2 in (m.get("summary") or {}).items()
+                },
+            })
+        schema = (
+            "version long, parent long, operation string, "
+            "committed_at double, n_files long, total_rows long, "
+            "total_bytes long, summary map<string,string>"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
     # ----- commit path ----------------------------------------------------
 
     def _stage_files(self, df: DataFrame, sort_within: bool) -> tuple[str, list[dict]]:
@@ -447,6 +512,106 @@ class SnapshotTable:
         except SnapshotConflict:
             shutil.rmtree(commit_dir, ignore_errors=True)
             raise
+
+    # ----- write-audit-publish ---------------------------------------------
+    # The WAP pattern: a writer stages data files + a non-version staged
+    # manifest, auditors query the staged rows with full Spark, and only
+    # `publish` makes them visible — atomically, against whatever head
+    # exists AT PUBLISH TIME. Bad data therefore never becomes readable,
+    # and a publish that loses the O_EXCL race retries for the price of
+    # one manifest write (the data files are already on disk), unlike
+    # append's conflict path which restages everything. Staged-but-never-
+    # published files are reclaimed by expire_snapshots' orphan sweep
+    # once older than the grace window — publish within that window or
+    # raise `orphan_grace_s`.
+
+    def stage(self, df: DataFrame, operation: str = "append",
+              sort_within: bool = True,
+              extra_summary: dict | None = None) -> str:
+        """Write df's files without committing; returns a staged id.
+
+        `operation` is 'append' or 'overwrite' — resolved against the
+        head at PUBLISH time, not stage time. Schema is checked against
+        the current head here (fail fast) and again at publish (the head
+        may evolve in between)."""
+        if operation not in ("append", "overwrite"):
+            raise ValueError(f"unsupported staged operation: {operation}")
+        parent = self.manifest()
+        schema_json = (self._check_schema(df, parent)
+                       if operation == "append" else df.schema.json())
+        commit_dir, files = self._stage_files(df, sort_within)
+        sid = uuid.uuid4().hex[:12]
+        staged = {
+            "staged_id": sid,
+            "operation": operation,
+            "schema": schema_json,
+            "staged_at": time.time(),
+            "files": files,
+            "summary": dict(extra_summary or {}),
+        }
+        with open(self._staged_path(sid), "w") as f:
+            json.dump(staged, f)
+        return sid
+
+    def _staged_path(self, staged_id: str) -> str:
+        return os.path.join(self.meta_dir, f"staged-{staged_id}.json")
+
+    def staged_manifest(self, staged_id: str) -> dict:
+        try:
+            with open(self._staged_path(staged_id)) as f:
+                return json.load(f)
+        except FileNotFoundError as e:
+            raise ValueError(
+                f"no staged snapshot {staged_id!r} (already published, "
+                "abandoned, or expired)"
+            ) from e
+
+    def read_staged(self, staged_id: str) -> DataFrame:
+        """The staged rows as a DataFrame — the audit surface."""
+        s = self.staged_manifest(staged_id)
+        return self._read_files(s, s["files"])
+
+    def publish(self, staged_id: str, audits=()) -> int:
+        """Run audits over the staged rows, then commit them vs the
+        current head. Each audit is a callable df -> anything that raises
+        to veto (compose with in-plan raise_error certificates for
+        machine-checked invariants). On SnapshotConflict the staged files
+        are left intact so `retrying(publish, sid)` is cheap."""
+        s = self.staged_manifest(staged_id)
+        df = self.read_staged(staged_id)
+        for a in audits:
+            a(df)
+        parent = self.manifest()
+        if (s["operation"] == "append" and parent["files"]
+                and parent["schema"] is not None):
+            old = _normalized(StructType.fromJson(json.loads(parent["schema"])))
+            new = _normalized(StructType.fromJson(json.loads(s["schema"])))
+            if old != new:
+                raise ValueError(
+                    "staged schema no longer matches the table head "
+                    "(it evolved after stage); abandon and restage"
+                )
+        files = (parent["files"] + s["files"]
+                 if s["operation"] == "append" else s["files"])
+        v = self._commit(
+            files, s["operation"], parent, s["schema"],
+            {"staged_id": staged_id, "audits_passed": len(tuple(audits)),
+             "added_files": len(s["files"]),
+             "added_rows": sum(f["rows"] for f in s["files"]),
+             **s["summary"]},
+        )
+        os.remove(self._staged_path(staged_id))
+        return v
+
+    def abandon(self, staged_id: str) -> None:
+        """Drop a staged snapshot: its manifest and its data files."""
+        s = self.staged_manifest(staged_id)
+        for f in s["files"]:
+            try:
+                os.remove(os.path.join(self.table_dir, f["path"]))
+            except FileNotFoundError:
+                pass
+        os.remove(self._staged_path(staged_id))
 
     def replace_where(self, df_new: DataFrame, col: str, lo, hi,
                       sort_within: bool = True,
