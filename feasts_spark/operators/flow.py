@@ -143,38 +143,51 @@ def conv_flow(
     ts_col: str = "ts",
     tool_col: str = "tool",
 ) -> DataFrame:
-    """Tagged union of the full flow surface on one schema:
+    """The full flow surface as a tagged pack on one schema:
 
       tag ('pair' | 'tool'), k1 (role_from | tool), k2 (role_to | NULL),
       n, n_convs, share, mean_s, p50_s, p90_s, p99_s.
 
-    Both legs reuse the same single-window lineage shape; the union is of
-    two already-tiny aggregates.
+    A naive union of role_transitions + tool_usage re-runs the scan and
+    the conversation window once per leg (2 source scans). This packs
+    both groupings into ONE GROUPING SETS aggregate over a single
+    lag-window pass instead: one scan, one conv_id shuffle, one Expand(2)
+    feeding a map-side partial agg — the duplicated rows exist only
+    inside the agg operator, never on the wire at raw-row width. The
+    `share` normalizations run as one window over the few-dozen-row
+    aggregate (partition key: role_from for pair rows, constant for tool
+    rows — one partitioning serves both).
+
+    Result values are identical to the standalone operators (asserted in
+    tests); grouping-set membership is read from grouping_id, so a
+    genuine NULL role_from inside the pair set is distinguishable from
+    the aggregated-away columns of the other set.
     """
-    pair = role_transitions(df, conv_col, order_col, role_col, ts_col).select(
-        F.lit("pair").alias("tag"),
-        F.col("role_from").alias("k1"),
-        F.col("role_to").alias("k2"),
-        "n",
-        "n_convs",
-        "share",
-        "mean_s",
-        "p50_s",
-        "p90_s",
-        "p99_s",
-    )
-    tool = tool_usage(
-        df, conv_col, order_col, role_col, ts_col, tool_col
+    lag = _lagged(df, conv_col, order_col, role_col, ts_col, tool_col)
+    # grouping_id bits follow (role_from, role_to, tool): the pair set
+    # aggregates tool away -> 0b001; the tool set aggregates both role
+    # columns -> 0b110.
+    agg = lag.groupingSets(
+        [["role_from", "role_to"], ["tool"]],
+        "role_from", "role_to", "tool",
+    ).agg(F.grouping_id().alias("_gid"), *_latency_aggs())
+    is_pair = F.col("_gid") == 1
+    kept = agg.filter(
+        (is_pair & F.col("role_from").isNotNull())
+        | (~is_pair & F.col("tool").isNotNull())
     ).select(
-        F.lit("tool").alias("tag"),
-        F.col("tool").alias("k1"),
-        F.lit(None).cast("string").alias("k2"),
+        F.when(is_pair, F.lit("pair")).otherwise(F.lit("tool")).alias("tag"),
+        F.when(is_pair, F.col("role_from")).otherwise(F.col("tool")).alias("k1"),
+        F.when(is_pair, F.col("role_to")).alias("k2"),
         "n",
         "n_convs",
-        "share",
         "mean_s",
         "p50_s",
         "p90_s",
         "p99_s",
     )
-    return pair.unionByName(tool)
+    share_w = W.partitionBy(
+        "tag",
+        F.when(F.col("tag") == "pair", F.col("k1")).otherwise(F.lit("")),
+    )
+    return kept.withColumn("share", F.col("n") / F.sum("n").over(share_w))

@@ -124,3 +124,26 @@ class TestConvFlowPack:
             if r["tag"] == "pair":
                 s[r["k1"]] += r["share"]
         assert all(abs(v - 1.0) < 1e-12 for v in s.values())
+
+    def test_pack_equals_standalone_operators(self, spark):
+        """The fused GROUPING SETS pack must reproduce the standalone
+        role_transitions / tool_usage values exactly."""
+        from feasts_spark.operators.flow import (
+            conv_flow,
+            role_transitions,
+            tool_usage,
+        )
+
+        corpus = _corpus(spark)
+        packed = {
+            (r["tag"], r["k1"], r["k2"]): r.asDict()
+            for r in conv_flow(corpus).collect()
+        }
+        stats = ["n", "n_convs", "share", "mean_s", "p50_s", "p90_s", "p99_s"]
+        for r in role_transitions(corpus).collect():
+            p = packed[("pair", r["role_from"], r["role_to"])]
+            assert [p[c] for c in stats] == [r[c] for c in stats]
+        for r in tool_usage(corpus).collect():
+            p = packed[("tool", r["tool"], None)]
+            assert [p[c] for c in stats] == [r[c] for c in stats]
+        assert len(packed) == 4 + 2  # 4 observed pairs + 2 tools

@@ -212,3 +212,23 @@ def test_ivfpq_serve_plan_shape(spark):
     # and that in-tree Filter is really the probed-cell pruning predicate
     assert any("Condition" in ln and "cell#" in ln and " IN " in ln
                for ln in plan.splitlines()), plan
+
+
+def test_conv_flow_single_scan_no_python(spark, events):
+    """The GROUPING SETS pack must keep ONE source scan (the naive
+    union shape re-scans per leg) and stay fully JVM-side."""
+    from feasts_spark.operators.flow import conv_flow
+
+    tr = events.select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant")).alias("role"),
+        F.col("event_type").alias("tool"),
+        F.col("ts"),
+    )
+    s = plan_summary(conv_flow(tr))
+    assert s["n_scans"] == 1, s
+    assert s["n_python"] == 0, s
+    plan = formatted_plan(conv_flow(tr))
+    assert "Expand" in plan  # grouping sets, not a per-leg re-aggregate

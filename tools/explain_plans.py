@@ -352,6 +352,22 @@ def main() -> None:
             ),
     })
 
+    from feasts_spark.operators.flow import conv_flow
+
+    _flow_tr = ev.select(
+        F.concat(F.lit("conv-"), F.col("user_id")).alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant")).alias("role"),
+        F.col("event_type").alias("tool"),
+        F.col("ts"),
+    )
+    plans.update({
+        "conv_flow (one conv-keyed lag window; pair/tool aggs are "
+        "map-side partial with constant output cardinality)":
+            conv_flow(_flow_tr),
+    })
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
