@@ -76,3 +76,75 @@ def turn_digest(
             ).alias("digest"),
         )
     )
+
+
+def audit_turns(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> dict:
+    """Admission audit for a transcript batch — the write-audit-publish
+    gate (SnapshotTable.publish audits=[...]) a landing batch must pass
+    before it becomes visible to readers.
+
+    Checks the row-level invariants a batch CAN certify about itself
+    (cross-commit properties like whole-conversation contiguity belong
+    to turn_digest over the full table, not to a partial-append audit):
+    non-null conv_id / ts, non-negative turn_idx, and no duplicate
+    (conv_id, turn_idx) keys within the batch.
+
+    One aggregate pass, one collected row. Returns the violation counts
+    when clean; raises ValueError naming them when not — which vetoes
+    the publish and leaves the staged files for inspection.
+    """
+    c = (
+        df.agg(
+            F.count(F.lit(1)).alias("rows"),
+            # coalesce: F.sum over an EMPTY batch is NULL, not 0
+            F.coalesce(
+                F.sum(F.when(F.col(conv_col).isNull(), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("null_conv_id"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col(order_col).isNull() | (F.col(order_col) < 0),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("bad_turn_idx"),
+            F.coalesce(
+                F.sum(F.when(F.col(ts_col).isNull(), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("null_ts"),
+            (
+                F.count(F.lit(1))
+                - F.count_distinct(F.col(conv_col), F.col(order_col))
+            ).alias("dup_turn_keys"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col(conv_col).isNull() | F.col(order_col).isNull(),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("_null_keys"),
+        )
+        .first()
+        .asDict()
+    )
+    # count_distinct skips rows with a NULL key — those are already
+    # counted by the null/bad counters, so subtract them from the dup
+    # figure rather than double-reporting them as duplicates.
+    c["dup_turn_keys"] = max(0, c["dup_turn_keys"] - c.pop("_null_keys"))
+    bad = {
+        k: v
+        for k, v in c.items()
+        if k != "rows" and v
+    }
+    if bad:
+        raise ValueError(f"transcript batch failed admission audit: {bad}")
+    return c

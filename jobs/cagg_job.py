@@ -83,6 +83,13 @@ def main() -> None:
     ap.add_argument("--min-series-len", type=int, default=20)
     ap.add_argument("--feature-buckets", type=int, default=256)
     ap.add_argument("--max-commits", type=int, default=8)
+    ap.add_argument("--wap", action="store_true",
+                    help="write-audit-publish ingest: stage the batch, "
+                         "run the transcript admission audit "
+                         "(integrity.audit_turns), and only publish on "
+                         "pass — a failing batch never becomes visible; "
+                         "its staged id is reported for inspection and "
+                         "the tick exits 2")
     ap.add_argument("--no-key-blooms", action="store_true",
                     help="skip per-file conv_id blooms on the raw table "
                          "(they cost one column read per staged file at "
@@ -111,8 +118,28 @@ def main() -> None:
                                       "skipped": True}
         else:
             batch = turn_series(spark.read.parquet(args.ingest))
-            v = raw.retrying(raw.append, batch,
-                             extra_summary={"ingest_id": ingest_id})
+            if args.wap:
+                from feasts_spark.operators.integrity import audit_turns
+
+                sid = raw.stage(batch,
+                                extra_summary={"ingest_id": ingest_id})
+                try:
+                    v = raw.retrying(raw.publish, sid,
+                                     audits=[audit_turns])
+                except ValueError as e:
+                    # veto: head untouched, staged files retained for
+                    # inspection (expire's grace sweep reclaims them
+                    # eventually); the idempotence id is NOT recorded,
+                    # so a corrected re-run re-ingests
+                    out["steps"]["ingest"] = {
+                        "ingest_id": ingest_id, "skipped": False,
+                        "audit_failed": str(e), "staged_id": sid,
+                    }
+                    print(json.dumps(out))
+                    sys.exit(2)
+            else:
+                v = raw.retrying(raw.append, batch,
+                                 extra_summary={"ingest_id": ingest_id})
             _record_ingested(raw, ingest_id)
             out["steps"]["ingest"] = {"ingest_id": ingest_id,
                                       "skipped": False, "version": v}

@@ -126,3 +126,87 @@ class TestCaggJob:
         out = _job(monkeypatch, capsys, "--table-root", root,
                    "--tiers", "1m")
         assert out["steps"]["tier_1m"]["mode"] == "noop"
+
+
+class TestWapIngest:
+    def test_wap_tick_publishes_clean_batch(self, spark, tmp_path,
+                                            monkeypatch, capsys):
+        root = str(tmp_path / "wh")
+        (day, path), *_ = _corpus(spark, tmp_path)
+        out = _job(monkeypatch, capsys, "--table-root", root,
+                   "--ingest", path, "--ingest-id", day,
+                   "--tiers", "1m,1h", "--wap")
+        assert out["steps"]["ingest"]["version"] == 1
+        _tier_equals_raw(spark, root, "1h")
+        raw = SnapshotTable(spark, root, "raw_turns", stats_cols=("ts",))
+        s = raw.manifest(1)["summary"]
+        assert s["ingest_id"] == day and "staged_id" in s
+        # idempotent re-run of the same tick: no second version
+        out2 = _job(monkeypatch, capsys, "--table-root", root,
+                    "--ingest", path, "--ingest-id", day,
+                    "--tiers", "1m,1h", "--wap")
+        assert out2["steps"]["ingest"]["skipped"] is True
+        assert raw.current_version() == 1
+
+    def test_wap_vetoes_malformed_batch_then_recovers(
+            self, spark, tmp_path, monkeypatch, capsys):
+        import pytest as _pt
+
+        root = str(tmp_path / "wh")
+        (day, path), *_ = _corpus(spark, tmp_path)
+        raw_batch = spark.read.parquet(path)
+        # duplicate (conv_id, turn_idx) keys: union the batch with itself
+        bad_path = str(tmp_path / "bad_batch")
+        raw_batch.unionByName(raw_batch).write.parquet(bad_path)
+        with _pt.raises(SystemExit) as ex:
+            _job(monkeypatch, capsys, "--table-root", root,
+                 "--ingest", bad_path, "--ingest-id", day,
+                 "--tiers", "1m", "--wap")
+        assert ex.value.code == 2
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        ing = out["steps"]["ingest"]
+        assert "dup_turn_keys" in ing["audit_failed"]
+        raw = SnapshotTable(spark, root, "raw_turns", stats_cols=("ts",))
+        assert raw.current_version() == 0  # nothing became visible
+        # staged evidence retained
+        assert raw.staged_manifest(ing["staged_id"])["files"]
+        # corrected re-run with the SAME ingest id goes through
+        out2 = _job(monkeypatch, capsys, "--table-root", root,
+                    "--ingest", path, "--ingest-id", day,
+                    "--tiers", "1m", "--wap")
+        assert out2["steps"]["ingest"]["version"] == 1
+        _tier_equals_raw(spark, root, "1m")
+
+
+class TestAuditTurns:
+    def test_clean_batch_counts(self, spark, tmp_path):
+        from feasts_spark.operators.integrity import audit_turns
+
+        t = synthesize_transcripts(spark, n_convs=4, max_turns=30, seed=3)
+        c = audit_turns(t)
+        assert c["rows"] == t.count() and c["dup_turn_keys"] == 0
+
+    def test_each_violation_class_raises(self, spark):
+        import pytest as _pt
+        from feasts_spark.operators.integrity import audit_turns
+
+        base = "conv_id string, turn_idx int, ts timestamp"
+        import datetime as dt
+        t0 = dt.datetime(2024, 1, 1)
+        cases = {
+            "null_conv_id": [(None, 0, t0)],
+            "bad_turn_idx": [("c", -1, t0)],
+            "null_ts": [("c", 0, None)],
+            "dup_turn_keys": [("c", 0, t0), ("c", 0, t0)],
+        }
+        for key, rows in cases.items():
+            df = spark.createDataFrame(rows, base)
+            with _pt.raises(ValueError, match=key):
+                audit_turns(df)
+
+    def test_empty_batch_is_clean(self, spark):
+        from feasts_spark.operators.integrity import audit_turns
+
+        df = spark.createDataFrame(
+            [], "conv_id string, turn_idx int, ts timestamp")
+        assert audit_turns(df)["rows"] == 0
