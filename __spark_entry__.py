@@ -2206,19 +2206,6 @@ def q_guerrero_1d(spark, sf_dir):
     return spark.sql(guerrero_argmin_sql())
 
 
-def q_unitroot_1d(spark, sf_dir):
-    """unitroot_ndiffs (features.R:181-203) per user daily series — KPSS at
-    d=0 and d=1, ndiffs = max kept difference level; SAME SQL text both
-    engines. The kernel path (KPSS + PP + ndiffs via numpy, critical-value
-    interpolation) stays golden-tested in pytest; its kpss/pp stats are
-    driver-oracled separately by kpss_sql_1d / pp_sql_1d."""
-    from feasts_spark.functions.sql_features import ndiffs_sql
-
-    _utc(spark)
-    _events(spark, sf_dir).createOrReplaceTempView("events")
-    return spark.sql(ndiffs_sql())
-
-
 def q_kpss_sql_1d(spark, sf_dir):
     """KPSS statistic + p-value computed entirely in SQL (kpss_df) —
     independently value-matched by the DuckDB oracle, unlike the
@@ -3053,26 +3040,6 @@ def _gapfill_1d_oracle() -> str:
         "SELECT a.series_key, a.bucket_ts, a.is_gap, a.val_filled,\n"
         "       b.val_interp\n"
         "FROM a JOIN b USING (series_key, bucket_ts)"
-    )
-
-
-def q_unitroot_sql_1d(spark, sf_dir):
-    """KPSS and Phillips-Perron unit-root stats (both full-SQL twins of
-    the kernel paths) in one series-keyed registry row."""
-    k = q_kpss_sql_1d(spark, sf_dir)
-    p = q_pp_sql_1d(spark, sf_dir)
-    return k.join(p, "series_key")
-
-
-def _unitroot_sql_oracle() -> str:
-    from feasts_spark.functions.sql_features import pp_sql
-
-    return (
-        f"WITH k AS ({_kpss_oracle()}),\n"
-        f"p AS ({pp_sql()})\n"
-        "SELECT k.series_key, k.kpss_stat, k.kpss_pvalue,\n"
-        "       p.pp_stat, p.pp_pvalue\n"
-        "FROM k JOIN p USING (series_key)"
     )
 
 

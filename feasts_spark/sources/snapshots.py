@@ -58,6 +58,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
+class AuditFailed(Exception):
+    """A write-audit-publish audit vetoed the staged snapshot — a
+    data-quality rejection, distinct from infrastructure errors."""
+
+
 class SnapshotConflict(Exception):
     """Another writer committed the same version first; retry from head."""
 
@@ -282,6 +287,8 @@ class SnapshotTable:
                 "committed_at": m.get("committed_at"),
                 "n_files": len(m["files"]),
                 "total_rows": sum(f["rows"] for f in m["files"]),
+                "total_bytes": sum(f["bytes"] for f in m["files"]),
+                "summary": m.get("summary") or {},
             })
         return out
 
@@ -306,8 +313,12 @@ class SnapshotTable:
                 "path": f["path"],
                 "rows": int(f["rows"]),
                 "bytes": int(f["bytes"]),
-                "min": {k: str(v) for k, v in f.get("min", {}).items()},
-                "max": {k: str(v) for k, v in f.get("max", {}).items()},
+                # missing footer stats stay SQL NULL — stringifying None
+                # would break isNull() maintenance queries
+                "min": {k: None if v is None else str(v)
+                        for k, v in f.get("min", {}).items()},
+                "max": {k: None if v is None else str(v)
+                        for k, v in f.get("max", {}).items()},
                 "may_have_nulls": dict(f.get("nulls", {})),
                 "bloom_cols": sorted(f.get("bloom", {})),
             }
@@ -321,28 +332,21 @@ class SnapshotTable:
         return self.spark.createDataFrame(rows, schema)
 
     def inspect_snapshots(self) -> DataFrame:
-        """One row per retained snapshot: the commit log with operation,
-        timestamps, live file/row/byte totals, and the writer's summary
-        (stringified — writers put micro-batch ids, refresh cursors,
-        staged ids there, so exactly-once and WAP audits are queryable)."""
-        rows = []
-        for v in sorted(
-            int(os.path.basename(p)[1:-5])
-            for p in glob.glob(os.path.join(self.meta_dir, "v*.json"))
-        ):
-            m = self.manifest(v)
-            rows.append({
-                "version": v,
-                "parent": m.get("parent"),
-                "operation": m.get("operation"),
-                "committed_at": float(m.get("committed_at", 0.0)),
-                "n_files": len(m["files"]),
-                "total_rows": int(sum(f["rows"] for f in m["files"])),
-                "total_bytes": int(sum(f["bytes"] for f in m["files"])),
-                "summary": {
-                    k: str(v2) for k, v2 in (m.get("summary") or {}).items()
-                },
-            })
+        """One row per retained snapshot: `history()` as a DataFrame,
+        plus the writer's summary (stringified — writers put micro-batch
+        ids, refresh cursors, staged ids there, so exactly-once and WAP
+        audits are queryable)."""
+        rows = [
+            {
+                **{k: h[k] for k in (
+                    "version", "parent", "operation", "n_files",
+                    "total_rows", "total_bytes",
+                )},
+                "committed_at": float(h["committed_at"] or 0.0),
+                "summary": {k: str(v) for k, v in h["summary"].items()},
+            }
+            for h in self.history()
+        ]
         schema = (
             "version long, parent long, operation string, "
             "committed_at double, n_files long, total_rows long, "
@@ -571,35 +575,69 @@ class SnapshotTable:
         s = self.staged_manifest(staged_id)
         return self._read_files(s, s["files"])
 
-    def publish(self, staged_id: str, audits=()) -> int:
-        """Run audits over the staged rows, then commit them vs the
-        current head. Each audit is a callable df -> anything that raises
+    def publish(self, staged_id: str, audits=(),
+                conflict_retries: int = 10) -> int:
+        """Run audits over the staged rows ONCE, then commit them vs the
+        current head, retrying only the (manifest-sized) head-resolve +
+        O_EXCL step on SnapshotConflict — a lost race never re-scans the
+        staged data. Each audit is a callable df -> anything that raises
         to veto (compose with in-plan raise_error certificates for
-        machine-checked invariants). On SnapshotConflict the staged files
-        are left intact so `retrying(publish, sid)` is cheap."""
+        machine-checked invariants); vetoes surface as AuditFailed so
+        callers can distinguish data-quality rejections from
+        infrastructure errors (expired staging, schema drift), and the
+        staged files stay on disk for inspection either way."""
         s = self.staged_manifest(staged_id)
+        missing = [
+            f["path"] for f in s["files"]
+            if not os.path.exists(os.path.join(self.table_dir, f["path"]))
+        ]
+        if missing:
+            # expire_snapshots' orphan sweep reclaimed the data past the
+            # grace window; committing would corrupt the head for every
+            # reader
+            raise ValueError(
+                f"staged snapshot {staged_id!r} expired: {len(missing)} of "
+                f"{len(s['files'])} staged files no longer exist "
+                "(orphan sweep passed the grace window); restage"
+            )
         df = self.read_staged(staged_id)
+        audits = tuple(audits)
         for a in audits:
-            a(df)
-        parent = self.manifest()
-        if (s["operation"] == "append" and parent["files"]
-                and parent["schema"] is not None):
-            old = _normalized(StructType.fromJson(json.loads(parent["schema"])))
-            new = _normalized(StructType.fromJson(json.loads(s["schema"])))
-            if old != new:
-                raise ValueError(
-                    "staged schema no longer matches the table head "
-                    "(it evolved after stage); abandon and restage"
+            try:
+                a(df)
+            except Exception as e:
+                raise AuditFailed(
+                    f"staged snapshot {staged_id!r} vetoed by "
+                    f"{getattr(a, '__name__', repr(a))}: {e}"
+                ) from e
+        last: SnapshotConflict | None = None
+        for _ in range(max(1, conflict_retries)):
+            parent = self.manifest()
+            if (s["operation"] == "append" and parent["files"]
+                    and parent["schema"] is not None):
+                old = _normalized(
+                    StructType.fromJson(json.loads(parent["schema"])))
+                new = _normalized(StructType.fromJson(json.loads(s["schema"])))
+                if old != new:
+                    raise ValueError(
+                        "staged schema no longer matches the table head "
+                        "(it evolved after stage); abandon and restage"
+                    )
+            files = (parent["files"] + s["files"]
+                     if s["operation"] == "append" else s["files"])
+            try:
+                v = self._commit(
+                    files, s["operation"], parent, s["schema"],
+                    {"staged_id": staged_id, "audits_passed": len(audits),
+                     "added_files": len(s["files"]),
+                     "added_rows": sum(f["rows"] for f in s["files"]),
+                     **s["summary"]},
                 )
-        files = (parent["files"] + s["files"]
-                 if s["operation"] == "append" else s["files"])
-        v = self._commit(
-            files, s["operation"], parent, s["schema"],
-            {"staged_id": staged_id, "audits_passed": len(tuple(audits)),
-             "added_files": len(s["files"]),
-             "added_rows": sum(f["rows"] for f in s["files"]),
-             **s["summary"]},
-        )
+                break
+            except SnapshotConflict as e:
+                last = e
+        else:
+            raise last  # type: ignore[misc]
         os.remove(self._staged_path(staged_id))
         return v
 
@@ -1152,7 +1190,8 @@ class SnapshotTable:
             for p in glob.glob(os.path.join(self.meta_dir, "v*.json"))
         )
         if not versions:
-            return {"removed_manifests": 0, "removed_files": 0}
+            return {"removed_manifests": 0, "removed_files": 0,
+                    "removed_staged": 0}
         cut = versions[max(0, len(versions) - keep_last):]
         referenced: set[str] = set()
         for v in cut:
@@ -1162,8 +1201,18 @@ class SnapshotTable:
             if v not in cut:
                 os.remove(self._manifest_path(v))
                 removed_manifests += 1
-        removed_files = 0
+        # staged-but-never-published snapshots expire with the same grace
+        # window as their data files: past it the sweep below reclaims
+        # the parquet, so the staged manifest must go too — otherwise a
+        # later publish() would commit dangling paths into the head
+        # (publish also re-checks file existence as a belt-and-braces).
+        removed_staged = 0
         now = time.time()
+        for p in glob.glob(os.path.join(self.meta_dir, "staged-*.json")):
+            if now - os.path.getmtime(p) >= orphan_grace_s:
+                os.remove(p)
+                removed_staged += 1
+        removed_files = 0
         for path in glob.glob(os.path.join(self.data_dir, "commit-*", "*.parquet")):
             if os.path.relpath(path, self.table_dir) in referenced:
                 continue
@@ -1180,7 +1229,8 @@ class SnapshotTable:
                     and now - os.path.getmtime(d) >= orphan_grace_s):
                 shutil.rmtree(d, ignore_errors=True)
         return {"removed_manifests": removed_manifests,
-                "removed_files": removed_files}
+                "removed_files": removed_files,
+                "removed_staged": removed_staged}
 
 
 class SnapshotIO:

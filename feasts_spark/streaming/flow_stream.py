@@ -115,10 +115,14 @@ def stream_conv_flow(
         if batch.empty:
             return
         ts = batch[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        # tool payload is FLAGGED ("T" + value) so a NULL tool stays
+        # distinguishable from an empty-string tool name, which the
+        # batch operator counts as a real (k1 = '') group
+        tool_flagged = batch[tool_col].map(
+            lambda t: "" if pd.isna(t) else "T" + str(t)
+        )
         pay = (
-            batch[role_col].astype(str)
-            + _SEP
-            + batch[tool_col].fillna("").astype(str)
+            batch[role_col].astype(str) + _SEP + tool_flagged
         ).to_numpy(dtype=object)
         ts, pay, rearm_us = _merge_carried(ts, pay, state, max_seg_us)
         if rearm_us is not None:
@@ -139,9 +143,9 @@ def stream_conv_flow(
             # the stream remembers — a TTL-forgotten conversation's
             # comeback turn also lands here (documented divergence).
             tool0 = str(pay[0]).split(_SEP, 1)[1]
-            if tool0:
+            if tool0.startswith("T"):
                 out.append({
-                    "conv_id": conv, "tag": "tool", "k1": tool0,
+                    "conv_id": conv, "tag": "tool", "k1": tool0[1:],
                     "k2": None, "n": 1, "n_lat": 0, "sum_s": 0.0,
                     "hist": [0] * n_bins,
                 })
@@ -162,13 +166,13 @@ def stream_conv_flow(
                 split1 = pd.Series(p1).str.partition(_SEP)
                 role_from = split0[0].to_numpy(dtype=object)
                 role_to = split1[0].to_numpy(dtype=object)
-                tool_to = split1[2].to_numpy(dtype=object)
+                tool_flag = split1[2]
                 _rows(out, conv, "pair", role_from, role_to, delta, bins)
-                has_tool = tool_to != ""
+                has_tool = tool_flag.str.startswith("T").to_numpy()
                 if has_tool.any():
                     _rows(
                         out, conv, "tool",
-                        tool_to[has_tool],
+                        tool_flag.str[1:].to_numpy(dtype=object)[has_tool],
                         np.full(int(has_tool.sum()), None, dtype=object),
                         delta[has_tool], bins[has_tool],
                     )

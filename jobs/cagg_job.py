@@ -120,13 +120,18 @@ def main() -> None:
             batch = turn_series(spark.read.parquet(args.ingest))
             if args.wap:
                 from feasts_spark.operators.integrity import audit_turns
+                from feasts_spark.sources.snapshots import AuditFailed
 
                 sid = raw.stage(batch,
                                 extra_summary={"ingest_id": ingest_id})
                 try:
-                    v = raw.retrying(raw.publish, sid,
-                                     audits=[audit_turns])
-                except ValueError as e:
+                    # publish audits once and retries only the manifest
+                    # commit on conflict; infrastructure errors (expired
+                    # staging, schema drift) propagate and crash the
+                    # tick loudly — only a data-quality VETO takes the
+                    # report-and-exit-2 path
+                    v = raw.publish(sid, audits=[audit_turns])
+                except AuditFailed as e:
                     # veto: head untouched, staged files retained for
                     # inspection (expire's grace sweep reclaims them
                     # eventually); the idempotence id is NOT recorded,

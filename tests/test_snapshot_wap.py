@@ -12,7 +12,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from feasts_spark.sources.snapshots import SnapshotTable
+from feasts_spark.sources.snapshots import AuditFailed, SnapshotTable
 
 
 def _mk(spark, n=100, offset=0):
@@ -50,7 +50,7 @@ class TestWriteAuditPublish:
         def audit_min_rows(df):
             assert df.count() >= 100, "suspiciously small batch"
 
-        with pytest.raises(AssertionError, match="suspiciously small"):
+        with pytest.raises(AuditFailed, match="suspiciously small"):
             table.publish(sid, audits=[audit_no_negatives, audit_min_rows])
         assert table.current_version() == 1  # veto left the head alone
         staged_paths = [
@@ -126,3 +126,27 @@ class TestInspection:
         assert [(r["version"], r["n_files"]) for r in log] == [
             (h["version"], h["n_files"]) for h in hist
         ]
+
+    def test_publish_of_expired_staging_fails_cleanly(self, spark, table):
+        table.append(_mk(spark, 10))
+        sid = table.stage(_mk(spark, 5, offset=10))
+        for f in table.staged_manifest(sid)["files"]:
+            os.remove(os.path.join(table.table_dir, f["path"]))
+        with pytest.raises(ValueError, match="expired"):
+            table.publish(sid)
+        assert table.current_version() == 1  # head never corrupted
+
+    def test_expire_sweeps_stale_staged_manifests(self, spark, table):
+        table.append(_mk(spark, 10))
+        sid = table.stage(_mk(spark, 5, offset=10))
+        p = table._staged_path(sid)
+        old = os.path.getmtime(p) - 7200
+        os.utime(p, (old, old))
+        for f in table.staged_manifest(sid)["files"]:
+            fp = os.path.join(table.table_dir, f["path"])
+            os.utime(fp, (old, old))
+        res = table.expire_snapshots(keep_last=1, orphan_grace_s=3600)
+        assert res["removed_staged"] == 1
+        assert res["removed_files"] >= 1
+        with pytest.raises(ValueError, match="no staged snapshot"):
+            table.publish(sid)
