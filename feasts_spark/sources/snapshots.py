@@ -227,6 +227,7 @@ class SnapshotTable:
     def __init__(self, spark: SparkSession, root: str, name: str,
                  stats_cols: tuple[str, ...] = (),
                  cluster_cols: tuple[str, ...] | None = None,
+                 cluster_mode: str = "range",
                  bloom_cols: tuple[str, ...] = (),
                  bloom_max_bytes: int = 32 * 1024,
                  bloom_max_distinct: int = 1 << 18):
@@ -243,6 +244,14 @@ class SnapshotTable:
         # into one task)
         self.cluster_cols = self.stats_cols if cluster_cols is None \
             else tuple(cluster_cols)
+        # "range": lexicographic repartitionByRange over cluster_cols —
+        # prunes the FIRST column sharply, later columns barely.
+        # "zorder": bit-interleaved space-filling curve over ALL cluster
+        # columns — every column's footer window narrows, so
+        # multi-dimensional read_where_all prunes on each predicate.
+        if cluster_mode not in ("range", "zorder"):
+            raise ValueError(f"unknown cluster_mode {cluster_mode!r}")
+        self.cluster_mode = cluster_mode
         # key columns that get a per-file bloom in the manifest (see the
         # module-level bloom notes); a file whose distinct-key count
         # exceeds bloom_max_distinct records no bloom (= never pruned) so
@@ -354,27 +363,101 @@ class SnapshotTable:
         )
         return self.spark.createDataFrame(rows, schema)
 
+    def _zorder_value(self, df: DataFrame, cluster: list[str]):
+        """Z-value column: per cluster column, min/max-scale the batch to
+        a bits_per_col-bit bucket, then interleave the bits (bit b of
+        column c lands at position b*n+c). Timestamps scale on micros,
+        numerics on their double value; NULLs bucket to 0 (they sort
+        first, same as range clustering). The min/max come from ONE
+        single-row aggregate over the batch — a driver scalar, not a
+        shuffle — and a constant column degenerates to bucket 0, which
+        the interleave simply ignores."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        n = len(cluster)
+        bits = min(16, 63 // n)
+        hi_bucket = (1 << bits) - 1
+
+        def as_num(c):
+            dt = df.schema[c].dataType
+            if isinstance(dt, (TimestampType, TimestampNTZType)):
+                return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+            return F.col(c).cast("double")
+
+        stats = df.agg(*[
+            x
+            for c in cluster
+            for x in (F.min(as_num(c)).alias(f"mn_{c}"),
+                      F.max(as_num(c)).alias(f"mx_{c}"))
+        ]).first()
+        buckets = []
+        for c in cluster:
+            mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+            if mn is None or mx is None or mx <= mn:
+                buckets.append(F.lit(0).cast("long"))
+                continue
+            scaled = F.floor(
+                (as_num(c) - F.lit(float(mn)))
+                / F.lit(float(mx - mn))
+                * F.lit(float(hi_bucket))
+            ).cast("long")
+            buckets.append(F.coalesce(
+                F.least(F.greatest(scaled, F.lit(0)), F.lit(hi_bucket)),
+                F.lit(0),
+            ))
+        z = F.lit(0).cast("long")
+        for b in range(bits):
+            for ci, bk in enumerate(buckets):
+                z = z.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(bk, b).bitwiseAND(F.lit(1)),
+                        b * n + ci,
+                    )
+                )
+        return z
+
     # ----- commit path ----------------------------------------------------
 
-    def _stage_files(self, df: DataFrame, sort_within: bool) -> tuple[str, list[dict]]:
+    def _stage_files(self, df: DataFrame, sort_within: bool,
+                     target_files: int | None = None
+                     ) -> tuple[str, list[dict]]:
         """Write df's files into a fresh commit dir and harvest footer stats.
 
         Rows are clustered by stats_cols before writing so each file's
         min/max window stays narrow — that clustering is what makes
         read_where/replace_where prune well. Stats come from parquet
         row-group footers via pyarrow: no data pages are read.
+
+        `target_files` pins the clustering shuffle's partition count —
+        without it AQE's byte-based coalescing may pack a small commit
+        into ONE file, which is fine for storage but gives file pruning
+        nothing to skip; writers that know their size pass it.
         """
         import pyarrow.parquet as pq
 
         commit_dir = os.path.join(self.data_dir, f"commit-{uuid.uuid4().hex[:12]}")
         cluster = [c for c in self.cluster_cols if c in df.columns]
         if cluster and sort_within:
-            # RANGE partitioning (not hash): adjacent stat values land in
-            # the same file, so footer [min, max] windows are narrow and
-            # disjoint — that is what makes read_where/replace_where prune
-            # instead of touching every file.
-            df = df.repartitionByRange(*cluster)
-            df = df.sortWithinPartitions(*cluster)
+            tf = [target_files] if target_files else []
+            if self.cluster_mode == "zorder" and len(cluster) >= 2:
+                # Z-ORDER: interleave the bits of min/max-scaled bucket
+                # indices so EVERY cluster column's footer window narrows
+                # (lexicographic range clustering narrows only the first
+                # column; the rest span everything). All-JVM expressions;
+                # the batch min/max scalars are one O(1) agg.
+                z = self._zorder_value(df, cluster)
+                df = (df.withColumn("_z", z)
+                        .repartitionByRange(*tf, "_z")
+                        .sortWithinPartitions("_z")
+                        .drop("_z"))
+            else:
+                # RANGE partitioning (not hash): adjacent stat values land
+                # in the same file, so footer [min, max] windows are narrow
+                # and disjoint — that is what makes read_where/
+                # replace_where prune instead of touching every file.
+                df = df.repartitionByRange(*tf, *cluster)
+                df = df.sortWithinPartitions(*cluster)
         df.write.mode("error").parquet(commit_dir)
         entries = []
         for path in sorted(glob.glob(os.path.join(commit_dir, "*.parquet"))):
@@ -480,7 +563,8 @@ class SnapshotTable:
         return schema_json
 
     def append(self, df: DataFrame, sort_within: bool = True,
-               extra_summary: dict | None = None) -> int:
+               extra_summary: dict | None = None,
+               target_files: int | None = None) -> int:
         """Commit df's rows as new files alongside the current file set.
 
         `extra_summary` lands in the manifest's summary dict — writers use
@@ -489,7 +573,8 @@ class SnapshotTable:
         """
         parent = self.manifest()
         schema_json = self._check_schema(df, parent)
-        commit_dir, new_files = self._stage_files(df, sort_within)
+        commit_dir, new_files = self._stage_files(df, sort_within,
+                                                  target_files)
         try:
             return self._commit(
                 parent["files"] + new_files, "append", parent, schema_json,
@@ -531,7 +616,8 @@ class SnapshotTable:
 
     def stage(self, df: DataFrame, operation: str = "append",
               sort_within: bool = True,
-              extra_summary: dict | None = None) -> str:
+              extra_summary: dict | None = None,
+              target_files: int | None = None) -> str:
         """Write df's files without committing; returns a staged id.
 
         `operation` is 'append' or 'overwrite' — resolved against the
@@ -543,7 +629,8 @@ class SnapshotTable:
         parent = self.manifest()
         schema_json = (self._check_schema(df, parent)
                        if operation == "append" else df.schema.json())
-        commit_dir, files = self._stage_files(df, sort_within)
+        commit_dir, files = self._stage_files(df, sort_within,
+                                              target_files)
         sid = uuid.uuid4().hex[:12]
         staged = {
             "staged_id": sid,
@@ -984,6 +1071,31 @@ class SnapshotTable:
         return self._read_files(m, live).filter(
             F.col(col).between(F.lit(lo), F.lit(hi))
         )
+
+    def read_where_all(self, preds: dict, version: int | None = None
+                       ) -> DataFrame:
+        """Manifest-pruned MULTI-predicate range read: a file survives
+        only if its footer window overlaps EVERY [lo, hi] in `preds`
+        ({col: (lo, hi)}); the residual filters then push into the
+        surviving scans. With zorder clustering every predicate prunes;
+        with range clustering only the leading column's does — same
+        correctness, different file counts."""
+        m = self._resolve(version, None)
+        if m["version"] == 0:
+            raise ValueError("table has no snapshots yet")
+        live = m["files"]
+        for col, (lo, hi) in preds.items():
+            lo_s, hi_s = _bound_safe(lo), _bound_safe(hi)
+            live = [
+                f for f in live
+                if f["min"].get(col) is None or f["max"].get(col) is None
+                or not (f["max"][col] < lo_s or f["min"][col] > hi_s)
+            ]
+        from pyspark.sql import functions as F
+        out = self._read_files(m, live)
+        for col, (lo, hi) in preds.items():
+            out = out.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+        return out
 
     def files_for_keys(self, col: str, keys, version: int | None = None,
                        _manifest: dict | None = None
