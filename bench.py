@@ -271,6 +271,14 @@ def run_bench(cores: str, sf_dir: str) -> dict:
     )
     micro["curation_suite_docs_per_sec"] = round(n_docs / (time.time() - t0))
 
+    # conversation-flow pack over the full transcript corpus: one
+    # conv-keyed lag window + the GROUPING SETS aggregate, all JVM
+    from feasts_spark.operators.flow import conv_flow
+
+    t0 = time.time()
+    materialize(conv_flow(transcripts))
+    micro["conv_flow_turns_per_sec"] = round(n_turns / (time.time() - t0))
+
     spark.stop()
     return {
         "metric": "headline_queries_total",
