@@ -1246,26 +1246,41 @@ class SnapshotTable:
             raise
 
     def compact(self, small_bytes: int = 32 * 1024 * 1024,
-                min_group: int = 2) -> int | None:
+                min_group: int = 2, recluster: bool = False,
+                target_files: int | None = None) -> int | None:
         """Bin-pack small files into fewer larger ones as a normal commit.
 
         Only files under `small_bytes` are rewritten; content is unchanged
         (same rows, new layout), so old snapshots still read their original
         files. Returns the new version, or None when there is nothing to do.
+
+        By default the merged rows keep arrival order (cheap coalesce).
+        That erodes pruning over time: merging many narrow-window commits
+        yields files whose footer windows span their union, so
+        read_where skips less after every maintenance pass.
+        `recluster=True` re-sorts the merged rows through the table's
+        clustering (range or z-order) at the same output file count —
+        compaction then RESTORES pruning quality instead of spending it.
         """
         parent = self.manifest()
         small = [f for f in parent["files"] if f["bytes"] < small_bytes]
         if len(small) < min_group:
             return None
         keep = [f for f in parent["files"] if f["bytes"] >= small_bytes]
-        df = self._read_files(parent, small).coalesce(
-            max(1, int(sum(f["bytes"] for f in small) // small_bytes) + 1)
-        )
-        commit_dir, new_files = self._stage_files(df, sort_within=False)
+        n_out = target_files or max(
+            1, int(sum(f["bytes"] for f in small) // small_bytes) + 1)
+        df = self._read_files(parent, small)
+        if recluster:
+            commit_dir, new_files = self._stage_files(
+                df, sort_within=True, target_files=n_out)
+        else:
+            commit_dir, new_files = self._stage_files(
+                df.coalesce(n_out), sort_within=False)
         try:
             return self._commit(
                 keep + new_files, "compact", parent, parent["schema"],
-                {"compacted_files": len(small), "added_files": len(new_files)},
+                {"compacted_files": len(small), "added_files": len(new_files),
+                 "reclustered": bool(recluster)},
             )
         except SnapshotConflict:
             shutil.rmtree(commit_dir, ignore_errors=True)

@@ -182,3 +182,51 @@ class TestStreamConvFlow:
         r = out[0]
         assert (r["k1"], r["k2"], r["n"]) == ("user", "assistant", 1)
         assert r["mean_s"] == pytest.approx(10.0)
+
+
+class TestSinkComposition:
+    def test_partials_through_snapshot_sink_finalize_equals_batch(
+            self, spark, tmp_path):
+        """The deployment shape: stream partials commit append-only into
+        a snapshot table (exactly-once batch ids) and finalize runs at
+        query time over table.read() — equal to batch for the exact
+        columns."""
+        from feasts_spark.sources.snapshots import SnapshotTable
+        from feasts_spark.streaming.snapshot_sink import (
+            snapshot_batch_writer,
+        )
+
+        pdf = _corpus()
+        d = tmp_path / "in"
+        d.mkdir()
+        pdf2 = pdf.assign(tool=pdf["tool"].astype("string"))
+        for i, ix in enumerate(np.array_split(np.arange(len(pdf2)), 5)):
+            pdf2.iloc[ix].to_parquet(d / f"b{i}.parquet", index=False)
+        table = SnapshotTable(spark, str(tmp_path), "flow_partials")
+        stream = (spark.readStream.schema(SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(str(d)))
+        q = (stream_conv_flow(stream, watermark="10 minutes", **BINS)
+             .writeStream
+             .foreachBatch(snapshot_batch_writer(table, "flow"))
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        assert all(h["operation"] == "append" for h in table.history())
+
+        got = {
+            (r["tag"], r["k1"], r["k2"]): r.asDict()
+            for r in finalize_conv_flow(
+                table.read(), BINS["lat_lo"], BINS["lat_hi"],
+                BINS["n_bins"],
+            ).collect()
+        }
+        exp = {
+            (r["tag"], r["k1"], r["k2"]): r.asDict()
+            for r in conv_flow(spark.createDataFrame(pdf)).collect()
+        }
+        assert set(got) == set(exp)
+        for k, e in exp.items():
+            g = got[k]
+            assert (g["n"], g["n_convs"]) == (e["n"], e["n_convs"]), k
+            assert g["share"] == pytest.approx(e["share"], abs=1e-12), k
+            assert g["mean_s"] == pytest.approx(e["mean_s"], rel=1e-9), k

@@ -102,3 +102,37 @@ class TestZorder:
         assert t.read().count() == 1000
         # NULL y rows must survive a read that doesn't filter on y
         assert t.read_where_all({"x": (0.0, 10.0)}).count() == 1000
+
+
+class TestReclusteringCompaction:
+    def test_plain_compaction_erodes_pruning_recluster_restores(
+            self, spark, tmp_path):
+        """Many narrow interleaved commits -> compact() merges arrival
+        order and the windows widen; compact(recluster=True) re-sorts
+        through the table's clustering and pruning comes back."""
+        t = SnapshotTable(spark, str(tmp_path), "tc", stats_cols=("x",))
+        g = _grid(spark)
+        # 8 commits, each a stripe ACROSS the x domain (x % 8 == i), so
+        # every commit's single file spans the whole window
+        for i in range(8):
+            t.append(g.filter(F.col("x") % 8 == i), target_files=1)
+        pred = {"x": (20.0, 40.0)}
+
+        v_plain = t.compact(small_bytes=1 << 30, recluster=False)
+        assert v_plain is not None
+        live, total = _live_files(t, pred)
+        assert live == total  # merged arrival order: every window wide
+
+        # rebuild the same table and recluster instead
+        t2 = SnapshotTable(spark, str(tmp_path), "tc2", stats_cols=("x",))
+        for i in range(8):
+            t2.append(g.filter(F.col("x") % 8 == i), target_files=1)
+        v_re = t2.compact(small_bytes=1 << 30, recluster=True,
+                          target_files=6)
+        assert v_re is not None
+        live2, total2 = _live_files(t2, pred)
+        assert total2 > 1 and live2 < total2, (live2, total2)
+        assert t2.manifest()["summary"]["reclustered"] is True
+        # content identical either way
+        assert t.read().agg(F.sum("payload")).first()[0] == \
+            t2.read().agg(F.sum("payload")).first()[0]
