@@ -59,6 +59,14 @@ def main() -> None:
                          "time travel, refresh reads a PINNED pre-refresh "
                          "version (no checkpoint-dir copy), and retention "
                          "is a metadata-only delete commit")
+    ap.add_argument("--compact-small-mb", type=int, default=0,
+                    help="snapshot format only: after the run, bin-pack "
+                         "each table's files smaller than this into "
+                         "fewer larger ones (0 = off)")
+    ap.add_argument("--compact-recluster", action="store_true",
+                    help="re-sort compacted rows through each table's "
+                         "clustering so maintenance RESTORES footer-stats "
+                         "pruning instead of widening the merged windows")
     ap.add_argument("--expire-keep", type=int, default=0,
                     help="snapshot format only: after the run, keep the "
                          "newest N snapshots per table and delete "
@@ -341,6 +349,19 @@ def main() -> None:
             for table in ("rollup", "chunks")
         }
         metrics["retention_removed"] = removed
+
+    if is_snapshot and args.compact_small_mb > 0:
+        names = [
+            d for d in sorted(os.listdir(args.output))
+            if os.path.isdir(os.path.join(args.output, d, "metadata"))
+        ]
+        metrics["compacted"] = {
+            name: io.table(name).compact(
+                small_bytes=args.compact_small_mb << 20,
+                recluster=args.compact_recluster,
+            )
+            for name in names
+        }
 
     if is_snapshot and args.expire_keep > 0:
         # discover snapshot tables on disk (a --resume pass may have

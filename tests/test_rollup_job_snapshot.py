@@ -209,3 +209,35 @@ class TestSnapshotRetention:
         t0 = io.table("rollup_1m")
         assert len(t0.history()) == 1
         assert t0.read().count() > 0
+
+
+class TestMaintenanceCompaction:
+    def test_compact_recluster_flag(self, spark, tmp_path, monkeypatch,
+                                    capsys):
+        """--compact-small-mb bin-packs each snapshot table's per-day
+        commit files; --compact-recluster re-sorts them through the
+        table's clustering. Content identical, commit log records it."""
+        _, src = _src(spark, tmp_path)
+        out = str(tmp_path / "wh")
+        _job(monkeypatch, "--input", src, "--output", out,
+             "--tiers", "1m", "--table-format", "snapshot")
+        io = SnapshotIO(spark, out)
+        before = io.read("rollup_1m").groupBy().agg(
+            F.sum("val_sum").alias("s"), F.count("*").alias("n")).first()
+        n_files_before = len(io.table("rollup_1m").manifest()["files"])
+        capsys.readouterr()
+        _job(monkeypatch, "--input", src, "--output", out,
+             "--tiers", "1m", "--table-format", "snapshot", "--resume",
+             "--compact-small-mb", "1024", "--compact-recluster")
+        metrics = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])
+        assert metrics["compacted"]["rollup_1m"] is not None
+        io2 = SnapshotIO(spark, out)
+        t = io2.table("rollup_1m")
+        assert t.manifest()["operation"] == "compact"
+        assert t.manifest()["summary"]["reclustered"] is True
+        assert len(t.manifest()["files"]) < n_files_before
+        after = io2.read("rollup_1m").groupBy().agg(
+            F.sum("val_sum").alias("s"), F.count("*").alias("n")).first()
+        assert after["n"] == before["n"]
+        assert abs(after["s"] - before["s"]) < 1e-6
