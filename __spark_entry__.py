@@ -97,7 +97,13 @@ def q_rollup_pack(spark, sf_dir):
     continuous-aggregate out-of-order path). Every tier's oracle
     recomputes DIRECTLY from raw events, so one green row proves (a) the
     base rollup, (b) salted == plain, (c) cascade re-aggregation exact at
-    every hop, and (d) refresh == full recompute. Plain decomposable
+    every hop, (d) refresh == full recompute, and (e) the STORAGE LOOP —
+    the same withheld 10% lands in the `1h_realtime` tag as a second
+    snapshot-table commit that a ContinuousAggregate has NOT refreshed,
+    and `read_fresh()` (the read-only real-time view over the versioned
+    delta) must still equal the full recompute, proving snapshot
+    append/commit, the cagg refresh cursor, and the version-addressed
+    merge view end-to-end against DuckDB. Plain decomposable
     aggregates — safe to pack (see the Catalyst CASE-packing hazard note
     on q_usage_1h)."""
     from feasts_spark.operators.rollup import (
@@ -121,9 +127,32 @@ def q_rollup_pack(spark, sf_dir):
         rollup_raw(e.filter(~is_late), "1h", "user_id", "ts", "value"),
         e.filter(is_late), "1h", "user_id", "ts", "value",
     )
+
+    # (e) the same on-time/late split through the REAL storage loop:
+    # two snapshot commits, one refreshed, one only visible to the
+    # version-addressed real-time view
+    import tempfile
+
+    from feasts_spark.operators.continuous import ContinuousAggregate
+    from feasts_spark.sources.snapshots import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="feasts_rt_view_")
+    snap_src = SnapshotTable(spark, root, "raw", stats_cols=("ts",))
+    snap_tgt = SnapshotTable(spark, root, "tier_1h",
+                             stats_cols=("bucket_ts",))
+    cols = ["user_id", "ts", "value"]
+    snap_src.append(e.filter(~is_late).select(cols))
+    cagg = ContinuousAggregate(snap_src, snap_tgt, "1h",
+                               key_col="user_id", ts_col="ts",
+                               value_col="value")
+    cagg.refresh()
+    snap_src.append(e.filter(is_late).select(cols))
+    realtime = cagg.read_fresh()
+
     out = None
     for tag, df in (("1m", r1m), ("1m_salted", salted), ("1h", r1h),
-                    ("1d", r1d), ("1h_refresh", refreshed)):
+                    ("1d", r1d), ("1h_refresh", refreshed),
+                    ("1h_realtime", realtime)):
         part = df.select(F.lit(tag).alias("tier"), *_ROLLUP_PACK_COLS)
         out = part if out is None else out.unionByName(part)
     return _round_cols(out, ["val_sum", "val_avg"])
@@ -135,7 +164,9 @@ def _rollup_pack_oracle() -> str:
         for tag, trunc in (("1m", "minute"), ("1m_salted", "minute"),
                            ("1h", "hour"), ("1d", "day"),
                            # refresh == full recompute: same hourly oracle
-                           ("1h_refresh", "hour"))
+                           ("1h_refresh", "hour"),
+                           # the snapshot-table real-time view likewise
+                           ("1h_realtime", "hour"))
     ]
     return "\nUNION ALL\n".join(parts)
 

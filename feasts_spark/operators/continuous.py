@@ -383,6 +383,96 @@ class ContinuousAggregate:
     def _write_sidecar(self, version: int) -> None:
         _write_cursor_sidecar(self.target, self.name, version)
 
+    def read_fresh(self) -> DataFrame:
+        """Real-time view: the rows `refresh()` WOULD leave in the target
+        at the current source head, computed read-only — no commit, no
+        cursor movement. This is the TimescaleDB real-time-aggregate
+        shape (materialized rows unioned with the aggregation of the
+        not-yet-folded tail), but version-addressed instead of
+        watermark-split: the tail is exactly the rows of source files
+        committed since the refresh cursor, so late data and backfills
+        ride the same read the refresh itself would do — a real-time
+        view over a watermark would silently miss a backfill older than
+        the watermark.
+
+        Mode lands in ``self.last_view_mode`` (mirrors refresh):
+
+        - ``noop``      cursor at head, or only compaction since — the
+                        materialized rows ARE fresh; plain target read.
+        - ``full``      no cursor / expired cursor / overwrite since —
+                        aggregates the whole pinned source head (what a
+                        first refresh would write).
+        - ``merge``     append-only tail, no pending partial refresh —
+                        the delta's tier rows merge into the touched
+                        materialized rows; clean rows pass through
+                        untouched via a broadcast anti join.
+        - ``recompute`` replace/delete since the cursor, or a crashed
+                        multi-commit refresh left a partial absorbed —
+                        dirty buckets re-aggregate from the pinned
+                        source head; the source scan footer-prunes to
+                        the [min, max] dirty bucket range (one range,
+                        not per-run: a view has no commit granularity
+                        to bound).
+
+        The returned plan is pinned to the source/target versions
+        captured here, so it stays consistent under concurrent writers;
+        the delta tier / dirty set is locally checkpointed once so the
+        anti/semi/merge branches don't re-derive it. Cost matches the
+        equivalent refresh minus the writes; a view over a CASCADE
+        aggregate is fresh w.r.t. its own source TABLE (the lower
+        tier) — refresh lower tiers first for end-to-end freshness.
+        """
+        head = self.source.current_version()
+        cur, partial = _cagg_state(self.target, self.name)
+        if head <= cur:
+            self.last_view_mode = "noop"
+            return self.target.read()
+
+        ops = _ops_since(self.source, cur, head)
+        if ops is not None and all(o == "compact" for o in ops) \
+                and not partial:
+            self.last_view_mode = "noop"
+            return self.target.read()
+
+        if cur == 0 or not _cursor_manifest_ok(self.source, cur) \
+                or (ops is not None and "overwrite" in ops):
+            self.last_view_mode = "full"
+            return self._aggregate(self.source.read(version=head))
+
+        base = self.target.read()
+        if ops is not None and all(o in ("append", "compact") for o in ops) \
+                and not partial:
+            delta_tier = self._aggregate(
+                self._append_delta(cur, head)).localCheckpoint(eager=True)
+            dirty = delta_tier.select(*_KEY_COLS)
+            touched = base.join(F.broadcast(dirty), _KEY_COLS, "left_semi")
+            refreshed = rollup_merge(touched, delta_tier)
+            self.last_view_mode = "merge"
+        else:
+            post = self.source.read_changes(cur, head)
+            pre = self.source.read_removed(cur, head)
+            for side, df_ in (("post-image", post), ("pre-image", pre)):
+                _require_cols(df_, [self.key_col, self.ts_col],
+                              f"cagg {self.name} {side}")
+            changed = post.unionByName(pre, allowMissingColumns=True)
+            dirty = invalidated_buckets(
+                self._with_ts(changed), self.tier, self.key_col, self.ts_col
+            ).localCheckpoint(eager=True)
+            bounds = dirty.agg(F.min("bucket_ts"), F.max("bucket_ts")).first()
+            if bounds[0] is None:
+                self.last_view_mode = "noop"
+                return base
+            step = _dt.timedelta(seconds=TIER_SECONDS[self.tier])
+            raw = self.source.read_where(
+                self.ts_col, bounds[0],
+                bounds[1] + step - _dt.timedelta(microseconds=1),
+                version=head)
+            refreshed = self._aggregate(raw).join(
+                F.broadcast(dirty), _KEY_COLS, "left_semi")
+            self.last_view_mode = "recompute"
+        clean = base.join(F.broadcast(dirty), _KEY_COLS, "left_anti")
+        return clean.select(refreshed.columns).unionByName(refreshed)
+
 
 class CascadeAggregate(ContinuousAggregate):
     """A continuous aggregate whose source is the NEXT-LOWER tier's
@@ -564,3 +654,57 @@ class FeatureView:
         stats.update(mode="incremental", dirty_keys=dirty_keys.count(),
                      commits=len(runs))
         return stats
+
+    def read_fresh(self) -> DataFrame:
+        """Real-time feature view: the rows `refresh()` WOULD leave in
+        the feature table at the current source head, computed read-only
+        (see ContinuousAggregate.read_fresh). Because a feature row
+        depends on its series' FULL history, the fresh tail here is the
+        dirty-key recompute itself — clean series' materialized rows
+        pass through a broadcast anti join; dirty series re-featurize
+        from the pinned source head (bloom-pruned when the source
+        carries key blooms). Mode lands in ``self.last_view_mode``:
+        noop / full / incremental."""
+        head = self.source.current_version()
+        cur, _ = _cagg_state(self.target, self.name)
+        if head <= cur:
+            self.last_view_mode = "noop"
+            return self.target.read()
+
+        ops = _ops_since(self.source, cur, head)
+        if ops is not None and all(o == "compact" for o in ops):
+            self.last_view_mode = "noop"
+            return self.target.read()
+
+        if cur == 0 or not _cursor_manifest_ok(self.source, cur) \
+                or (ops is not None and "overwrite" in ops):
+            self.last_view_mode = "full"
+            return self._featurize(self.source.read(version=head))
+
+        post = self.source.read_changes(cur, head)
+        pre = self.source.read_removed(cur, head)
+        for side, df_ in (("post-image", post), ("pre-image", pre)):
+            _require_cols(df_, [self.key_col],
+                          f"feature view {self.name} {side}")
+        changed = post.unionByName(pre, allowMissingColumns=True)
+        dirty_keys = changed.select(self.key_col).distinct() \
+            .localCheckpoint(eager=True)
+        base = self.target.read()
+        if dirty_keys.isEmpty():
+            self.last_view_mode = "noop"
+            return base
+
+        src = None
+        if self.key_col in getattr(self.source, "bloom_cols", ()):
+            probe = self.source._collect_probe_keys(dirty_keys, self.key_col)
+            if probe is not None:
+                src = self.source.read_containing(
+                    self.key_col, probe, version=head)
+        if src is None:
+            src = self.source.read(version=head)
+        raw_dirty = src.join(F.broadcast(dirty_keys), self.key_col,
+                             "left_semi")
+        recomputed = self._featurize(raw_dirty)
+        clean = base.join(F.broadcast(dirty_keys), self.key_col, "left_anti")
+        self.last_view_mode = "incremental"
+        return clean.select(recomputed.columns).unionByName(recomputed)
