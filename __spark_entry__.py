@@ -103,9 +103,11 @@ def q_rollup_pack(spark, sf_dir):
     and `read_fresh()` (the read-only real-time view over the versioned
     delta) must still equal the full recompute, proving snapshot
     append/commit, the cagg refresh cursor, and the version-addressed
-    merge view end-to-end against DuckDB. Plain decomposable
-    aggregates — safe to pack (see the Catalyst CASE-packing hazard note
-    on q_usage_1h)."""
+    merge view end-to-end against DuckDB, and (f) range SERVING — a
+    24.7-day awkwardly-aligned window answered by stitch_range from the
+    coarsest covering tiers equals DuckDB's direct aggregate of the raw
+    events in the window. Plain decomposable aggregates — safe to pack
+    (see the Catalyst CASE-packing hazard note on q_usage_1h)."""
     from feasts_spark.operators.rollup import (
         rollup_cascade,
         rollup_raw,
@@ -149,10 +151,26 @@ def q_rollup_pack(spark, sf_dir):
     snap_src.append(e.filter(is_late).select(cols))
     realtime = cagg.read_fresh()
 
+    # (f) range SERVING: an awkwardly-aligned 24.7-day window answered
+    # from the coarsest covering tiers (interior days from the 1d frame,
+    # ragged edges from 1h then 1m — raw points never touched) must
+    # equal DuckDB aggregating raw events in the window directly
+    import datetime as _dtm
+
+    from feasts_spark.operators.rollup import stitch_range
+
+    rng_lo = _dtm.datetime(2024, 1, 3, 5, 17)
+    rng_hi = _dtm.datetime(2024, 1, 27, 21, 43)
+    stitched = stitch_range(
+        {"1m": r1m, "1h": r1h, "1d": r1d}, rng_lo, rng_hi
+    ).withColumn(
+        "bucket_ts", F.lit(rng_lo).cast(r1m.schema["bucket_ts"].dataType)
+    )
+
     out = None
     for tag, df in (("1m", r1m), ("1m_salted", salted), ("1h", r1h),
                     ("1d", r1d), ("1h_refresh", refreshed),
-                    ("1h_realtime", realtime)):
+                    ("1h_realtime", realtime), ("range_agg", stitched)):
         part = df.select(F.lit(tag).alias("tier"), *_ROLLUP_PACK_COLS)
         out = part if out is None else out.unionByName(part)
     return _round_cols(out, ["val_sum", "val_avg"])
@@ -168,6 +186,20 @@ def _rollup_pack_oracle() -> str:
                            # the snapshot-table real-time view likewise
                            ("1h_realtime", "hour"))
     ]
+    # tier-stitched range aggregate == direct aggregate of raw events in
+    # the window (same summary algebra, one row per series)
+    parts.append(f"""
+    SELECT 'range_agg' AS tier, user_id AS series_key,
+           TIMESTAMP '2024-01-03 05:17:00' AS bucket_ts,
+           count(*) AS n_points, {_sql_r4('sum(value)')} AS val_sum,
+           min(value) AS val_min, max(value) AS val_max,
+           {_sql_r4('avg(value)')} AS val_avg,
+           arg_min(value, ts) AS val_first, arg_max(value, ts) AS val_last
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-03 05:17:00'
+      AND ts <  TIMESTAMP '2024-01-27 21:43:00'
+    GROUP BY 1, 2, 3
+    """)
     return "\nUNION ALL\n".join(parts)
 
 

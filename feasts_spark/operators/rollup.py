@@ -18,6 +18,8 @@ summaries. Design notes for cluster scale:
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import DataFrame, functions as F
 
 TIERS = {"1m": "minute", "1h": "hour", "1d": "day"}
@@ -224,3 +226,147 @@ def rollup_refresh(
     late_tier = rollup_raw(late_raw, tier, key_col, ts_col, value_col)
     refreshed = rollup_merge(touched, late_tier)
     return clean.select(refreshed.columns).unionByName(refreshed)
+
+
+# ----- range serving: calendar-aligned tier stitching -----------------------
+
+_EPOCH = _dt.datetime(1970, 1, 1)
+
+
+def _floor_ts(t: _dt.datetime, sec: int) -> _dt.datetime:
+    es = int((t - _EPOCH).total_seconds() * 1_000_000)
+    return _EPOCH + _dt.timedelta(microseconds=es - es % (sec * 1_000_000))
+
+
+def _ceil_ts(t: _dt.datetime, sec: int) -> _dt.datetime:
+    f = _floor_ts(t, sec)
+    return f if f == t else f + _dt.timedelta(seconds=sec)
+
+
+def cover_range(start: _dt.datetime, end: _dt.datetime,
+                tiers: tuple = ("1d", "1h", "1m")) -> dict:
+    """Greedy calendar-aligned cover of the half-open range [start, end)
+    by tier buckets — the coarsest tier spans the middle, finer tiers fill
+    toward the edges, and any sub-finest remainder lands under the "raw"
+    key. Returned spans are disjoint, bucket-aligned, half-open, and
+    union exactly to [start, end): ``{tier: [(lo, hi), ...], "raw": ...}``
+    with at most 2 spans per finer tier (one per edge).
+
+    Driver-side O(#tiers) datetime arithmetic — no Spark job. Alignment
+    is w.r.t. the Unix epoch, which is what ``date_trunc`` does for
+    minute/hour/day, so a span [lo, hi) at tier T covers exactly the
+    bucket_ts values lo, lo+T, ..., hi-T."""
+    tiers = tuple(sorted(tiers, key=lambda t: -TIER_SECONDS[t]))
+    out: dict = {t: [] for t in tiers}
+
+    def rec(s, e, idx):
+        if s >= e:
+            return
+        if idx == len(tiers):
+            out.setdefault("raw", []).append((s, e))
+            return
+        sec = TIER_SECONDS[tiers[idx]]
+        lo, hi = _ceil_ts(s, sec), _floor_ts(e, sec)
+        if lo >= hi:
+            rec(s, e, idx + 1)
+            return
+        out[tiers[idx]].append((lo, hi))
+        rec(s, lo, idx + 1)
+        rec(hi, e, idx + 1)
+
+    rec(start, end, 0)
+    return out
+
+
+def _span_filter(col, spans):
+    cond = None
+    for lo, hi in spans:
+        c = (col >= F.lit(lo)) & (col < F.lit(hi))
+        cond = c if cond is None else (cond | c)
+    return cond
+
+
+def stitch_range(
+    tier_frames: dict,
+    start: _dt.datetime,
+    end: _dt.datetime,
+    raw: DataFrame | None = None,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Serve an arbitrary-range aggregate from the COARSEST tiers that
+    cover it: one row per series with the full summary (n_points,
+    val_sum/min/max/avg, val_first/val_last + their timestamps) of the
+    raw points in [start, end) — equal to aggregating the raw points
+    directly, computed from tier rows only (the hierarchical
+    continuous-aggregate serving trick: interior whole days read the 1d
+    table, the ragged edges read hour then minute rows).
+
+    `tier_frames` maps tier name -> that tier's EXACT rollup frame (from
+    rollup_raw / a cagg table / read_fresh — same contract they all
+    keep). Bounds not aligned to the finest provided tier need `raw` for
+    the sub-bucket remainder; without it, unaligned bounds raise.
+
+    At 10^12 turns: a 90-day dashboard range reads ~90 day-rows + <=48
+    hour-rows + <=118 minute-rows per series — bucket_ts range predicates
+    push to the scans (footer-pruned on snapshot tables) — then ONE
+    hash aggregate keyed on series; raw points are never touched. The
+    decomposable summary algebra (sums add, min/max nest, first/last
+    resolve by carried timestamps) makes the stitched result exact, not
+    approximate — float re-association on val_sum/val_avg only."""
+    if start >= end:
+        raise ValueError("empty range: start must precede end")
+    unknown = set(tier_frames) - set(TIER_SECONDS)
+    if unknown:
+        raise ValueError(f"unknown tiers: {sorted(unknown)}")
+    if not tier_frames:
+        raise ValueError("tier_frames must provide at least one tier")
+    spans = cover_range(start, end, tiers=tuple(tier_frames))
+    if spans.get("raw") and raw is None:
+        raise ValueError(
+            f"range not aligned to the finest provided tier; pass raw= "
+            f"for the sub-bucket remainder {spans['raw']}")
+
+    parts = []
+    for tier, tier_spans in spans.items():
+        if tier == "raw" or not tier_spans:
+            continue
+        df = tier_frames[tier]
+        parts.append(
+            df.filter(_span_filter(F.col("bucket_ts"), tier_spans))
+            .select("series_key", *_MERGE_COLS)
+        )
+    if spans.get("raw"):
+        ts, v = F.col(ts_col), F.col(value_col)
+        parts.append(
+            raw.filter(_span_filter(ts, spans["raw"]))
+            .groupBy(F.col(key_col).alias("series_key"))
+            .agg(
+                F.count(F.lit(1)).alias("n_points"),
+                F.sum(v).alias("val_sum"),
+                F.min(v).alias("val_min"),
+                F.max(v).alias("val_max"),
+                F.min_by(v, ts).alias("val_first"),
+                F.max_by(v, ts).alias("val_last"),
+                F.min(ts).alias("first_ts"),
+                F.max(ts).alias("last_ts"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("series_key")
+        .agg(
+            F.sum("n_points").alias("n_points"),
+            F.sum("val_sum").alias("val_sum"),
+            F.min("val_min").alias("val_min"),
+            F.max("val_max").alias("val_max"),
+            F.min_by(F.col("val_first"), F.col("first_ts")).alias("val_first"),
+            F.max_by(F.col("val_last"), F.col("last_ts")).alias("val_last"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+        )
+        .withColumn("val_avg", F.col("val_sum") / F.col("n_points"))
+    )
