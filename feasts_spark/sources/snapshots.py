@@ -301,6 +301,77 @@ class SnapshotTable:
             })
         return out
 
+    # ----- named tags: immutable version pins ------------------------------
+    # The Iceberg tag shape, for reproducible corpus builds: "the exact
+    # table state training run X read" is a name, not a copy. A tag is a
+    # tiny sidecar (name -> version) created O_EXCL so two writers racing
+    # the same name get one winner; tagged snapshots are PROTECTED from
+    # expire_snapshots, so the pin stays readable for the tag's lifetime
+    # at the metadata-only cost of retaining its manifest + shared files.
+
+    def _tag_path(self, name: str) -> str:
+        return os.path.join(self.meta_dir, f"tag-{name}.json")
+
+    @staticmethod
+    def _check_tag_name(name: str) -> None:
+        ok = (
+            0 < len(name) <= 64
+            and name[0].isalnum()
+            and all(c.isalnum() or c in "._-" for c in name)
+        )
+        if not ok:
+            raise ValueError(
+                f"invalid tag name {name!r}: alnum start, then "
+                "[A-Za-z0-9._-], max 64 chars")
+
+    def tag(self, name: str, version: int | None = None,
+            replace: bool = False) -> int:
+        """Pin `name` to a snapshot version (head by default). Immutable:
+        re-tagging an existing name raises unless ``replace=True``.
+        Returns the pinned version."""
+        self._check_tag_name(name)
+        v = self.current_version() if version is None else int(version)
+        if v == 0:
+            raise ValueError("table has no snapshots yet")
+        self.manifest(v)  # loud FileNotFoundError for an expired version
+        payload = json.dumps(
+            {"name": name, "version": v, "created_at": time.time()})
+        p = self._tag_path(name)
+        if replace:
+            tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                f.write(payload)
+            os.replace(tmp, p)
+        else:
+            try:
+                fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise FileExistsError(
+                    f"tag {name!r} already exists (version "
+                    f"{self.tags()[name]}); pass replace=True to move it")
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+        return v
+
+    def drop_tag(self, name: str) -> bool:
+        """Remove a tag (the pinned snapshot becomes expirable again).
+        Returns False when the tag didn't exist."""
+        self._check_tag_name(name)
+        try:
+            os.remove(self._tag_path(name))
+            return True
+        except FileNotFoundError:
+            return False
+
+    def tags(self) -> dict[str, int]:
+        """name -> pinned version for every tag on this table."""
+        out = {}
+        for p in glob.glob(os.path.join(self.meta_dir, "tag-*.json")):
+            with open(p) as f:
+                t = json.load(f)
+            out[t["name"]] = int(t["version"])
+        return out
+
     # ----- inspection metadata tables --------------------------------------
     # The Iceberg-style `table.files` / `table.snapshots` surface: table
     # metadata as Spark DataFrames so maintenance questions (file-size
@@ -344,7 +415,11 @@ class SnapshotTable:
         """One row per retained snapshot: `history()` as a DataFrame,
         plus the writer's summary (stringified — writers put micro-batch
         ids, refresh cursors, staged ids there, so exactly-once and WAP
-        audits are queryable)."""
+        audits are queryable). Tags pinned to a version appear in its
+        `tags` array."""
+        by_version: dict[int, list[str]] = {}
+        for name, v in sorted(self.tags().items()):
+            by_version.setdefault(v, []).append(name)
         rows = [
             {
                 **{k: h[k] for k in (
@@ -353,13 +428,15 @@ class SnapshotTable:
                 )},
                 "committed_at": float(h["committed_at"] or 0.0),
                 "summary": {k: str(v) for k, v in h["summary"].items()},
+                "tags": by_version.get(h["version"], []),
             }
             for h in self.history()
         ]
         schema = (
             "version long, parent long, operation string, "
             "committed_at double, n_files long, total_rows long, "
-            "total_bytes long, summary map<string,string>"
+            "total_bytes long, summary map<string,string>, "
+            "tags array<string>"
         )
         return self.spark.createDataFrame(rows, schema)
 
@@ -1022,7 +1099,15 @@ class SnapshotTable:
 
     # ----- read path ------------------------------------------------------
 
-    def _resolve(self, version: int | None, as_of: float | None) -> dict:
+    def _resolve(self, version: int | None, as_of: float | None,
+                 tag: str | None = None) -> dict:
+        if tag is not None:
+            if version is not None or as_of is not None:
+                raise ValueError("pass exactly one of version/as_of/tag")
+            pinned = self.tags().get(tag)
+            if pinned is None:
+                raise ValueError(f"unknown tag {tag!r}")
+            return self.manifest(pinned)
         if version is not None:
             return self.manifest(version)
         if as_of is not None:
@@ -1047,9 +1132,11 @@ class SnapshotTable:
             *[os.path.join(self.table_dir, f["path"]) for f in files]
         )
 
-    def read(self, version: int | None = None, as_of: float | None = None) -> DataFrame:
-        """Read a snapshot: head by default, or pinned version / as-of time."""
-        m = self._resolve(version, as_of)
+    def read(self, version: int | None = None, as_of: float | None = None,
+             tag: str | None = None) -> DataFrame:
+        """Read a snapshot: head by default, or pinned version / as-of
+        time / named tag."""
+        m = self._resolve(version, as_of, tag)
         if m["version"] == 0:
             raise ValueError("table has no snapshots yet")
         return self._read_files(m, m["files"])
@@ -1311,6 +1398,10 @@ class SnapshotTable:
         concurrent writer's staged-but-not-yet-committed files are
         unreferenced by construction, and deleting them would fail its
         commit — the same older-than guard Iceberg's orphan cleanup uses.
+
+        Tagged snapshots are PROTECTED: a version some tag pins keeps its
+        manifest and data files regardless of `keep_last` until the tag
+        is dropped.
         """
         versions = sorted(
             int(os.path.basename(p)[1:-5])
@@ -1319,7 +1410,8 @@ class SnapshotTable:
         if not versions:
             return {"removed_manifests": 0, "removed_files": 0,
                     "removed_staged": 0}
-        cut = versions[max(0, len(versions) - keep_last):]
+        cut = set(versions[max(0, len(versions) - keep_last):])
+        cut |= {v for v in self.tags().values() if v in set(versions)}
         referenced: set[str] = set()
         for v in cut:
             referenced |= {f["path"] for f in self.manifest(v)["files"]}
