@@ -212,6 +212,30 @@ def _split_runs(values: list, gap, max_commits: int) -> list[tuple]:
     return [tuple(r) for r in runs]
 
 
+def append_delta(source: SnapshotTable, cur: int, head: int) -> DataFrame:
+    """Exactly the rows appended to `source` in (cur, head]: per-commit
+    file diff, so files later rewritten by compaction inside the range
+    still contribute their rows ONCE (from their original file, which
+    stays on disk until expiry)."""
+    frames = []
+    prev = {f["path"] for f in source.manifest(cur)["files"]}
+    for v in range(cur + 1, head + 1):
+        m = source.manifest(v)
+        paths = {f["path"] for f in m["files"]}
+        if m["operation"] == "append":
+            added = [f for f in m["files"] if f["path"] not in prev]
+            if added:
+                frames.append(source._read_files(m, added))
+        prev = paths
+    if not frames:
+        m = source.manifest(head)
+        return source._read_files(m, [])
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 _IN_PROGRESS = {"cagg_in_progress": True}
 
 
@@ -245,27 +269,7 @@ class ContinuousAggregate:
                           self.ts_col, self.value_col)
 
     def _append_delta(self, cur: int, head: int) -> DataFrame:
-        """Exactly the rows appended in (cur, head]: per-commit file diff,
-        so files later rewritten by compaction inside the range still
-        contribute their rows ONCE (from their original file, which stays
-        on disk until expiry)."""
-        frames = []
-        prev = {f["path"] for f in self.source.manifest(cur)["files"]}
-        for v in range(cur + 1, head + 1):
-            m = self.source.manifest(v)
-            paths = {f["path"] for f in m["files"]}
-            if m["operation"] == "append":
-                added = [f for f in m["files"] if f["path"] not in prev]
-                if added:
-                    frames.append(self.source._read_files(m, added))
-            prev = paths
-        if not frames:
-            m = self.source.manifest(head)
-            return self.source._read_files(m, [])
-        out = frames[0]
-        for f in frames[1:]:
-            out = out.unionByName(f)
-        return out
+        return append_delta(self.source, cur, head)
 
     def _runs(self, buckets: list, coalesce_gap_buckets: int,
               max_commits: int) -> list[tuple]:
