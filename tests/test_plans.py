@@ -232,3 +232,34 @@ def test_conv_flow_single_scan_no_python(spark, events):
     assert s["n_python"] == 0, s
     plan = formatted_plan(conv_flow(tr))
     assert "Expand" in plan  # grouping sets, not a per-leg re-aggregate
+
+
+def test_stitch_range_serving_plan(spark, events, tmp_path):
+    """Over MATERIALIZED tiers the stitched range read must be: 3
+    column-pruned tier scans with the bucket_ts span filters pushed
+    down, no raw scan, and exactly ONE exchange (the final series agg —
+    partial+final, so tier rows combine map-side)."""
+    import datetime as dt
+
+    from feasts_spark.operators.rollup import (
+        rollup_cascade,
+        rollup_raw,
+        stitch_range,
+    )
+
+    r1m = rollup_raw(events, "1m", "user_id", "ts", "value")
+    tiers = {}
+    for name, df in (("1m", r1m), ("1h", rollup_cascade(r1m, "1h")),
+                     ("1d", rollup_cascade(rollup_cascade(r1m, "1h"),
+                                           "1d"))):
+        df.write.parquet(str(tmp_path / name))
+        tiers[name] = spark.read.parquet(str(tmp_path / name))
+    got = stitch_range(tiers, dt.datetime(2024, 1, 3, 5, 17),
+                       dt.datetime(2024, 1, 27, 21, 43))
+    s = plan_summary(got)
+    assert s["n_scans"] == 3, s      # one per tier, never the raw events
+    assert s["n_exchanges"] == 1, s  # only the final series aggregate
+    assert s["n_python"] == 0, s
+    assert s["pushed_filters"], "bucket_ts span not pushed into tier scans"
+    from feasts_spark.plans import count_nodes
+    assert count_nodes(s["plan"], "HashAggregate") >= 2  # partial + final

@@ -325,6 +325,29 @@ def main() -> None:
                           tie_col="event_id"),
     })
 
+    from feasts_spark.operators.rollup import stitch_range
+
+    import datetime as _dtp
+
+    # serving-shape plan: stitch over MATERIALIZED tier tables (as a cagg
+    # deployment would), so the bucket_ts span filters push into the tier
+    # scans and raw points never appear in the plan
+    stitch_root = tempfile.mkdtemp(prefix="plans_stitch_")
+    _tiers = {}
+    for tname, tdf in (("1m", r1m), ("1h", r1h),
+                       ("1d", rollup_cascade(r1h, "1d"))):
+        tdf.write.mode("overwrite").parquet(f"{stitch_root}/{tname}")
+        _tiers[tname] = spark.read.parquet(f"{stitch_root}/{tname}")
+    plans.update({
+        "stitch_range 24.7d (bucket_ts span filters PUSHED into the 3 "
+        "tier scans; raw points never read; ONE final series agg)":
+            stitch_range(
+                _tiers,
+                _dtp.datetime(2024, 1, 3, 5, 17),
+                _dtp.datetime(2024, 1, 27, 21, 43),
+            ),
+    })
+
     from feasts_spark.operators.rollup import rollup_refresh
 
     _late = ev.filter(F.pmod(F.xxhash64("event_id"), F.lit(10)) == 0)
@@ -410,6 +433,7 @@ def main() -> None:
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(lines))
     shutil.rmtree(snap_root, ignore_errors=True)
+    shutil.rmtree(stitch_root, ignore_errors=True)
     print("wrote PLANS.md")
 
 
