@@ -2792,6 +2792,7 @@ CURATION_FRACTIONS = {"en": 0.5, "zh": 0.8, "es": 0.8, "de": 0.8, "fr": 0.8}
 CURATION_BUDGET = 800  # tokens per source; sf0.01 sources carry ~1.1-1.6k
 CURATION_RESERVOIR_K = 25  # exact-k per-lang reservoir in the pack
 CURATION_SPLITS = {"train": 0.8, "test": 0.1, "val": 0.1}
+CURATION_PACK_BUDGET = 400  # concat-and-cut context-window token budget
 
 
 def q_curation_pack(spark, sf_dir):
@@ -2799,10 +2800,14 @@ def q_curation_pack(spark, sf_dir):
     sampling flags (seeded md5-uniform per lang), per-source token-budget
     capping (highest quality_score first), cross-document duplicated
     4-token-span stats (Lee et al. 2021-style substring dedup summary),
-    and PII detection + scrub digests over deterministically injected
-    synthetic PII. Each component keeps its own plan (sampler and PII are
-    shuffle-free projections; budget is one source-keyed window; spans are
-    a single-lineage gram-window pipeline); the merge joins per-doc
+    PII detection + scrub digests over deterministically injected
+    synthetic PII, and concat-and-cut PACKING offsets (doc_stream_offsets:
+    per-source token-tape position, first/last context-window bin, and
+    whether the doc spans a cut — the training-example assembly step,
+    oracled by the same window arithmetic in DuckDB). Each component
+    keeps its own plan (sampler and PII are shuffle-free projections;
+    budget and packing are one source-keyed window each; spans are a
+    single-lineage gram-window pipeline); the merge joins per-doc
     scalars on doc_id."""
     from feasts_spark.operators.curation import (
         hash_split,
@@ -2811,6 +2816,7 @@ def q_curation_pack(spark, sf_dir):
         token_budget_cap,
     )
     from feasts_spark.operators.dedup import dup_span_stats
+    from feasts_spark.operators.examples import doc_stream_offsets
     from feasts_spark.operators.text import pii_stats
 
     _utc(spark)
@@ -2854,6 +2860,10 @@ def q_curation_pack(spark, sf_dir):
     res = reservoir_per_group(
         d, CURATION_RESERVOIR_K, strata_col="lang"
     ).select("doc_id", "rs_rank")
+    pk = doc_stream_offsets(d, CURATION_PACK_BUDGET).select(
+        "doc_id", "stream_offset", "bin_first",
+        F.col("spans_boundary").cast("int").alias("spans_boundary"),
+    )
     # deterministic train/val/test assignment from the same seeded uniform
     # — hash_split is a pure projection of doc_id, so apply it to the
     # final joined frame instead of paying an extra join
@@ -2862,6 +2872,7 @@ def q_curation_pack(spark, sf_dir):
         .join(spans, "doc_id")
         .join(pii, "doc_id")
         .join(res, "doc_id", "left")
+        .join(pk, "doc_id")
         .withColumn(
             "rs_rank", F.coalesce(F.col("rs_rank"), F.lit(0)).cast("long")
         ),
@@ -2950,6 +2961,14 @@ res AS (
          row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
   FROM base
 ),
+pk AS (
+  SELECT doc_id, n_tokens AS pk_n,
+         coalesce(CAST(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           0) AS stream_offset
+  FROM base
+),
 {pii_cte}
 SELECT b.doc_id, b.lang,
        floor(b.u * 1e4 + 0.500001::DOUBLE) / 1e4 AS sample_u,
@@ -2967,6 +2986,13 @@ SELECT b.doc_id, b.lang,
        pii.n_emails, pii.n_urls, pii.n_ips, pii.n_phones, pii.scrub_md5,
        CAST(CASE WHEN res.rn <= {CURATION_RESERVOIR_K} THEN res.rn
                  ELSE 0 END AS BIGINT) AS rs_rank,
+       pk.stream_offset,
+       CAST(floor(pk.stream_offset / {CURATION_PACK_BUDGET}) AS BIGINT)
+         AS bin_first,
+       CASE WHEN floor((pk.stream_offset + greatest(pk.pk_n - 1, 0))
+                       / {CURATION_PACK_BUDGET})
+                 > floor(pk.stream_offset / {CURATION_PACK_BUDGET})
+            THEN 1 ELSE 0 END AS spans_boundary,
        CASE WHEN b.u < 0.1 THEN 'test' WHEN b.u < 0.9 THEN 'train'
             ELSE 'val' END AS split
 FROM base b
@@ -2975,6 +3001,7 @@ LEFT JOIN tot USING (doc_id)
 LEFT JOIN dup USING (doc_id)
 JOIN pii USING (doc_id)
 JOIN res USING (doc_id)
+JOIN pk USING (doc_id)
 """
 
 
@@ -3256,7 +3283,13 @@ def q_transcript_integrity(spark, sf_dir):
     deterministically from `events` with identical SQL semantics on both
     engines (conv_id from user_id, turn_idx by (ts, event_id) order,
     text from event_type:props), so the md5-chain digests must match
-    bit-for-bit engine-to-engine."""
+    bit-for-bit engine-to-engine. Extended with `ctx_digest_k3`: the
+    md5-chain over every turn's rolling 3-turn SFT context window
+    (operators/examples.py conversation_windows) — one green column
+    certifies the whole training-example context assembly (window
+    membership, role-prefix format, join order) against DuckDB's
+    replay of the identical window arithmetic."""
+    from feasts_spark.operators.examples import conversation_windows
     from feasts_spark.operators.integrity import turn_digest
 
     _utc(spark)
@@ -3265,9 +3298,25 @@ def q_transcript_integrity(spark, sf_dir):
     tr = e.select(
         F.concat(F.lit("conv-"), F.col("user_id")).alias("conv_id"),
         (F.row_number().over(w) - 1).alias("turn_idx"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant")).alias("role"),
         F.concat_ws(":", "event_type", "props").alias("text"),
     )
-    return turn_digest(tr)
+    cw = conversation_windows(tr, k=3)
+    ctx = cw.groupBy("conv_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("turn_idx", "ctx_digest"))
+                    ),
+                    lambda s: s["ctx_digest"],
+                ),
+                "",
+            )
+        ).alias("ctx_digest_k3")
+    )
+    return turn_digest(tr.drop("role")).join(ctx, "conv_id")
 
 
 ORACLE_TRANSCRIPT_INTEGRITY = """
@@ -3275,14 +3324,29 @@ WITH tr AS (
   SELECT 'conv-' || user_id AS conv_id,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
            AS turn_idx,
+         CASE WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
          concat_ws(':', event_type, props) AS text
   FROM events
+),
+cw AS (
+  SELECT conv_id, turn_idx,
+         md5(string_agg(role || ': ' || text, chr(30)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS ctx_digest
+  FROM tr
+),
+ctx AS (
+  SELECT conv_id,
+         md5(string_agg(ctx_digest, '' ORDER BY turn_idx)) AS ctx_digest_k3
+  FROM cw GROUP BY conv_id
 )
-SELECT conv_id, count(*) AS n_turns,
-       (min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1
-        AND count(DISTINCT turn_idx) = count(*)) AS contiguous,
-       md5(string_agg(md5(text), '' ORDER BY turn_idx, md5(text))) AS digest
-FROM tr GROUP BY conv_id
+SELECT t.conv_id, count(*) AS n_turns,
+       (min(t.turn_idx) = 0 AND max(t.turn_idx) = count(*) - 1
+        AND count(DISTINCT t.turn_idx) = count(*)) AS contiguous,
+       md5(string_agg(md5(t.text), ''
+           ORDER BY t.turn_idx, md5(t.text))) AS digest,
+       any_value(ctx.ctx_digest_k3) AS ctx_digest_k3
+FROM tr t JOIN ctx USING (conv_id) GROUP BY t.conv_id
 """
 # digest ORDER BY (turn_idx, md5(text)): the Spark side sorts (i, h)
 # structs, so duplicate turn_idx ties break on the text hash — the

@@ -1,0 +1,128 @@
+"""Training-example assembly operators: packing offsets (concat-and-cut),
+boundary-respecting greedy packing, and per-turn conversation context
+windows — all deterministic under repartitioning (reproducible-training
+invariant)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from feasts_spark.operators.examples import (
+    conversation_windows,
+    doc_stream_offsets,
+    pack_sequences_greedy,
+)
+
+
+def _docs(spark, sizes_by_source):
+    """Docs with exact whitespace-token counts: doc i of source s has
+    sizes[i] tokens 'w'."""
+    rows = []
+    i = 0
+    for src, sizes in sizes_by_source.items():
+        for n in sizes:
+            rows.append(Row(doc_id=i, source=src, text=" ".join(["w"] * n)))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+class TestDocStreamOffsets:
+    def test_exact_offsets_and_bins(self, spark):
+        d = _docs(spark, {"a": [3, 4, 5, 2], "b": [10, 1]})
+        got = {r["doc_id"]: r for r in
+               doc_stream_offsets(d, budget_tokens=6).collect()}
+        # source a: offsets 0,3,7,12 -> bins (0,0) (0,1 spans) (1,1) (2,2)
+        assert [got[i]["stream_offset"] for i in range(4)] == [0, 3, 7, 12]
+        assert [got[i]["bin_first"] for i in range(4)] == [0, 0, 1, 2]
+        assert [got[i]["bin_last"] for i in range(4)] == [0, 1, 1, 2]
+        assert [got[i]["spans_boundary"] for i in range(4)] == [
+            False, True, False, False]
+        # source b independent tape
+        assert got[4]["stream_offset"] == 0 and got[5]["stream_offset"] == 10
+
+    def test_partitioning_invariance(self, spark):
+        d = _docs(spark, {"a": list(range(1, 30)), "b": [7] * 20})
+        a = sorted(map(tuple, doc_stream_offsets(d, 16).collect()))
+        b = sorted(map(tuple,
+                       doc_stream_offsets(d.repartition(13), 16).collect()))
+        assert a == b
+
+    def test_rejects_bad_budget(self, spark):
+        d = _docs(spark, {"a": [1]})
+        with pytest.raises(ValueError, match="positive"):
+            doc_stream_offsets(d, 0)
+
+
+class TestGreedyPacking:
+    def test_no_bin_exceeds_budget(self, spark):
+        d = _docs(spark, {"a": [5, 9, 3, 8, 2, 7, 1, 6, 4] * 7})
+        out = pack_sequences_greedy(d, budget_tokens=12, n_shards=4)
+        over = (
+            out.groupBy("shard", "bin")
+            .agg(F.sum("n_tokens").alias("t"), F.count("*").alias("n"),
+                 F.max(F.col("oversize").cast("int")).alias("o"))
+            .filter((F.col("t") > 12) & ~((F.col("n") == 1) & (F.col("o") == 1)))
+        )
+        assert over.count() == 0
+
+    def test_oversize_doc_gets_own_bin(self, spark):
+        d = _docs(spark, {"a": [3, 50, 4]})
+        out = pack_sequences_greedy(d, budget_tokens=10, n_shards=1)
+        rows = {r["n_tokens"]: r for r in out.collect()}
+        assert rows[50]["oversize"] is True
+        mates = [r for r in out.collect() if r["bin"] == rows[50]["bin"]]
+        assert len(mates) == 1
+
+    def test_bins_contiguous_and_deterministic(self, spark):
+        d = _docs(spark, {"a": [((i * 7) % 11) + 1 for i in range(200)]})
+        out = pack_sequences_greedy(d, budget_tokens=20, n_shards=8)
+        per_shard = (
+            out.groupBy("shard")
+            .agg(F.min("bin").alias("lo"), F.max("bin").alias("hi"),
+                 F.count_distinct("bin").alias("nb"))
+            .collect()
+        )
+        for r in per_shard:
+            assert r["lo"] == 0 and r["nb"] == r["hi"] + 1
+        again = pack_sequences_greedy(d.repartition(17), 20, n_shards=8)
+        assert sorted(map(tuple, out.collect())) == \
+            sorted(map(tuple, again.collect()))
+
+
+class TestConversationWindows:
+    def _tr(self, spark):
+        rows = [
+            Row(conv_id="c1", turn_idx=i, role=("user" if i % 2 == 0
+                                                else "assistant"),
+                text=f"t{i}")
+            for i in range(5)
+        ] + [Row(conv_id="c2", turn_idx=0, role="user", text="solo")]
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string")
+
+    def test_exact_windows_k2(self, spark):
+        got = {(r["conv_id"], r["turn_idx"]): r
+               for r in conversation_windows(self._tr(spark), k=2).collect()}
+        assert got[("c1", 0)]["ctx"] == "user: t0"
+        assert got[("c1", 1)]["ctx"] == "user: t0\x1eassistant: t1"
+        assert got[("c1", 3)]["ctx"] == "user: t2\x1eassistant: t3"
+        assert got[("c2", 0)]["ctx"] == "user: solo"
+        assert got[("c1", 0)]["n_ctx"] == 1 and got[("c1", 4)]["n_ctx"] == 2
+        exp = "user: t2\x1eassistant: t3"
+        assert got[("c1", 3)]["ctx_digest"] == \
+            hashlib.md5(exp.encode()).hexdigest()
+        assert got[("c1", 3)]["ctx_chars"] == len(exp)
+
+    def test_full_history_when_k_large(self, spark):
+        got = {r["turn_idx"]: r for r in conversation_windows(
+            self._tr(spark).filter(F.col("conv_id") == "c1"), k=99).collect()}
+        assert got[4]["n_ctx"] == 5
+        assert got[4]["ctx"].startswith("user: t0\x1e")
+
+    def test_partitioning_invariance(self, spark):
+        tr = self._tr(spark)
+        a = sorted(map(tuple, conversation_windows(tr, 3).collect()))
+        b = sorted(map(tuple,
+                       conversation_windows(tr.repartition(7), 3).collect()))
+        assert a == b

@@ -325,6 +325,28 @@ def main() -> None:
                           tie_col="event_id"),
     })
 
+    from feasts_spark.operators.examples import (
+        conversation_windows,
+        doc_stream_offsets,
+        pack_sequences_greedy,
+    )
+
+    _ex_tr = ev.select(
+        F.concat(F.lit("conv-"), F.col("user_id")).alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant")).alias("role"),
+        F.col("props").alias("text"),
+    )
+    plans.update({
+        "doc_stream_offsets (concat-and-cut packing: ONE source-keyed window, no python)":
+            doc_stream_offsets(docs, 400),
+        "pack_sequences_greedy (hash-sharded first-fit: one shuffle on shard, sequential span bounded per shard)":
+            pack_sequences_greedy(docs, 400, n_shards=32),
+        "conversation_windows (rolling k-turn SFT context: one conv-keyed window, all JVM)":
+            conversation_windows(_ex_tr, k=3),
+    })
+
     from feasts_spark.operators.rollup import stitch_range
 
     import datetime as _dtp
