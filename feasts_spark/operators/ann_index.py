@@ -58,6 +58,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from feasts_spark.operators.continuous import (
     _cagg_state,
+    _check_cursor_source,
     _cursor_manifest_ok,
     _ops_since,
     _write_cursor_sidecar,
@@ -158,6 +159,7 @@ class AnnIndexView:
         """Fold every source change since the last refresh into the
         index. Returns {mode, source_from, source_to, rows_assigned,
         retrained}."""
+        _check_cursor_source(self.source, self.target, self.name)
         head = self.source.current_version()
         cur, _ = _cagg_state(self.target, self.name)
         stats = {"mode": "noop", "source_from": cur, "source_to": head,
@@ -173,7 +175,8 @@ class AnnIndexView:
             return stats
 
         cursor_summary = {"cagg_name": self.name,
-                          "cagg_source_version": head}
+                          "cagg_source_version": head,
+                          "cagg_source_table": self.source.name}
         st = self._train_state()
         trained = st[0] if st else None
         full = (

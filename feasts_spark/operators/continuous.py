@@ -168,6 +168,35 @@ def last_refreshed_source_version(target: SnapshotTable, name: str) -> int:
     return _cagg_state(target, name)[0]
 
 
+def _check_cursor_source(source: SnapshotTable, target: SnapshotTable,
+                         name: str) -> None:
+    """Loud failure when this consumer's cursor was written against a
+    DIFFERENT source table: cursor versions are only meaningful relative
+    to the table that produced them, so interpreting tier_1m versions
+    against raw (a mis-wired ContinuousAggregate) would classify changes
+    nonsensically and silently serve wrong data. Older cursors that
+    never recorded a source table pass (best-effort check)."""
+    versions = sorted(
+        (
+            int(os.path.basename(q)[1:-5])
+            for q in _glob.glob(os.path.join(target.meta_dir, "v*.json"))
+        ),
+        reverse=True,
+    )
+    for v in versions:
+        s = target.manifest(v).get("summary", {})
+        if s.get("cagg_name") != name:
+            continue
+        if "cagg_source_version" in s:
+            rec = s.get("cagg_source_table")
+            if rec is not None and rec != source.name:
+                raise ValueError(
+                    f"cagg {name}: refresh cursor was written against "
+                    f"source table {rec!r}, not {source.name!r} — "
+                    "consumer wiring mismatch")
+            return
+
+
 def _cursor_manifest_ok(source: SnapshotTable, cur: int) -> bool:
     try:
         source.manifest(cur)
@@ -286,6 +315,7 @@ class ContinuousAggregate:
         cursor only advances on the final commit; a crashed merge refresh
         resumes as recompute).
         """
+        _check_cursor_source(self.source, self.target, self.name)
         head = self.source.current_version()
         cur, partial = _cagg_state(self.target, self.name)
         stats = {"mode": "noop", "source_from": cur, "source_to": head,
@@ -301,7 +331,8 @@ class ContinuousAggregate:
             return stats
 
         cursor_summary = {"cagg_name": self.name,
-                          "cagg_source_version": head}
+                          "cagg_source_version": head,
+                          "cagg_source_table": self.source.name}
 
         if cur == 0 or not _cursor_manifest_ok(self.source, cur) \
                 or (ops is not None and "overwrite" in ops):
@@ -426,6 +457,7 @@ class ContinuousAggregate:
         aggregate is fresh w.r.t. its own source TABLE (the lower
         tier) — refresh lower tiers first for end-to-end freshness.
         """
+        _check_cursor_source(self.source, self.target, self.name)
         head = self.source.current_version()
         cur, partial = _cagg_state(self.target, self.name)
         if head <= cur:
@@ -577,6 +609,7 @@ class FeatureView:
                 max_commits: int = 8) -> dict:
         """Fold every source change since the last refresh into the
         feature table. Same contract as ContinuousAggregate.refresh."""
+        _check_cursor_source(self.source, self.target, self.name)
         head = self.source.current_version()
         cur, _ = _cagg_state(self.target, self.name)
         stats = {"mode": "noop", "source_from": cur, "source_to": head,
@@ -591,7 +624,8 @@ class FeatureView:
             return stats
 
         cursor_summary = {"cagg_name": self.name,
-                          "cagg_source_version": head}
+                          "cagg_source_version": head,
+                          "cagg_source_table": self.source.name}
 
         if cur == 0 or not _cursor_manifest_ok(self.source, cur) \
                 or (ops is not None and "overwrite" in ops):
@@ -669,6 +703,7 @@ class FeatureView:
         from the pinned source head (bloom-pruned when the source
         carries key blooms). Mode lands in ``self.last_view_mode``:
         noop / full / incremental."""
+        _check_cursor_source(self.source, self.target, self.name)
         head = self.source.current_version()
         cur, _ = _cagg_state(self.target, self.name)
         if head <= cur:

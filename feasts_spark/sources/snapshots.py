@@ -262,6 +262,13 @@ class SnapshotTable:
 
     # ----- metadata primitives -------------------------------------------
 
+    @property
+    def name(self) -> str:
+        """The table's directory name under the warehouse root — the
+        identity consumers record in cross-table lineage (e.g. a cagg
+        cursor notes which source table it was written against)."""
+        return os.path.basename(self.table_dir)
+
     def current_version(self) -> int:
         """Highest committed version (0 = empty table, no snapshots)."""
         versions = [

@@ -199,6 +199,29 @@ class TestCaggReadFresh:
         assert view.count() > h1.read().count()
 
 
+class TestCursorSourceIdentity:
+    def test_miswired_consumer_raises(self, spark, tmp_path):
+        """A cursor is only meaningful against the table that wrote it:
+        pointing the same-named consumer at a DIFFERENT source must fail
+        loudly in both refresh and read_fresh, not reinterpret foreign
+        version numbers."""
+        src = SnapshotTable(spark, str(tmp_path), "raw", stats_cols=("ts",))
+        other = SnapshotTable(spark, str(tmp_path), "other_raw",
+                              stats_cols=("ts",))
+        tgt = SnapshotTable(spark, str(tmp_path), "tier_1h",
+                            stats_cols=("bucket_ts",))
+        src.append(_turns(spark, 120))
+        other.append(_turns(spark, 30))
+        ContinuousAggregate(src, tgt, "1h").refresh()
+        bad = ContinuousAggregate(other, tgt, "1h")
+        with pytest.raises(ValueError, match="wiring mismatch"):
+            bad.refresh()
+        with pytest.raises(ValueError, match="wiring mismatch"):
+            bad.read_fresh()
+        # the correctly-wired consumer still works
+        assert ContinuousAggregate(src, tgt, "1h").refresh()["mode"] == "noop"
+
+
 SELECT = ("n_crossing_points", "longest_flat_spot", "feat_acf")
 
 _FSCHEMA = T.StructType([
