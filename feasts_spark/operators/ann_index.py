@@ -189,19 +189,22 @@ class AnnIndexView:
 
         if not full and ops is not None \
                 and all(o in ("append", "compact") for o in ops):
-            delta = append_delta(self.source, cur, head) \
-                .localCheckpoint(eager=True)
-            n_delta = delta.count()
             # growth since the quantizer was trained — retrain past the
-            # budget instead of silently degrading recall
+            # budget instead of silently degrading recall. Manifest-only
+            # arithmetic, checked BEFORE any delta job runs: a retrain
+            # rescans everything anyway, so materializing the delta
+            # first would be a thrown-away Spark job.
             grown = sum(f["rows"] for f in self.source.manifest(head)["files"])
             if trained and (grown - trained) / trained > self.retrain_growth:
                 full = True
-            elif n_delta == 0:
-                _write_cursor_sidecar(self.target, self.name, head)
-                stats["mode"] = "cursor_only"
-                return stats
             else:
+                delta = append_delta(self.source, cur, head) \
+                    .localCheckpoint(eager=True)
+                n_delta = delta.count()
+                if n_delta == 0:
+                    _write_cursor_sidecar(self.target, self.name, head)
+                    stats["mode"] = "cursor_only"
+                    return stats
                 assigned = self._assign(delta, self._cent_np())
                 self.target.retrying(self.target.append, assigned,
                                      extra_summary=cursor_summary)
@@ -227,14 +230,22 @@ class AnnIndexView:
                 "cell int, centroid array<double>",
             )
             cv = self.centroids.retrying(self.centroids.overwrite, cent_df)
-            # expire-protected pin: the serving path reads THIS version
-            # for as long as the assignments lineage points at it
-            self.centroids.tag(f"ann-{self.name}", version=cv, replace=True)
+            # expire-protected pin with NO unprotected crash window: the
+            # new version is pinned under a transient name before the
+            # assignments commit, and the main pin only moves off the
+            # old version AFTER the assignments lineage points at the
+            # new one — whichever version _train_state() resolves at any
+            # crash point, a tag protects it. The stale -next tag (crash
+            # after the main move) is harmless: replaced next retrain.
+            self.centroids.tag(f"ann-{self.name}-next", version=cv,
+                               replace=True)
             self.target.retrying(
                 self.target.overwrite, self._assign(src, cent),
                 extra_summary={**cursor_summary,
                                "ann_trained_rows": n_rows,
                                "ann_centroids_version": cv})
+            self.centroids.tag(f"ann-{self.name}", version=cv, replace=True)
+            self.centroids.drop_tag(f"ann-{self.name}-next")
             self._write_trained(n_rows, cv)
             _write_cursor_sidecar(self.target, self.name, head)
             stats.update(mode="full", rows_assigned=n_rows, retrained=True)
@@ -263,8 +274,19 @@ class AnnIndexView:
         # 1) clear the dirty keys (bloom-pruned rewrite; None = provable
         #    no-op, e.g. first time these ids appear)
         self.target.retrying(self.target.delete_keyed, "id", dirty_ids)
-        # 2) re-assign the dirty ids still present at the pinned head
-        still = self.source.read(version=head).join(
+        # 2) re-assign the dirty ids still present at the pinned head —
+        #    bloom-pruned file read when the source indexes the id column
+        #    (same recipe as FeatureView's dirty-history scan), with the
+        #    broadcast semi join as the exact predicate either way
+        src_head = None
+        if self.id_col in getattr(self.source, "bloom_cols", ()):
+            probe = self.source._collect_probe_keys(dirty, self.id_col)
+            if probe is not None:
+                src_head = self.source.read_containing(
+                    self.id_col, probe, version=head)
+        if src_head is None:
+            src_head = self.source.read(version=head)
+        still = src_head.join(
             F.broadcast(dirty.select(self.id_col)), self.id_col, "left_semi")
         assigned = self._assign(still, self._cent_np())
         n = assigned.count()
@@ -285,6 +307,14 @@ class AnnIndexView:
         trained = st[0] if st else 0
         m = self.source.manifest()
         rows_now = sum(f["rows"] for f in m["files"])
+        if st is None or self.target.current_version() == 0:
+            # observability must not crash on an untrained index — that
+            # IS the state it exists to report
+            return {
+                "trained_rows": 0, "rows_now": rows_now,
+                "growth_since_retrain": float("inf"),
+                "cell_imbalance": 0.0, "needs_retrain": True,
+            }
         occ = (
             self.target.read().groupBy("cell").count()
             .agg(F.max("count").alias("mx"), F.avg("count").alias("mean"))

@@ -52,7 +52,11 @@ def doc_stream_offsets(
     spans_boundary): `stream_offset` is the tape position where the doc
     starts (sum of all earlier docs' whitespace-token counts),
     `bin_first`/`bin_last` the cut windows its first/last token land in.
-    Empty docs occupy no tape and report bin_last = bin_first.
+    Token-count convention: an empty/whitespace-only doc counts ONE
+    (empty) token — `split(trim(''))` yields [''] — matching
+    token_stats / token_budget_cap and the DuckDB oracle's
+    regexp_split_to_array, so the whole engine agrees on one tape
+    arithmetic; filter empty docs upstream if they should occupy none.
 
     Plan: one window exchange partitioned by stream — no joins, no
     Python. Deterministic by construction (the order column is data, not

@@ -344,20 +344,25 @@ class SnapshotTable:
         payload = json.dumps(
             {"name": name, "version": v, "created_at": time.time()})
         p = self._tag_path(name)
+        # ALWAYS write the payload to a tmp first, then publish with an
+        # atomic rename (replace) or an atomic exclusive link (create):
+        # a reader — tags() runs inside read(tag=) and expire_snapshots —
+        # must never observe a created-but-unwritten tag file, and a
+        # crash mid-write must not leave a poisoned empty tag behind.
+        tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(payload)
         if replace:
-            tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
-            with open(tmp, "w") as f:
-                f.write(payload)
             os.replace(tmp, p)
         else:
             try:
-                fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.link(tmp, p)  # exclusive: fails if the tag exists
             except FileExistsError:
                 raise FileExistsError(
                     f"tag {name!r} already exists (version "
                     f"{self.tags()[name]}); pass replace=True to move it")
-            with os.fdopen(fd, "w") as f:
-                f.write(payload)
+            finally:
+                os.unlink(tmp)
         return v
 
     def drop_tag(self, name: str) -> bool:

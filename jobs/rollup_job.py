@@ -350,29 +350,28 @@ def main() -> None:
         }
         metrics["retention_removed"] = removed
 
-    if is_snapshot and args.compact_small_mb > 0:
-        names = [
+    def _snapshot_table_names() -> list[str]:
+        # discover on disk (a --resume pass may have touched none of the
+        # tables this invocation) — shared by every maintenance block so
+        # compaction and expiry can never cover different table sets
+        return [
             d for d in sorted(os.listdir(args.output))
             if os.path.isdir(os.path.join(args.output, d, "metadata"))
         ]
+
+    if is_snapshot and args.compact_small_mb > 0:
         metrics["compacted"] = {
             name: io.table(name).compact(
                 small_bytes=args.compact_small_mb << 20,
                 recluster=args.compact_recluster,
             )
-            for name in names
+            for name in _snapshot_table_names()
         }
 
     if is_snapshot and args.expire_keep > 0:
-        # discover snapshot tables on disk (a --resume pass may have
-        # touched none of them this invocation)
-        names = [
-            d for d in sorted(os.listdir(args.output))
-            if os.path.isdir(os.path.join(args.output, d, "metadata"))
-        ]
         metrics["expired"] = {
             name: io.table(name).expire_snapshots(keep_last=args.expire_keep)
-            for name in names
+            for name in _snapshot_table_names()
         }
 
     print(json.dumps(metrics))

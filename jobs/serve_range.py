@@ -68,8 +68,15 @@ def main() -> None:
     args = ap.parse_args()
     start, end = _parse_ts(args.start), _parse_ts(args.end)
 
-    from feasts_spark.operators.continuous import ContinuousAggregate
-    from feasts_spark.operators.rollup import rollup_cascade, stitch_range
+    from feasts_spark.operators.continuous import (
+        ContinuousAggregate,
+        last_refreshed_source_version,
+    )
+    from feasts_spark.operators.rollup import (
+        TIER_SECONDS,
+        rollup_cascade,
+        stitch_range,
+    )
     from feasts_spark.session import get_spark
     from feasts_spark.sources.snapshots import SnapshotTable
 
@@ -78,6 +85,14 @@ def main() -> None:
                         stats_cols=("ts",))
 
     tiers = args.tiers.split(",")
+    bad = set(tiers) - set(TIER_SECONDS)
+    if bad:
+        raise SystemExit(f"unknown tiers {sorted(bad)}; "
+                         f"choose from {sorted(TIER_SECONDS)}")
+    # finest-first regardless of how --tiers was typed: the fresh chain
+    # derives coarser tiers from finer ones, and cascading the WRONG way
+    # (day rows re-bucketed by hour) would silently drop edge spans
+    tiers = sorted(tiers, key=lambda t: TIER_SECONDS[t])
     frames: dict = {}
     modes: dict = {}
     prev_tier = None
@@ -101,10 +116,26 @@ def main() -> None:
         prev_tier = tier
 
     # sub-minute edges (if any) come straight from the raw table, with
-    # ts-range manifest pruning
+    # ts-range manifest pruning. Freshness must be CONSISTENT across the
+    # answer: --fresh reads the raw head (matching the views), committed
+    # mode pins raw to the version the finest tier's cursor already
+    # folded (standard raw-chained wiring) — otherwise a sub-minute edge
+    # would include un-refreshed rows the tier spans exclude, an answer
+    # equal to neither contract.
+    if args.fresh:
+        raw_frame = raw.read()
+    else:
+        finest_tgt = SnapshotTable(spark, args.table_root,
+                                   f"tier_{tiers[0]}",
+                                   stats_cols=("bucket_ts",))
+        cur = last_refreshed_source_version(finest_tgt, f"cagg_{tiers[0]}")
+        try:
+            raw_frame = raw.read(version=cur) if cur else raw.read()
+        except FileNotFoundError:  # cursor snapshot expired
+            raw_frame = raw.read()
     res = stitch_range(
         frames, start, end,
-        raw=raw.read(), key_col="conv_id", ts_col="ts", value_col="value",
+        raw=raw_frame, key_col="conv_id", ts_col="ts", value_col="value",
     )
     res.write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()

@@ -142,6 +142,13 @@ class TestAnnIndexView:
         assert sorted((r["cand_id"], r["rank"]) for r in res) == \
             sorted((r["cand_id"], r["rank"]) for r in direct)
 
+    def test_status_before_first_refresh(self, spark, view):
+        src, v = view
+        src.append(_vecs(spark, range(10)))
+        s = v.status()
+        assert s["needs_retrain"] is True and s["trained_rows"] == 0
+        assert s["rows_now"] == 10
+
     def test_centroid_pin_survives_expiry(self, spark, view):
         src, v = view
         src.append(_vecs(spark, range(20)))

@@ -73,6 +73,19 @@ class TestTagBasics:
         with pytest.raises(ValueError, match="exactly one"):
             table.read(version=1, tag="t")
 
+    def test_failed_duplicate_leaves_no_residue(self, spark, table):
+        """A losing exclusive tag() must leave tags() fully readable and
+        no tmp files behind (the atomicity contract expire/read rely on)."""
+        import glob
+        import os
+
+        table.append(_batch(spark, 3))
+        table.tag("pin")
+        with pytest.raises(FileExistsError):
+            table.tag("pin")
+        assert table.tags() == {"pin": 1}
+        assert glob.glob(os.path.join(table.meta_dir, "tag-*.tmp-*")) == []
+
     def test_tag_explicit_older_version(self, spark, table):
         table.append(_batch(spark, 10))
         table.append(_batch(spark, 5, start=10))
