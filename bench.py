@@ -279,6 +279,25 @@ def run_bench(cores: str, sf_dir: str) -> dict:
     materialize(conv_flow(transcripts))
     micro["conv_flow_turns_per_sec"] = round(n_turns / (time.time() - t0))
 
+    # training-example assembly: per-turn rolling k=3 contexts over the
+    # full transcript corpus (one conv-keyed window, all JVM) and
+    # concat-and-cut packing offsets over the documents corpus
+    from feasts_spark.operators.examples import (
+        conversation_windows,
+        doc_stream_offsets,
+    )
+
+    tr_roles = transcripts.select(
+        "conv_id", "turn_idx", "role", F.col("text"))
+    t0 = time.time()
+    materialize(conversation_windows(tr_roles, k=3).drop("ctx"))
+    micro["conversation_windows_turns_per_sec"] = round(
+        n_turns / (time.time() - t0))
+    t0 = time.time()
+    materialize(doc_stream_offsets(docs, 400))
+    micro["doc_pack_offsets_docs_per_sec"] = round(
+        n_docs / (time.time() - t0))
+
     spark.stop()
     return {
         "metric": "headline_queries_total",
