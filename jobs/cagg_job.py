@@ -90,6 +90,11 @@ def main() -> None:
                          "pass — a failing batch never becomes visible; "
                          "its staged id is reported for inspection and "
                          "the tick exits 2")
+    ap.add_argument("--tag", default=None,
+                    help="after a fully successful tick, pin every "
+                         "table's head version under this name (expire-"
+                         "protected reproducible-corpus pin; a re-run "
+                         "moves the same tag)")
     ap.add_argument("--no-key-blooms", action="store_true",
                     help="skip per-file conv_id blooms on the raw table "
                          "(they cost one column read per staged file at "
@@ -178,6 +183,17 @@ def main() -> None:
                            n_buckets=args.feature_buckets)
         out["steps"]["features"] = view.refresh(
             max_commits=args.max_commits)
+
+    if args.tag:
+        names = sorted(
+            d for d in os.listdir(args.table_root)
+            if os.path.isdir(os.path.join(args.table_root, d, "metadata"))
+        )
+        tables = [SnapshotTable(spark, args.table_root, n) for n in names]
+        out["steps"]["tagged"] = {
+            t.name: t.tag(args.tag, replace=True)
+            for t in tables if t.current_version() > 0
+        }
 
     print(json.dumps(out))
 

@@ -67,6 +67,11 @@ def main() -> None:
                     help="re-sort compacted rows through each table's "
                          "clustering so maintenance RESTORES footer-stats "
                          "pruning instead of widening the merged windows")
+    ap.add_argument("--tag", default=None,
+                    help="snapshot format only: after the run, pin every "
+                         "table's head version under this name (an "
+                         "expire-protected, reproducible-corpus pin; "
+                         "re-running a tick moves the same tag)")
     ap.add_argument("--expire-keep", type=int, default=0,
                     help="snapshot format only: after the run, keep the "
                          "newest N snapshots per table and delete "
@@ -366,6 +371,14 @@ def main() -> None:
                 recluster=args.compact_recluster,
             )
             for name in _snapshot_table_names()
+        }
+
+    if is_snapshot and args.tag:
+        # pin BEFORE expiry so the pinned versions are protected from it
+        metrics["tagged"] = {
+            name: io.table(name).tag(args.tag, replace=True)
+            for name in _snapshot_table_names()
+            if io.table(name).current_version() > 0
         }
 
     if is_snapshot and args.expire_keep > 0:

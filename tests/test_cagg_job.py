@@ -210,3 +210,30 @@ class TestAuditTurns:
         df = spark.createDataFrame(
             [], "conv_id string, turn_idx int, ts timestamp")
         assert audit_turns(df)["rows"] == 0
+
+
+class TestTickTagging:
+    def test_tag_pins_tick_state_across_later_ticks(self, spark, tmp_path,
+                                                    monkeypatch, capsys):
+        """--tag after a tick pins every table's head; a later tick with
+        the same tag MOVES it, and reading the old pin still returns the
+        first tick's state (needs tagging an explicit version)."""
+        batches = _corpus(spark, tmp_path)
+        root = str(tmp_path / "wh")
+        d1, p1 = batches[0]
+        out1 = _job(monkeypatch, capsys, "--table-root", root,
+                    "--ingest", p1, "--ingest-id", d1,
+                    "--tiers", "1m,1h", "--tag", "tick")
+        assert set(out1["steps"]["tagged"]) >= {"raw_turns", "tier_1m",
+                                                "tier_1h"}
+        raw = SnapshotTable(spark, root, "raw_turns", stats_cols=("ts",))
+        n1 = raw.read(tag="tick").count()
+        # pin tick-1 permanently before the tag moves
+        v1 = raw.tags()["tick"]
+        raw.tag("run-1", version=v1)
+        d2, p2 = batches[1]
+        _job(monkeypatch, capsys, "--table-root", root,
+             "--ingest", p2, "--ingest-id", d2,
+             "--tiers", "1m,1h", "--tag", "tick")
+        assert raw.read(tag="tick").count() > n1
+        assert raw.read(tag="run-1").count() == n1

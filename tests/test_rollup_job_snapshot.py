@@ -241,3 +241,26 @@ class TestMaintenanceCompaction:
             F.sum("val_sum").alias("s"), F.count("*").alias("n")).first()
         assert after["n"] == before["n"]
         assert abs(after["s"] - before["s"]) < 1e-6
+
+
+class TestJobTagging:
+    def test_tag_then_expire_protects_pin(self, spark, tmp_path,
+                                          monkeypatch, capsys):
+        """--tag pins every table's head and --expire-keep in the SAME
+        invocation cannot reclaim the pinned versions (tagging runs
+        before expiry)."""
+        _, src = _src(spark, tmp_path)
+        out = str(tmp_path / "wh")
+        _job(monkeypatch, "--input", src, "--output", out,
+             "--tiers", "1m", "--table-format", "snapshot")
+        capsys.readouterr()
+        _job(monkeypatch, "--input", src, "--output", out,
+             "--tiers", "1m", "--table-format", "snapshot", "--resume",
+             "--compact-small-mb", "1024", "--tag", "corpus-v1",
+             "--expire-keep", "1")
+        metrics = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])
+        assert metrics["tagged"]["rollup_1m"] > 0
+        io = SnapshotIO(spark, out)
+        t = io.table("rollup_1m")
+        assert t.read(tag="corpus-v1").count() == t.read().count() > 0
