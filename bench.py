@@ -485,6 +485,22 @@ def run_curation_scale() -> dict:
             "best_s": round(min(runs), 2),
             "all_runs_s": [round(r, 2) for r in runs],
         }
+        # training-example packing at the same corpus sizes: the
+        # concat-and-cut window (one exchange) and the hash-sharded
+        # boundary-respecting greedy pack (one shuffle + per-shard scan)
+        from feasts_spark.operators.examples import (
+            doc_stream_offsets,
+            pack_sequences_greedy,
+        )
+
+        t0 = time.time()
+        materialize(doc_stream_offsets(docs, 2048))
+        out["sizes"][str(n)]["pack_offsets_docs_per_sec"] = round(
+            n / (time.time() - t0))
+        t0 = time.time()
+        materialize(pack_sequences_greedy(docs, 2048, n_shards=256))
+        out["sizes"][str(n)]["greedy_pack_docs_per_sec"] = round(
+            n / (time.time() - t0))
     lo, hi = str(CURATION_SIZES[0]), str(CURATION_SIZES[-1])
     out["value"] = out["sizes"][hi]["docs_per_sec"]
     out["throughput_ratio_large_vs_small"] = round(

@@ -1443,6 +1443,12 @@ class SnapshotTable:
             if now - os.path.getmtime(p) >= orphan_grace_s:
                 os.remove(p)
                 removed_staged += 1
+        # tag tmp files leak only if tag() crashed mid-publish; sweep
+        # them with the same grace window (an in-flight tag() holds its
+        # tmp for microseconds)
+        for p in glob.glob(os.path.join(self.meta_dir, "tag-*.tmp-*")):
+            if now - os.path.getmtime(p) >= orphan_grace_s:
+                os.remove(p)
         removed_files = 0
         for path in glob.glob(os.path.join(self.data_dir, "commit-*", "*.parquet")):
             if os.path.relpath(path, self.table_dir) in referenced:

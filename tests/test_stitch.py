@@ -107,6 +107,49 @@ class TestCoverRange:
         assert spans["1d"] == [(T0, T0 + dt.timedelta(days=3))]
         assert spans["1h"] == [] and spans["1m"] == []
 
+    def test_cover_partition_property(self):
+        """For EVERY second-granular range: spans are bucket-aligned,
+        disjoint, ordered, and union exactly to [start, end); no finer
+        span could be absorbed by a coarser bucket."""
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            s=st.integers(min_value=0, max_value=40 * 86400),
+            w=st.integers(min_value=1, max_value=20 * 86400),
+        )
+        def check(s, w):
+            start = T0 + dt.timedelta(seconds=s)
+            end = start + dt.timedelta(seconds=w)
+            spans = cover_range(start, end)
+            flat = sorted(
+                (lo, hi, t)
+                for t in ("1d", "1h", "1m", "raw")
+                for lo, hi in spans.get(t, [])
+            )
+            assert flat[0][0] == start and flat[-1][1] == end
+            for (_, a_hi, _), (b_lo, _, _) in zip(flat, flat[1:]):
+                assert a_hi == b_lo  # disjoint AND gap-free
+            for lo, hi, t in flat:
+                if t == "raw":
+                    continue
+                sec = {"1d": 86400, "1h": 3600, "1m": 60}[t]
+                es = int((lo - dt.datetime(1970, 1, 1)).total_seconds())
+                ee = int((hi - dt.datetime(1970, 1, 1)).total_seconds())
+                assert es % sec == 0 and ee % sec == 0 and ee > es
+            # maximality: a full coarser bucket inside a finer span would
+            # mean the greedy cover failed
+            for lo, hi, t in flat:
+                coarser = {"1m": 3600, "1h": 86400}.get(t)
+                if coarser is None:
+                    continue
+                es = int((lo - dt.datetime(1970, 1, 1)).total_seconds())
+                ee = int((hi - dt.datetime(1970, 1, 1)).total_seconds())
+                first = ((es + coarser - 1) // coarser) * coarser
+                assert first + coarser > ee, (t, lo, hi)
+
+        check()
+
 
 RANGES = [
     # (start offset, end offset) — every alignment shape
