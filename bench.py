@@ -298,6 +298,17 @@ def run_bench(cores: str, sf_dir: str) -> dict:
     micro["doc_pack_offsets_docs_per_sec"] = round(
         n_docs / (time.time() - t0))
 
+    # learned tokenizer: train on the corpus' word dict (one shuffle +
+    # driver merge loop), then the map-only cached encode pass
+    from feasts_spark.operators.bpe import bpe_encode, bpe_train
+
+    t0 = time.time()
+    merges = bpe_train(docs, n_merges=256)
+    micro["bpe_train_s"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    materialize(bpe_encode(docs, merges))
+    micro["bpe_encode_docs_per_sec"] = round(n_docs / (time.time() - t0))
+
     spark.stop()
     return {
         "metric": "headline_queries_total",

@@ -1,0 +1,197 @@
+"""Byte-pair-encoding tokenizer — learned subword units, Spark-scaled.
+
+The text suite counts tokens with whitespace splits and a BPE-ish regex
+(operators/text.py); a real training-data pipeline eventually needs the
+learned thing itself: merges trained on ITS corpus, applied consistently
+at encode time (token budgets, packing offsets and context windows all
+shift when the tokenizer does).
+
+Scale shape — the part worth getting right on Spark:
+
+- TRAINING never iterates over the corpus. BPE's statistics live
+  entirely in the word-frequency dictionary (Sennrich et al. 2016 train
+  on word counts, not running text), so the corpus collapses through ONE
+  shuffle into (word, count) rows, the dictionary is capped to the
+  top-`vocab_cap` words by mass (Zipf: a 1M-word cap covers essentially
+  all token mass of any natural corpus), and the merge loop runs
+  driver-side over that bounded dict — the same bounded-sample-to-driver
+  pattern as the IVF quantizer's Lloyd step. 100 TB of text and 100 GB
+  of text train through the identical plan; only the one aggregation
+  scales.
+- ENCODING is map-only: merge ranks broadcast in the UDF closure, one
+  mapInPandas pass, and a per-batch word cache (Zipf again: most words
+  repeat) so the greedy merge loop runs once per DISTINCT word per
+  batch, not once per occurrence.
+
+Determinism: merge selection breaks frequency ties on the
+lexicographically smallest pair, and the dictionary cap breaks count
+ties on the word — training is a pure function of the corpus' word
+multiset, invariant to partitioning (tested). Whitespace pre-splitting
+matches the rest of the engine (`_tokens`); merges never cross word
+boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from feasts_spark.operators.text import _tokens
+
+
+def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, count) over the whitespace-token multiset — one shuffle,
+    vocabulary-bounded output."""
+    return (
+        df.select(F.explode(_tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .count()
+    )
+
+
+def _train_on_dict(freqs: list[tuple[str, int]], n_merges: int,
+                   min_freq: int) -> list[tuple[str, str]]:
+    """Classic BPE merge loop over a word-frequency dict. Pure python on
+    a bounded input; pair stats update incrementally per merge (only
+    words containing the merged pair are touched)."""
+    words = {w: (list(w), c) for w, c in freqs}
+    # pair -> total freq, and pair -> set of words containing it
+    pair_freq: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[str]] = {}
+
+    def _index(w, syms, c, sign):
+        for a, b in zip(syms, syms[1:]):
+            p = (a, b)
+            pair_freq[p] = pair_freq.get(p, 0) + sign * c
+            if sign > 0:
+                pair_words.setdefault(p, set()).add(w)
+
+    for w, (syms, c) in words.items():
+        _index(w, syms, c, +1)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = None
+        for p, f in pair_freq.items():
+            if f < min_freq:
+                continue
+            if best is None or f > best[1] or (f == best[1] and p < best[0]):
+                best = (p, f)
+        if best is None:
+            break
+        (a, b), _f = best
+        merges.append((a, b))
+        merged = a + b
+        for w in list(pair_words.get((a, b), ())):
+            syms, c = words[w]
+            _index(w, syms, c, -1)
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = (out, c)
+            _index(w, out, c, +1)
+        # drop exhausted pairs so the argmax scan stays tight
+        pair_freq = {p: f for p, f in pair_freq.items() if f > 0}
+        pair_words = {p: s for p, s in pair_words.items() if p in pair_freq}
+    return merges
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 200,
+    text_col: str = "text",
+    vocab_cap: int = 1_000_000,
+    min_freq: int = 2,
+) -> DataFrame:
+    """Train BPE merges on the corpus' word-frequency dictionary (module
+    docstring). Returns a small (rank, left, right) DataFrame — persist
+    it next to the corpus (it IS the tokenizer); feed it to
+    `bpe_encode`. Stops early when no pair reaches `min_freq`."""
+    if n_merges <= 0:
+        raise ValueError("n_merges must be positive")
+    top = (
+        word_freqs(df, text_col)
+        .orderBy(F.desc("count"), F.asc("word"))
+        .limit(vocab_cap)
+        .collect()
+    )
+    merges = _train_on_dict([(r["word"], r["count"]) for r in top],
+                            n_merges, min_freq)
+    return df.sparkSession.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+
+
+def _encode_word(word: str, ranks: dict) -> list[str]:
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best_i = None, None
+        for i, p in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        syms[best_i: best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    return_tokens: bool = False,
+) -> DataFrame:
+    """Apply trained merges: (id, n_ws_tokens, n_bpe_tokens [, tokens]).
+    Map-only mapInPandas; ranks broadcast in the closure (a tokenizer is
+    tiny); per-batch distinct-word cache. Unknown characters fall out as
+    single-character tokens — BPE degrades, never fails."""
+    ranks = {
+        (r["left"], r["right"]): int(r["rank"])
+        for r in merges.collect()
+    }
+
+    import pandas as pd
+
+    def fn(batches):
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n_ws, n_bpe, toks = [], [], []
+            for text in pdf[text_col]:
+                ws = [w for w in (text or "").lower().strip().split()
+                      if w != ""]
+                out: list[str] = []
+                for w in ws:
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = _encode_word(w, ranks)
+                        cache[w] = enc
+                    out.extend(enc)
+                n_ws.append(len(ws))
+                n_bpe.append(len(out))
+                toks.append(out)
+            res = {
+                "id": pdf[id_col],
+                "n_ws_tokens": pd.Series(n_ws, dtype="int64"),
+                "n_bpe_tokens": pd.Series(n_bpe, dtype="int64"),
+            }
+            if return_tokens:
+                res["tokens"] = toks
+            yield pd.DataFrame(res)
+
+    schema = "id long, n_ws_tokens long, n_bpe_tokens long"
+    if return_tokens:
+        schema += ", tokens array<string>"
+    return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
+        fn, schema=schema
+    )

@@ -338,7 +338,14 @@ def main() -> None:
         .otherwise(F.lit("assistant")).alias("role"),
         F.col("props").alias("text"),
     )
+    from feasts_spark.operators.bpe import bpe_encode, bpe_train, word_freqs
+
+    _merges = bpe_train(docs, n_merges=16)
     plans.update({
+        "bpe word_freqs (training input: ONE shuffle to the vocab-bounded dict)":
+            word_freqs(docs),
+        "bpe_encode (map-only: broadcast ranks, per-batch word cache, no shuffle)":
+            bpe_encode(docs, _merges),
         "doc_stream_offsets (concat-and-cut packing: ONE source-keyed window, no python)":
             doc_stream_offsets(docs, 400),
         "pack_sequences_greedy (hash-sharded first-fit: one shuffle on shard, sequential span bounded per shard)":
