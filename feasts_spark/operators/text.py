@@ -303,3 +303,41 @@ def fingerprints(
         F.size(F.array_distinct(grams)).alias("n_shingles"),
         F.length(t).alias("n_chars_norm"),
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """One-row corpus datasheet — the summary a dataset card leads with:
+    doc/source/language counts, whitespace-token totals and p50/p95
+    per-doc counts, character total, empty-doc fraction, and the exact
+    duplicate-text fraction (1 − distinct md5(text)/n).
+
+    One pass of decomposable aggregates plus Spark's exact percentile
+    and two distinct-count aggregates — Catalyst plans the distincts via
+    expand, still a single scan. At 100 TB this is the cheap query you
+    run BEFORE committing to a curation pass, not after."""
+    n_tok = F.size(_tokens(text_col)).cast("long")
+    empty = (F.length(F.trim(F.col(text_col))) == 0).cast("int")
+    return df.select(
+        F.col(text_col),
+        F.col(lang_col),
+        F.col(source_col),
+        n_tok.alias("_nt"),
+        empty.alias("_empty"),
+        F.md5(F.col(text_col)).alias("_h"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col(source_col)).alias("n_sources"),
+        F.count_distinct(F.col(lang_col)).alias("n_langs"),
+        F.sum("_nt").alias("total_ws_tokens"),
+        F.expr("percentile(_nt, 0.5)").alias("p50_tokens"),
+        F.expr("percentile(_nt, 0.95)").alias("p95_tokens"),
+        F.sum(F.length(text_col)).alias("total_chars"),
+        (F.sum("_empty") / F.count(F.lit(1))).alias("empty_frac"),
+        (F.lit(1.0) - F.count_distinct(F.col("_h")) / F.count(F.lit(1)))
+        .alias("exact_dup_frac"),
+    )

@@ -74,6 +74,32 @@ class TestGreedyPacking:
         mates = [r for r in out.collect() if r["bin"] == rows[50]["bin"]]
         assert len(mates) == 1
 
+    def test_budget_property_random_sizes(self, spark):
+        """Randomized size mixes: every bin respects the budget unless a
+        single oversize doc owns it; every doc is assigned exactly once."""
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=12, deadline=None)
+        @given(
+            sizes=st.lists(st.integers(min_value=0, max_value=40),
+                           min_size=1, max_size=120),
+            budget=st.integers(min_value=5, max_value=60),
+        )
+        def check(sizes, budget):
+            d = _docs(spark, {"a": sizes})
+            out = pack_sequences_greedy(d, budget, n_shards=4).collect()
+            assert len(out) == len(sizes)
+            bins: dict = {}
+            for r in out:
+                bins.setdefault((r["shard"], r["bin"]), []).append(r)
+            for rows in bins.values():
+                tot = sum(r["n_tokens"] for r in rows)
+                if tot > budget:
+                    assert len(rows) == 1 and rows[0]["oversize"]
+                assert all(r["bin_tokens"] == tot for r in rows)
+
+        check()
+
     def test_bins_contiguous_and_deterministic(self, spark):
         d = _docs(spark, {"a": [((i * 7) % 11) + 1 for i in range(200)]})
         out = pack_sequences_greedy(d, budget_tokens=20, n_shards=8)
@@ -126,3 +152,38 @@ class TestConversationWindows:
         b = sorted(map(tuple,
                        conversation_windows(tr.repartition(7), 3).collect()))
         assert a == b
+
+
+class TestCorpusReport:
+    def test_matches_duckdb_on_real_corpus(self, spark):
+        """Oracle-grade check without a registry slot: the one-row corpus
+        datasheet must value-match DuckDB's independent SQL over the
+        same parquet (exact percentile semantics included)."""
+        import duckdb
+
+        from feasts_spark.operators.text import corpus_report
+
+        path = "/root/testdata/sf0.01/documents.parquet"
+        got = corpus_report(spark.read.parquet(path)).first().asDict()
+        exp = duckdb.sql(f"""
+            SELECT count(*) AS n_docs,
+                   count(DISTINCT source) AS n_sources,
+                   count(DISTINCT lang) AS n_langs,
+                   sum(len(regexp_split_to_array(trim(lower(text)),
+                       '\\s+'))) AS total_ws_tokens,
+                   quantile_cont(len(regexp_split_to_array(trim(lower(text)),
+                       '\\s+')), 0.5) AS p50_tokens,
+                   quantile_cont(len(regexp_split_to_array(trim(lower(text)),
+                       '\\s+')), 0.95) AS p95_tokens,
+                   sum(length(text)) AS total_chars,
+                   sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END)
+                     / count(*)::DOUBLE AS empty_frac,
+                   1.0 - count(DISTINCT md5(text)) / count(*)::DOUBLE
+                     AS exact_dup_frac
+            FROM read_parquet('{path}')
+        """).fetchone()
+        keys = ["n_docs", "n_sources", "n_langs", "total_ws_tokens",
+                "p50_tokens", "p95_tokens", "total_chars", "empty_frac",
+                "exact_dup_frac"]
+        for k, e in zip(keys, exp):
+            assert abs(float(got[k]) - float(e)) < 1e-9, (k, got[k], e)
