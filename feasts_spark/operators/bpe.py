@@ -52,22 +52,25 @@ def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
 def _train_on_dict(freqs: list[tuple[str, int]], n_merges: int,
                    min_freq: int) -> list[tuple[str, str]]:
     """Classic BPE merge loop over a word-frequency dict. Pure python on
-    a bounded input; pair stats update incrementally per merge (only
-    words containing the merged pair are touched)."""
+    a bounded input; pair stats update incrementally per merge — only
+    pairs touched by the merged words are re-examined, and exhausted
+    entries are deleted in place (no full-dict rebuild per merge)."""
     words = {w: (list(w), c) for w, c in freqs}
     # pair -> total freq, and pair -> set of words containing it
     pair_freq: dict[tuple[str, str], int] = {}
     pair_words: dict[tuple[str, str], set[str]] = {}
 
-    def _index(w, syms, c, sign):
+    def _index(w, syms, c, sign, touched):
         for a, b in zip(syms, syms[1:]):
             p = (a, b)
             pair_freq[p] = pair_freq.get(p, 0) + sign * c
+            touched.add(p)
             if sign > 0:
                 pair_words.setdefault(p, set()).add(w)
 
+    init_touch: set = set()
     for w, (syms, c) in words.items():
-        _index(w, syms, c, +1)
+        _index(w, syms, c, +1, init_touch)
 
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -82,9 +85,10 @@ def _train_on_dict(freqs: list[tuple[str, int]], n_merges: int,
         (a, b), _f = best
         merges.append((a, b))
         merged = a + b
+        touched: set = set()
         for w in list(pair_words.get((a, b), ())):
             syms, c = words[w]
-            _index(w, syms, c, -1)
+            _index(w, syms, c, -1, touched)
             out = []
             i = 0
             while i < len(syms):
@@ -95,10 +99,12 @@ def _train_on_dict(freqs: list[tuple[str, int]], n_merges: int,
                     out.append(syms[i])
                     i += 1
             words[w] = (out, c)
-            _index(w, out, c, +1)
-        # drop exhausted pairs so the argmax scan stays tight
-        pair_freq = {p: f for p, f in pair_freq.items() if f > 0}
-        pair_words = {p: s for p, s in pair_words.items() if p in pair_freq}
+            _index(w, out, c, +1, touched)
+        touched.add((a, b))
+        for p in touched:  # in-place cleanup of exhausted pairs only
+            if pair_freq.get(p, 0) <= 0:
+                pair_freq.pop(p, None)
+                pair_words.pop(p, None)
     return merges
 
 
@@ -149,11 +155,20 @@ def bpe_encode(
     id_col: str = "doc_id",
     text_col: str = "text",
     return_tokens: bool = False,
+    word_cache_cap: int = 262_144,
 ) -> DataFrame:
     """Apply trained merges: (id, n_ws_tokens, n_bpe_tokens [, tokens]).
+
     Map-only mapInPandas; ranks broadcast in the closure (a tokenizer is
-    tiny); per-batch distinct-word cache. Unknown characters fall out as
-    single-character tokens — BPE degrades, never fails."""
+    tiny); distinct-word encode cache bounded at `word_cache_cap`
+    entries per task (cleared on overflow — Zipf keeps the hit rate high
+    either way, and a long-lived task can't grow the worker unboundedly).
+    Words are pre-split JVM-SIDE with the engine's `_tokens` expression,
+    so train and encode tokenize IDENTICALLY (Java `\\s`, not Python's
+    unicode-aware str.split) and `n_ws_tokens` matches token_stats'
+    convention (an empty doc counts one empty token; it encodes to zero
+    BPE tokens). Unknown characters fall out as single-character
+    tokens — BPE degrades, never fails."""
     ranks = {
         (r["left"], r["right"]): int(r["rank"])
         for r in merges.collect()
@@ -167,13 +182,15 @@ def bpe_encode(
             if len(pdf) == 0:
                 continue
             n_ws, n_bpe, toks = [], [], []
-            for text in pdf[text_col]:
-                ws = [w for w in (text or "").lower().strip().split()
-                      if w != ""]
+            for ws in pdf["_ws"]:
                 out: list[str] = []
                 for w in ws:
+                    if w == "":
+                        continue
                     enc = cache.get(w)
                     if enc is None:
+                        if len(cache) >= word_cache_cap:
+                            cache.clear()
                         enc = _encode_word(w, ranks)
                         cache[w] = enc
                     out.extend(enc)
@@ -181,7 +198,7 @@ def bpe_encode(
                 n_bpe.append(len(out))
                 toks.append(out)
             res = {
-                "id": pdf[id_col],
+                "id": pdf["id"],
                 "n_ws_tokens": pd.Series(n_ws, dtype="int64"),
                 "n_bpe_tokens": pd.Series(n_bpe, dtype="int64"),
             }
@@ -189,9 +206,10 @@ def bpe_encode(
                 res["tokens"] = toks
             yield pd.DataFrame(res)
 
-    schema = "id long, n_ws_tokens long, n_bpe_tokens long"
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"id {id_type}, n_ws_tokens long, n_bpe_tokens long"
     if return_tokens:
         schema += ", tokens array<string>"
-    return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
-        fn, schema=schema
-    )
+    return df.select(
+        F.col(id_col).alias("id"), _tokens(text_col).alias("_ws")
+    ).mapInPandas(fn, schema=schema)

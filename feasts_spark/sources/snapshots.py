@@ -1445,8 +1445,12 @@ class SnapshotTable:
                 removed_staged += 1
         # tag tmp files leak only if tag() crashed mid-publish; sweep
         # them with the same grace window (an in-flight tag() holds its
-        # tmp for microseconds)
-        for p in glob.glob(os.path.join(self.meta_dir, "tag-*.tmp-*")):
+        # tmp for microseconds). Real tags end in ".json"; tmps carry a
+        # hex suffix AFTER it — the endswith guard keeps a tag whose
+        # NAME legally contains ".json.tmp-" out of the sweep.
+        for p in glob.glob(os.path.join(self.meta_dir, "tag-*.json.tmp-*")):
+            if p.endswith(".json"):
+                continue
             if now - os.path.getmtime(p) >= orphan_grace_s:
                 os.remove(p)
         removed_files = 0

@@ -28,6 +28,20 @@ Exactness contract, stated honestly:
   newest buffered turn computes its context from what remains buffered
   (possibly fewer than k predecessors) — bounded state is the price of
   10^9 live conversations; size buffer_turns >= the reorder horizon.
+- The exactly-once re-delivery guarantee holds WITHIN the buffer
+  horizon: a (conv, turn_idx) replayed after its buffer entry was
+  evicted is indistinguishable from a genuinely new late turn without
+  unbounded emitted-id state, so it re-emits (with the degraded context
+  above). Suppressing it would silently drop real late data — the
+  wrong trade; dedup the (conv, turn_idx) key downstream if the source
+  can replay beyond the buffer horizon.
+- With a watermark in effect (always, and doubly so under
+  idle_ttl_seconds' event-time timeout) the ENGINE drops input rows
+  older than the watermark before this operator sees them — the
+  standard streaming lateness contract everywhere in this repo. The
+  emit-before-evict rule below concerns BUFFER eviction, not watermark
+  lateness; the batch operator is the backfill path for
+  beyond-watermark turns.
 
 An event-time `idle_ttl_seconds` (watermark-driven) drops buffers of
 conversations silent that long. The only shuffle keys on conv_id — the
@@ -145,7 +159,12 @@ def stream_conversation_windows(
             [buf[i][2] for i in order],
         ))
         if idle_ttl_seconds is not None and order:
-            to_ms = buf[order[-1]][2] // 1000 + idle_ttl_seconds * 1000
+            # idle = no EVENT activity: base the timeout on the newest
+            # event time anywhere in the buffer, not the highest-idx
+            # turn's — a conversation receiving only late (lower-idx)
+            # turns is still active
+            newest_us = max(v[2] for v in buf.values())
+            to_ms = newest_us // 1000 + idle_ttl_seconds * 1000
             state.setTimeoutTimestamp(
                 max(int(to_ms), state.getCurrentWatermarkMs() + 1)
             )

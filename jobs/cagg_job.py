@@ -160,10 +160,12 @@ def main() -> None:
     # scan), else falls back to raw
     from feasts_spark.operators.rollup import TIER_PARENT
 
+    tick_tables: dict = {}
     prev_tier, prev_table = None, None
     for tier in args.tiers.split(","):
         tgt = SnapshotTable(spark, args.table_root, f"tier_{tier}",
                             stats_cols=("bucket_ts",))
+        tick_tables[tgt.name] = tgt
         if prev_tier is not None and TIER_PARENT.get(tier) == prev_tier:
             cagg = CascadeAggregate(prev_table, tgt, tier)
             src_label = f"tier_{prev_tier}"
@@ -178,6 +180,7 @@ def main() -> None:
     if args.features:
         ftg = SnapshotTable(spark, args.table_root, "features",
                             stats_cols=("_kb",))
+        tick_tables[ftg.name] = ftg
         view = FeatureView(raw, ftg, period=args.feature_period,
                            min_points=args.min_series_len,
                            n_buckets=args.feature_buckets)
@@ -185,14 +188,18 @@ def main() -> None:
             max_commits=args.max_commits)
 
     if args.tag:
-        names = sorted(
-            d for d in os.listdir(args.table_root)
-            if os.path.isdir(os.path.join(args.table_root, d, "metadata"))
-        )
-        tables = [SnapshotTable(spark, args.table_root, n) for n in names]
+        # tag the handles THIS tick built (raw + tiers + features), with
+        # their real stats/bloom configs — plus any other snapshot table
+        # on disk a previous tick shape left behind
+        tables = {raw.name: raw, **tick_tables}
+        for n in sorted(os.listdir(args.table_root)):
+            if n not in tables and os.path.isdir(
+                    os.path.join(args.table_root, n, "metadata")):
+                tables[n] = SnapshotTable(spark, args.table_root, n)
         out["steps"]["tagged"] = {
-            t.name: t.tag(args.tag, replace=True)
-            for t in tables if t.current_version() > 0
+            n: t.tag(args.tag, replace=True)
+            for n, t in sorted(tables.items())
+            if t.current_version() > 0
         }
 
     print(json.dumps(out))

@@ -340,7 +340,14 @@ def main() -> None:
     )
     from feasts_spark.operators.bpe import bpe_encode, bpe_train, word_freqs
 
-    _merges = bpe_train(docs, n_merges=16)
+    # train on a 1-row inline frame: the bpe_encode PLAN is identical for
+    # any merges input, and a plan-audit tool should not execute a full
+    # corpus aggregation for plan text
+    _merges = bpe_train(
+        spark.createDataFrame([(0, "hug hug pug pun")],
+                              "doc_id long, text string"),
+        n_merges=4, min_freq=1,
+    )
     plans.update({
         "bpe word_freqs (training input: ONE shuffle to the vocab-bounded dict)":
             word_freqs(docs),
