@@ -848,6 +848,76 @@ def run_incremental() -> dict:
     return out
 
 
+def run_flow_sketch() -> dict:
+    """The conv_flow percentile-state hazard, measured: a single-edge
+    corpus (alternating user/assistant, near-unique gaps) concentrates
+    every latency into TWO (role_from, role_to) groups, so the exact
+    `percentile` UDAF's value->count map state equals ~n/2 entries in
+    ONE final-aggregate task per edge — the shape that OOMs at 10^12
+    turns. The sketch path's state is O(edges * n_bins) regardless of n.
+    Reported per n: wall seconds + turns/s for both paths (min-of-2).
+    The corpus is synthesized all-JVM (no driver data)."""
+    from pyspark.sql import functions as F
+
+    from feasts_spark.operators.flow import conv_flow, conv_flow_sketch
+    from feasts_spark.session import get_spark
+
+    spark = get_spark(8, app_name="bench-flow-sketch")
+    sizes = [int(s) for s in os.environ.get(
+        "BENCH_FLOW_SIZES", "1000000,10000000").split(",")]
+    legs = []
+    for n in sizes:
+        turns = 1000
+        convs = max(1, n // turns)
+        # ts = turn_idx hours + a near-unique sub-hour jitter -> deltas
+        # are ~n/2 distinct doubles per edge (the worst case for the
+        # exact UDAF's map state)
+        corpus = (
+            spark.range(convs)
+            .select(
+                F.concat(F.lit("c"), F.col("id")).alias("conv_id"),
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(turns - 1))
+                ).alias("turn_idx"),
+            )
+            .select(
+                "conv_id", "turn_idx",
+                F.when(F.col("turn_idx") % 2 == 0, F.lit("user"))
+                .otherwise(F.lit("assistant")).alias("role"),
+                F.lit(None).cast("string").alias("tool"),
+                F.timestamp_micros(
+                    F.col("turn_idx") * F.lit(3_600_000_000)
+                    + F.pmod(
+                        F.xxhash64("conv_id", "turn_idx"),
+                        F.lit(1_800_000_000),
+                    )
+                ).alias("ts"),
+            )
+        )
+        path = f"/tmp/feasts_bench_flow_{n}"
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            corpus.write.mode("overwrite").parquet(path)
+        df = spark.read.parquet(path)
+        leg: dict = {"rows": n}
+        for name, fn in (("exact", conv_flow), ("sketch", conv_flow_sketch)):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                materialize(fn(df))
+                best = min(best, time.time() - t0)
+            leg[f"{name}_s"] = round(best, 2)
+            leg[f"{name}_turns_per_sec"] = round(n / best)
+        leg["sketch_over_exact"] = round(leg["exact_s"] / leg["sketch_s"], 2)
+        legs.append(leg)
+    return {
+        "metric": "conv_flow_sketch_vs_exact_single_edge",
+        "unit": "sec",
+        "cores": 8,
+        "n_bins": 256,
+        "sizes": legs,
+    }
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(run_scaling()))
@@ -859,6 +929,8 @@ if __name__ == "__main__":
         print(json.dumps(run_curation_scale()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--incremental":
         print(json.dumps(run_incremental()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--flow-sketch":
+        print(json.dumps(run_flow_sketch()))
     elif len(sys.argv) > 2 and sys.argv[1] == "--single":
         print(json.dumps(run_bench(sys.argv[2], SF_DIR)))
     else:

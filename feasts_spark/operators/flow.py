@@ -191,3 +191,132 @@ def conv_flow(
         F.when(F.col("tag") == "pair", F.col("k1")).otherwise(F.lit("")),
     )
     return kept.withColumn("share", F.col("n") / F.sum("n").over(share_w))
+
+
+def conv_flow_sketch(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    tool_col: str = "tool",
+    lat_lo: float = 0.0,
+    lat_hi: float = 3600.0,
+    n_bins: int = 256,
+) -> DataFrame:
+    """`conv_flow` with BOUNDED aggregation state — the 10^12-turn path.
+
+    The exact pack's `percentile(delta_s, ...)` UDAF keeps a value->count
+    map per group, and `delta_s` is a near-unique double: the final
+    aggregate for each (role_from, role_to) edge lands in ONE task, so at
+    10^12 turns over ~14 edges the state is ~10^11 map entries in a
+    single JVM — an executor OOM. This variant replaces the percentile
+    UDAF with the engine's mergeable fixed-grid latency histogram
+    (operators.sketch binning — the SAME grid format the streaming twin
+    in streaming/flow_stream.py emits), so every aggregation operator in
+    the plan carries O(|edges| * n_bins) state regardless of corpus size.
+
+    n / n_convs / share / mean_s are EXACT and equal the exact pack
+    bit-for-bit (sums and a two-phase distinct count); p50/p90/p99 are
+    order-statistic estimates accurate to one bin width of the
+    [lat_lo, lat_hi) grid — gaps beyond lat_hi clamp into the last bin.
+    Same output schema as `conv_flow`; keep the exact pack for oracles
+    and small corpora, use this for the full-corpus scan.
+
+    Plan shape (one scan, one conv_id window shuffle, like the exact
+    pack): the bin index is a pure projection, then ONE grouping-sets
+    aggregate over four sets — (role_from, role_to) / (tool) for the
+    exact scalars, (role_from, role_to, bin) / (tool, bin) for the
+    histogram counts — so the raw rows are read once; the per-bin counts
+    scatter+merge into arrays over |edges| * n_bins tiny rows, and the
+    quantile extraction is pure array SQL (operators.sketch.hist_quantile).
+    """
+    from feasts_spark.operators.sketch import (
+        _bin_expr,
+        _merge_arrays,
+        hist_quantile,
+    )
+
+    lag = _lagged(df, conv_col, order_col, role_col, ts_col, tool_col)
+    binned = lag.withColumn(
+        "bin",
+        F.when(
+            F.col("delta_s").isNotNull(),
+            _bin_expr("delta_s", lat_lo, lat_hi, n_bins).cast("long"),
+        ),
+    )
+    # grouping_id bits follow (role_from, role_to, tool, bin), MSB first:
+    #   [rf, rt]       -> 0b0011 = 3   (edge scalars, pair)
+    #   [tool]         -> 0b1101 = 13  (edge scalars, tool)
+    #   [rf, rt, bin]  -> 0b0010 = 2   (histogram counts, pair)
+    #   [tool, bin]    -> 0b1100 = 12  (histogram counts, tool)
+    agg = binned.groupingSets(
+        [
+            ["role_from", "role_to"],
+            ["tool"],
+            ["role_from", "role_to", "bin"],
+            ["tool", "bin"],
+        ],
+        "role_from", "role_to", "tool", "bin",
+    ).agg(
+        F.grouping_id().alias("_gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.count("delta_s").alias("n_lat"),
+        F.sum("delta_s").alias("sum_s"),
+        F.countDistinct(F.col("conv_id")).alias("n_convs"),
+    )
+    is_pair = F.col("_gid").bitwiseAND(F.lit(8)) == 0
+    has_bin = F.col("_gid").bitwiseAND(F.lit(1)) == 0
+    keyed = agg.filter(
+        (is_pair & F.col("role_from").isNotNull())
+        | (~is_pair & F.col("tool").isNotNull())
+    ).select(
+        F.when(is_pair, F.lit("pair")).otherwise(F.lit("tool")).alias("tag"),
+        F.when(is_pair, F.col("role_from")).otherwise(F.col("tool")).alias("k1"),
+        F.when(is_pair, F.col("role_to")).alias("k2"),
+        has_bin.alias("_hb"),
+        "bin", "n", "n_lat", "sum_s", "n_convs",
+    )
+    edges = keyed.filter(~F.col("_hb")).select(
+        "tag", "k1", "k2", "n", "n_convs",
+        F.when(F.col("n_lat") > 0, F.col("sum_s") / F.col("n_lat"))
+        .alias("mean_s"),
+    )
+    scatter = F.expr(
+        f"transform(sequence(0, {n_bins - 1}), "
+        "i -> CASE WHEN i = bin THEN n ELSE CAST(0 AS BIGINT) END)"
+    )
+    hists = (
+        keyed.filter(F.col("_hb") & F.col("bin").isNotNull())
+        .withColumn("_v", scatter)
+        .groupBy("tag", "k1", "k2")
+        .agg(
+            F.sum("n").alias("n_points"),
+            _merge_arrays(n_bins).alias("hist"),
+        )
+    )
+    joined = edges.join(
+        F.broadcast(hists),
+        [
+            edges["tag"] == hists["tag"],
+            edges["k1"] == hists["k1"],
+            edges["k2"].eqNullSafe(hists["k2"]),
+        ],
+        "left",
+    ).select(edges["tag"], edges["k1"], edges["k2"],
+             "n", "n_convs", "mean_s", "n_points", "hist")
+    for p, name in ((0.5, "p50_s"), (0.9, "p90_s"), (0.99, "p99_s")):
+        joined = hist_quantile(joined, p, lat_lo, lat_hi, out_col=name)
+    no_lat = F.col("n_points").isNull() | (F.col("n_points") == 0)
+    share_w = W.partitionBy(
+        "tag",
+        F.when(F.col("tag") == "pair", F.col("k1")).otherwise(F.lit("")),
+    )
+    return joined.select(
+        "tag", "k1", "k2", "n", "n_convs", "mean_s",
+        *[
+            F.when(no_lat, F.lit(None).cast("double"))
+            .otherwise(F.col(c)).alias(c)
+            for c in ("p50_s", "p90_s", "p99_s")
+        ],
+    ).withColumn("share", F.col("n") / F.sum("n").over(share_w))
