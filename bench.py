@@ -451,6 +451,8 @@ def run_curation_scale() -> dict:
     all-codegen synthesizer (sources/documents.py), cached to parquet so
     timing measures the suite, not generation. Min-of-N per size
     (contended host; same estimator as the headline bench)."""
+    from pyspark.sql import functions as F
+
     from feasts_spark.operators.curation import token_budget_cap
     from feasts_spark.operators.dedup import dup_span_stats
     from feasts_spark.operators.text import repetition_scores
@@ -507,6 +509,13 @@ def run_curation_scale() -> dict:
         t0 = time.time()
         materialize(doc_stream_offsets(docs, 2048))
         out["sizes"][str(n)]["pack_offsets_docs_per_sec"] = round(
+            n / (time.time() - t0))
+        # ONE stream = the worst case the two-phase prefix sum exists
+        # for (a single-window tape would run this in one task)
+        t0 = time.time()
+        materialize(doc_stream_offsets(
+            docs.withColumn("source", F.lit("all")), 2048))
+        out["sizes"][str(n)]["pack_offsets_1stream_docs_per_sec"] = round(
             n / (time.time() - t0))
         t0 = time.time()
         materialize(pack_sequences_greedy(docs, 2048, n_shards=256))

@@ -44,6 +44,7 @@ def doc_stream_offsets(
     stream_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_chunks: int = 256,
 ) -> DataFrame:
     """Concat-and-cut packing offsets: per stream, documents in `id_col`
     order form one token tape cut every `budget_tokens`.
@@ -58,24 +59,85 @@ def doc_stream_offsets(
     regexp_split_to_array, so the whole engine agrees on one tape
     arithmetic; filter empty docs upstream if they should occupy none.
 
-    Plan: one window exchange partitioned by stream — no joins, no
-    Python. Deterministic by construction (the order column is data, not
-    partition order), so re-running on a repartitioned corpus packs
-    identically — the property that makes a training run reproducible."""
+    Plan — a distributed two-phase prefix sum. A single
+    `partitionBy(stream)` running-sum window executes each stream in ONE
+    task, so a training mix with a handful of sources serializes a
+    10^9-doc source into one sort+scan. Instead:
+
+      1. range-chunk the corpus on (stream, id) — `n_chunks` contiguous
+         id ranges (repartitionByRange; its sampling pass is one extra
+         cheap projection scan);
+      2. per-(stream, chunk) token totals — a TINY aggregate
+         (#streams * n_chunks rows);
+      3. cumulative chunk offsets via a window over those tiny rows
+         (the only serial scan left is #chunks-long);
+      4. broadcast-join the chunk offsets back and run the running-sum
+         window WITHIN each (stream, chunk) — parallelism is n_chunks
+         per stream instead of 1.
+
+    `n_chunks=1` keeps the legacy single-window plan. The OUTPUT is a
+    pure function of the data either way (offset = sum of earlier docs'
+    tokens in id order), so chunk boundaries — even resampled ones —
+    never change a single offset: re-running on a repartitioned corpus
+    packs identically, the property that makes a training run
+    reproducible. Raise n_chunks with the corpus (10^9 docs / 4096
+    chunks ≈ 250k-row sorted windows)."""
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
-    w = (
-        W.partitionBy(stream_col)
-        .orderBy(id_col)
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
     n_tok = F.size(_tokens(text_col)).cast("long")
-    out = df.select(
+    base = df.select(
         F.col(id_col),
         F.col(stream_col),
         n_tok.alias("n_tokens"),
-        F.coalesce(F.sum(n_tok).over(w), F.lit(0)).alias("stream_offset"),
     )
+    if n_chunks > 1:
+        chunked = base.repartitionByRange(
+            int(n_chunks), F.col(stream_col), F.col(id_col)
+        ).withColumn("_chunk", F.spark_partition_id())
+        sums = chunked.groupBy(stream_col, "_chunk").agg(
+            F.sum("n_tokens").alias("_chunk_sum")
+        )
+        cw = (
+            W.partitionBy(stream_col)
+            .orderBy("_chunk")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        offs = sums.select(
+            stream_col,
+            "_chunk",
+            F.coalesce(F.sum("_chunk_sum").over(cw), F.lit(0))
+            .alias("_chunk_off"),
+        )
+        inw = (
+            W.partitionBy(stream_col, "_chunk")
+            .orderBy(id_col)
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        out = (
+            chunked.join(F.broadcast(offs), [stream_col, "_chunk"])
+            .select(
+                F.col(id_col),
+                F.col(stream_col),
+                "n_tokens",
+                (
+                    F.col("_chunk_off")
+                    + F.coalesce(F.sum("n_tokens").over(inw), F.lit(0))
+                ).alias("stream_offset"),
+            )
+        )
+    else:
+        w = (
+            W.partitionBy(stream_col)
+            .orderBy(id_col)
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        out = base.select(
+            F.col(id_col),
+            F.col(stream_col),
+            "n_tokens",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            .alias("stream_offset"),
+        )
     b = F.lit(int(budget_tokens))
     return out.select(
         id_col,

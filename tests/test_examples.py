@@ -53,6 +53,56 @@ class TestDocStreamOffsets:
         with pytest.raises(ValueError, match="positive"):
             doc_stream_offsets(d, 0)
 
+    def test_two_phase_equals_single_window_real_corpus(self, spark):
+        """The distributed prefix sum (range chunks + cumulative chunk
+        offsets + in-chunk windows) must reproduce the legacy
+        single-window tape EXACTLY on the real documents table —
+        including with a SINGLE stream, the shape whose parallelism the
+        two-phase path exists to unlock."""
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        legacy = sorted(map(tuple, doc_stream_offsets(
+            docs, 2048, n_chunks=1).collect()))
+        chunked = sorted(map(tuple, doc_stream_offsets(
+            docs, 2048, n_chunks=16).collect()))
+        assert legacy == chunked
+        one_stream = docs.withColumn("source", F.lit("all"))
+        legacy1 = sorted(map(tuple, doc_stream_offsets(
+            one_stream, 2048, n_chunks=1).collect()))
+        chunked1 = sorted(map(tuple, doc_stream_offsets(
+            one_stream, 2048, n_chunks=16).collect()))
+        assert legacy1 == chunked1
+
+    def test_two_phase_chunk_count_invariance(self, spark):
+        """Offsets are a pure function of the data: any n_chunks (even
+        more chunks than rows) yields the identical tape."""
+        d = _docs(spark, {"a": list(range(1, 30)), "b": [7] * 20})
+        base = sorted(map(tuple, doc_stream_offsets(d, 16, n_chunks=1).collect()))
+        for n_chunks in (2, 7, 200):
+            assert base == sorted(map(tuple, doc_stream_offsets(
+                d, 16, n_chunks=n_chunks).collect()))
+
+    def test_two_phase_in_chunk_windows_parallelize(self, spark):
+        """The plan property the rewrite buys: the per-row running-sum
+        window partitions by (stream, chunk), never by stream alone —
+        no single-task-per-stream sort remains in the chunked plan."""
+        d = _docs(spark, {"a": list(range(1, 30))})
+        plan = doc_stream_offsets(
+            d, 16, n_chunks=8
+        )._jdf.queryExecution().optimizedPlan().toString()
+        import re
+
+        win_specs = re.findall(
+            r"windowspecdefinition\(([^)]*)\)", plan
+        )
+        assert win_specs, plan
+        # every per-row window spec over doc_id must carry _chunk in its
+        # partition keys; the only stream-partitioned window left is the
+        # tiny cumulative-chunk-offset one (ordered by _chunk, not doc_id)
+        assert any("doc_id" in spec for spec in win_specs), plan
+        for spec in win_specs:
+            if "doc_id" in spec:
+                assert "_chunk" in spec, spec
+
 
 class TestGreedyPacking:
     def test_no_bin_exceeds_budget(self, spark):
