@@ -266,14 +266,26 @@ class AnnIndexView:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        dirty_ids = [r[0] for r in dirty.collect()]
-        if not dirty_ids:
+        n_dirty = dirty.count()
+        if n_dirty == 0:
             _write_cursor_sidecar(self.target, self.name, head)
             stats["mode"] = "cursor_only"
             return stats
-        # 1) clear the dirty keys (bloom-pruned rewrite; None = provable
+        # churn-majority escape: recomputing more rows than the retrain
+        # budget allows is strictly worse than retraining (the recompute
+        # rewrites + reassigns them against a quantizer that churn this
+        # large has likely invalidated anyway) — same threshold as the
+        # append-growth path
+        if trained and n_dirty / trained > self.retrain_growth:
+            return self.refresh(force_retrain=True)
+        # 1) clear the dirty keys. The id set stays a DataFrame end to
+        #    end — delete_keyed's frame form bloom-probes through the
+        #    capped _collect_probe_keys and anti-joins distributed, so no
+        #    id list ever materializes on the driver (None = provable
         #    no-op, e.g. first time these ids appear)
-        self.target.retrying(self.target.delete_keyed, "id", dirty_ids)
+        self.target.retrying(
+            self.target.delete_keyed, "id",
+            dirty.select(F.col(self.id_col).alias("id")))
         # 2) re-assign the dirty ids still present at the pinned head —
         #    bloom-pruned file read when the source indexes the id column
         #    (same recipe as FeatureView's dirty-history scan), with the

@@ -1073,7 +1073,55 @@ class SnapshotTable:
         match an equality key and survive. Returns the new version, or
         None when no file could hold any key (metadata-only no-op —
         NOT a commit, so cursors don't advance on provable no-ops).
+
+        `keys` may be a python sequence OR a single-column DataFrame.
+        The DataFrame form never materializes the key set on the driver:
+        bloom probing collects at most the `_collect_probe_keys` cap
+        (past it, pruning degrades to rewrite-every-file-that-might,
+        still exact), and the deletion itself is an anti join that stays
+        distributed however large the key frame is — the shape a
+        churn-majority erasure needs. The key frame is pinned
+        (localCheckpoint) because it is evaluated more than once (probe
+        + anti join), exactly like upsert_keyed's delta.
         """
+        from pyspark.sql import functions as F
+        if isinstance(keys, DataFrame):
+            if len(keys.columns) != 1:
+                raise ValueError(
+                    "delete_keyed expects a single-column key frame")
+            kdf = (
+                keys.select(F.col(keys.columns[0]).alias(col))
+                .filter(F.col(col).isNotNull())
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            if kdf.isEmpty():
+                return None
+            parent = self.manifest()
+            if not parent["files"]:
+                return None
+            probe = self._collect_probe_keys(kdf, col)
+            kept, might = self._split_by_keys(parent, col, probe)
+            if not might:
+                return None
+            old = self._read_files(parent, might)
+            # broadcast only when the probe proved the set small; past
+            # the cap the planner (AQE) picks the join strategy
+            right = F.broadcast(kdf) if probe is not None else kdf
+            survivors = old.join(right, [col], "left_anti")
+            n_keys = kdf.count()
+            commit_dir, new_files = self._stage_files(survivors, sort_within)
+            try:
+                return self._commit(
+                    kept + new_files, "delete", parent,
+                    parent["schema"],
+                    {"key_col": col, "n_keys": n_keys,
+                     "rewritten_files": len(might), "kept_files": len(kept),
+                     **(extra_summary or {})},
+                )
+            except SnapshotConflict:
+                shutil.rmtree(commit_dir, ignore_errors=True)
+                raise
         keys = [k for k in keys if k is not None]
         if not keys:
             return None
@@ -1084,7 +1132,6 @@ class SnapshotTable:
             parent, col, keys if col in self.bloom_cols else None)
         if not might:
             return None
-        from pyspark.sql import functions as F
         old = self._read_files(parent, might)
         if len(keys) <= 1000:
             survivors = old.filter(

@@ -102,13 +102,55 @@ class TestAnnIndexView:
 
     def test_erasure_cascades_to_index(self, spark, view):
         src, v = view
-        src.append(_vecs(spark, range(40)))
+        # multi-file source so the erasure rewrite (and the dirty set)
+        # stays a minority of the corpus — the recompute shape
+        for lo in range(0, 40, 10):
+            src.append(_vecs(spark, range(lo, lo + 10)))
         v.refresh()
-        src.delete_keyed("vec_id", [3, 7, 11])
+        src.delete_keyed("vec_id", [3, 7])
         s = v.refresh()
         assert s["mode"] == "recompute"
         ids = {r["id"] for r in v.target.read().select("id").collect()}
-        assert ids == set(range(40)) - {3, 7, 11}
+        assert ids == set(range(40)) - {3, 7}
+        _assert_index_matches(src, v)
+
+    def test_churn_majority_escapes_to_retrain(self, spark, view):
+        """An upsert churning most of the corpus must FULL-RETRAIN: the
+        recompute would rewrite + reassign nearly everything against a
+        quantizer that churn this large invalidated anyway, and the
+        retrain path never needs the dirty-id set at all."""
+        src, v = view
+        src.append(_vecs(spark, range(40)))
+        v.refresh()
+        cent_v = v.centroids.current_version()
+        src.upsert_keyed(_vecs(spark, range(35), bump=25.0), "vec_id")
+        s = v.refresh()
+        assert s["mode"] == "full" and s["retrained"]
+        assert v.centroids.current_version() > cent_v
+        _assert_index_matches(src, v)
+
+    def test_recompute_threads_id_frame_not_list(self, spark, view,
+                                                 monkeypatch):
+        """Below the churn cap, the dirty ids reach delete_keyed as a
+        DataFrame (distributed anti join), never a python list."""
+        src, v = view
+        for lo in range(0, 40, 10):
+            src.append(_vecs(spark, range(lo, lo + 10)))
+        v.refresh()
+        from pyspark.sql import DataFrame
+
+        seen = {}
+        real = type(v.target).delete_keyed
+
+        def spy(self, col, keys, **kw):
+            seen["type"] = type(keys)
+            return real(self, col, keys, **kw)
+
+        monkeypatch.setattr(type(v.target), "delete_keyed", spy)
+        src.upsert_keyed(_vecs(spark, range(5), bump=40.0), "vec_id")
+        s = v.refresh()
+        assert s["mode"] == "recompute"
+        assert issubclass(seen["type"], DataFrame)
         _assert_index_matches(src, v)
 
     def test_compact_only_is_cursor_advance(self, spark, view):

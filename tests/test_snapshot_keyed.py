@@ -111,6 +111,59 @@ class TestDeleteKeyed:
         left = t.read().collect()
         assert len(left) == 1 and left[0].conv_id is None
 
+    def test_dataframe_keys_equal_list_keys(self, spark, table, tmp_path):
+        """The frame form (the never-on-the-driver erasure path) must
+        produce the identical table state as the list form, including
+        bloom carry-by-reference and the summary bookkeeping."""
+        twin = SnapshotTable(spark, str(tmp_path / "twin"), "raw",
+                             stats_cols=("ts",), bloom_cols=("conv_id",))
+        twin.append(_turns(spark, ["a1", "a2"], day=0))
+        twin.append(_turns(spark, ["b1", "b2"], day=1))
+        table.delete_keyed("conv_id", ["b1"])
+        kdf = spark.createDataFrame([("b1",)], "k string")
+        v = twin.delete_keyed("conv_id", kdf)
+        assert v is not None
+        a = sorted(map(tuple, table.read().collect()))
+        b = sorted(map(tuple, twin.read().collect()))
+        assert a == b
+        m = twin.manifest()
+        assert m["summary"]["n_keys"] == 1
+        assert m["summary"]["kept_files"] >= 1  # a-file provably clean
+
+    def test_dataframe_keys_empty_and_null(self, spark, tmp_path):
+        t = SnapshotTable(spark, str(tmp_path), "nkf",
+                          bloom_cols=("conv_id",))
+        rows = [Row(conv_id=None, ts=T0, value=1.0),
+                Row(conv_id="g", ts=T0, value=2.0)]
+        t.append(spark.createDataFrame(rows, _SCHEMA))
+        v0 = t.current_version()
+        empty = spark.createDataFrame([], "k string")
+        assert t.delete_keyed("conv_id", empty) is None
+        nulls = spark.createDataFrame([(None,)], "k string")
+        assert t.delete_keyed("conv_id", nulls) is None
+        assert t.current_version() == v0
+        t.delete_keyed(
+            "conv_id", spark.createDataFrame([("g",), (None,)], "k string"))
+        left = t.read().collect()
+        assert len(left) == 1 and left[0].conv_id is None
+
+    def test_dataframe_keys_without_blooms(self, spark, tmp_path):
+        """No blooms -> probe is None -> every file rewrites through the
+        distributed anti join (the past-the-cap degradation path), still
+        exact."""
+        t = SnapshotTable(spark, str(tmp_path), "nb")
+        t.append(_turns(spark, ["x", "y", "z"], minutes=3))
+        kdf = spark.createDataFrame([("y",)], "k string")
+        assert t.delete_keyed("conv_id", kdf) is not None
+        got = {r["conv_id"] for r in t.read().select("conv_id").collect()}
+        assert got == {"x", "z"}
+
+    def test_dataframe_keys_rejects_multicolumn(self, spark, table):
+        with pytest.raises(ValueError, match="single-column"):
+            table.delete_keyed(
+                "conv_id",
+                spark.createDataFrame([("a", "b")], "k string, j string"))
+
     def test_large_key_list_join_path(self, spark, tmp_path):
         t = SnapshotTable(spark, str(tmp_path), "big",
                           bloom_cols=("conv_id",))
