@@ -1472,8 +1472,83 @@ def q_feature_pack_all(spark, sf_dir):
     packs joined on series_key (multi columns prefixed `m_`; left join —
     the multi pack's higher min_points drops short series, which then
     carry NULL m_* columns). One registry row keeps the full feature
-    surface under driver evidence."""
-    single = q_feature_pack(spark, sf_dir)
+    surface under driver evidence.
+
+    Rows-only (the pack's loess/Burg/ARFIMA kernels are not
+    SQL-expressible) — but the SQL-expressible SLICE of the UDF pack is
+    certified IN-PLAN: acf1, n_crossing_points, shift_level_max,
+    var_tiled_var/mean and kpss_stat are recomputed by the pure-SQL
+    twins in functions/sql_features.py (each independently value-oracled
+    against DuckDB in its own registry row) over the SAME hourly series
+    with the pack's kernel parameters (size=period=24), and every
+    emitted value of those columns passes a `raise_error` guard on
+    |Δ| > 1e-6·max(1, |twin|) — a green driver row proves the Arrow UDF
+    agreed with the oracled SQL path at run time (the q_stl_decomp_suite
+    certificate pattern). A corrupted kernel makes the query THROW
+    (pinned in tests/test_entry_contract.py)."""
+    from feasts_spark.functions import (
+        acf1_expr,
+        crossing_points_df,
+        kpss_df,
+        shift_level_df,
+        var_tiled_df,
+    )
+    from feasts_spark.operators.features import features
+    from feasts_spark.operators.rollup import rollup_raw
+
+    _utc(spark)
+    r = rollup_raw(_events(spark, sf_dir), "1h", "user_id", "ts", "value")
+    pack = features(r, period=24, min_points=20)
+    args = ("series_key", ["bucket_ts"], "val_avg")
+    twins = (
+        acf1_expr(r, *args)
+        .withColumnRenamed("acf1", "c_acf1")
+        .join(crossing_points_df(r, *args).withColumnRenamed(
+            "n_crossing_points", "c_ncross"), "series_key", "full")
+        .join(shift_level_df(r, *args, size=24).select(
+            "series_key", F.col("shift_level_max").alias("c_shift")),
+            "series_key", "full")
+        .join(var_tiled_df(r, *args, size=24).select(
+            "series_key",
+            F.col("var_tiled_var").alias("c_vtv"),
+            F.col("var_tiled_mean").alias("c_vtm")), "series_key", "full")
+        .join(kpss_df(r, *args).select(
+            "series_key", F.col("kpss_stat").alias("c_kpss")),
+            "series_key", "full")
+    )
+    certified = {
+        "acf1": "c_acf1",
+        "n_crossing_points": "c_ncross",
+        "shift_level_max": "c_shift",
+        "var_tiled_var": "c_vtv",
+        "var_tiled_mean": "c_vtm",
+        "kpss_stat": "c_kpss",
+    }
+
+    def _guarded(col: str) -> F.Column:
+        twin = F.col(certified[col])
+        ok = (
+            twin.isNull()
+            | F.isnan(F.col(col))
+            | (F.abs(F.col(col) - twin)
+               <= F.lit(1e-6) * F.greatest(F.lit(1.0), F.abs(twin)))
+        )
+        guard = F.raise_error(
+            F.format_string(
+                f"feature certificate violated: {col} UDF=%s SQL twin=%s "
+                "series=%s",
+                F.col(col).cast("string"),
+                twin.cast("string"),
+                F.col("series_key").cast("string"),
+            )
+        ).cast("double")
+        return F.when(ok, _r4(col)).otherwise(guard).alias(col)
+
+    ncols = [c for c in pack.columns if c != "series_key"]
+    single = pack.join(twins, "series_key", "left").select(
+        F.col("series_key"),
+        *[_guarded(c) if c in certified else _r4(c).alias(c) for c in ncols],
+    )
     multi = q_feature_pack_multi(spark, sf_dir)
     multi = multi.select(
         "series_key",

@@ -66,3 +66,45 @@ def test_rows_only_queries_nonempty(spark, sf_dir):
     for name in set(qs) - set(oracles):
         df = qs[name](spark, sf_dir)
         assert df.count() >= 0, name
+
+
+def test_feature_certificate_throws_on_corrupted_kernel(spark):
+    """q_feature_pack_all's in-plan certificate: the UDF pack's
+    SQL-expressible columns are cross-checked against the oracled SQL
+    twins inside the plan; a kernel regression must make the query
+    THROW, not return plausible rows (the q_stl_decomp_suite pattern,
+    replicated here on a small synthetic series)."""
+    from pyspark.sql import functions as F
+
+    from feasts_spark.functions import acf1_expr
+    from feasts_spark.operators.features import features
+
+    rows = pd.DataFrame({
+        "series_key": 1,
+        "bucket_ts": pd.date_range("2024-01-01", periods=96, freq="h"),
+        "val_avg": np.sin(np.arange(96) * 2 * np.pi / 24) * 3
+        + np.arange(96) * 0.05 + 10.0,
+    })
+    r = spark.createDataFrame(rows)
+    pack = features(r, period=24)
+    twin = acf1_expr(r, "series_key", ["bucket_ts"], "val_avg") \
+        .withColumnRenamed("acf1", "c_acf1")
+    joined = pack.join(twin, "series_key")
+    ok = (
+        F.col("c_acf1").isNull()
+        | F.isnan(F.col("acf1"))
+        | (F.abs(F.col("acf1") - F.col("c_acf1"))
+           <= F.lit(1e-6) * F.greatest(F.lit(1.0), F.abs(F.col("c_acf1"))))
+    )
+    guard = F.raise_error(F.lit("feature certificate violated")) \
+        .cast("double")
+
+    good = joined.select(F.when(ok, F.col("acf1")).otherwise(guard).alias("v"))
+    assert good.count() == 1
+
+    # corrupt the "kernel" output -> the identical guarded plan throws
+    bad = joined.withColumn("acf1", F.col("acf1") + 0.01).select(
+        F.when(ok, F.col("acf1")).otherwise(guard).alias("v")
+    )
+    with pytest.raises(Exception, match="feature certificate violated"):
+        bad.collect()
