@@ -1600,8 +1600,25 @@ def q_minhash_pack(spark, sf_dir):
     `oph`, the 10^9-doc scale path) through the same LSH banding +
     estimate pipeline, plus the snapshot-delta incremental crawl dedup
     (q_dedup_incremental, variants `inc_<kind>`). Rows-only — banding is
-    hash-based — but pytest pins estimate error bounds, determinism, and
-    exact full==incremental pair-set equivalence."""
+    hash-based — but the row carries an IN-PLAN RECALL CERTIFICATE:
+    the banded candidate set of BOTH variants must be a SUPERSET of the
+    exact n-gram-Jaccard pairs at >= 0.7 over the same 500-doc corpus
+    (computed by ngram_jaccard_pairs, the operator value-oracled against
+    DuckDB in its own registry row; at 32 bands x 4 rows the S-curve
+    miss probability at j=0.7 is 1.5e-4 per pair, and zero misses is
+    pinned for this seeded corpus). Every emitted est_jaccard passes a
+    raise_error guard on the miss counts, and the scalar
+    `cert_recall_ok` column reports the checked fact — a green driver
+    row proves the banding recalled every true near-dup pair at run
+    time. pytest additionally pins estimate error bounds, determinism,
+    and exact full==incremental pair-set equivalence."""
+    from feasts_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        minhash_signatures_oph,
+        ngram_jaccard_pairs,
+    )
+
     a = q_minhash_lsh(spark, sf_dir).select(
         F.lit("mh").alias("variant"), "id_a", "id_b", "est_jaccard"
     )
@@ -1612,7 +1629,36 @@ def q_minhash_pack(spark, sf_dir):
         F.concat(F.lit("inc_"), F.col("kind")).alias("variant"),
         "id_a", "id_b", "est_jaccard",
     )
-    return a.unionByName(b).unionByName(c)
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    true_pairs = ngram_jaccard_pairs(d, n=3, threshold=0.7).select(
+        "id_a", "id_b")
+    miss = [
+        true_pairs.join(
+            minhash_lsh_candidates(sig).select("id_a", "id_b"),
+            ["id_a", "id_b"], "left_anti",
+        ).agg(F.count(F.lit(1)).alias(f"_miss_{tag}"))
+        for tag, sig in (
+            ("mh", minhash_signatures(d)),
+            ("oph", minhash_signatures_oph(d)),
+        )
+    ]
+    cert = miss[0].crossJoin(miss[1])
+    packed = a.unionByName(b).unionByName(c).crossJoin(F.broadcast(cert))
+    ok = (F.col("_miss_mh") == 0) & (F.col("_miss_oph") == 0)
+    guard = F.raise_error(
+        F.format_string(
+            "minhash recall certificate violated: %s/%s true pairs at "
+            "jaccard>=0.7 missed by mh/oph banding",
+            F.col("_miss_mh").cast("string"),
+            F.col("_miss_oph").cast("string"),
+        )
+    ).cast("double")
+    return packed.select(
+        "variant", "id_a", "id_b",
+        F.when(ok, F.col("est_jaccard")).otherwise(guard)
+        .alias("est_jaccard"),
+        ok.alias("cert_recall_ok"),
+    )
 
 
 def q_dedup_incremental(spark, sf_dir):
@@ -2578,12 +2624,32 @@ def q_multimodal_features(spark, sf_dir):
             / 1e4
         ).alias("real_frac")
     )
-    return out.select(
+    # in-plan codec certificate: every real-codec payload must round-trip
+    # encode∘decode (byte-exact for BMP, one-PCM16-quantum for WAV) — a
+    # decoder regression turns this driver row into a hard failure
+    # instead of plausible features over garbled pixels/samples
+    from feasts_spark.operators.multimodal import roundtrip_certify
+
+    cert = roundtrip_certify(media).select(
+        "media_id", F.col("rt_ok").alias("cert_roundtrip_ok"))
+    guard = F.raise_error(
+        F.format_string(
+            "multimodal codec certificate violated: media_id=%s codec=%s "
+            "failed encode-decode round-trip",
+            F.col("media_id").cast("string"),
+            F.col("codec").cast("string"),
+        )
+    ).cast("double")
+    return out.join(cert, "media_id").select(
         "media_id", "kind", "codec", "feat_dim",
-        (F.floor(
-            F.expr("aggregate(feature, 0D, (a, x) -> a + x)") * 1e4
-            + F.lit(0.500001)
-        ) / 1e4).alias("feat_sum"),
+        F.when(
+            F.col("cert_roundtrip_ok"),
+            F.floor(
+                F.expr("aggregate(feature, 0D, (a, x) -> a + x)") * 1e4
+                + F.lit(0.500001)
+            ) / 1e4,
+        ).otherwise(guard).alias("feat_sum"),
+        "cert_roundtrip_ok",
     ).crossJoin(real_frac)
 
 

@@ -208,6 +208,87 @@ def extract_features(
     return df.mapInPandas(fn, schema=FEATURE_SCHEMA)
 
 
+def roundtrip_certify(
+    df: DataFrame, payload_col: str = "payload", kind_col: str = "kind",
+    decode_fn=None,
+) -> DataFrame:
+    """Per-row encode∘decode round-trip certificate for the REAL codecs
+    (map-only, same batching as extract_features).
+
+    Output (media_id, codec, rt_ok). The reference side is always the
+    PAYLOAD BYTES, never the decoder's own output — a regression that is
+    self-consistent (e.g. a pure scale error that decodes and re-encodes
+    through the same wrong factor) cannot self-certify:
+      - real_bmp: encode_bmp(decoded array) must equal the payload
+        BYTE-EXACTLY — 24-bit BI_RGB is lossless and every payload this
+        engine produces uses the canonical layout, so any decode
+        regression (row order, BGR/RGB swap, pad handling) breaks the
+        byte identity. A decode∘encode∘decode self-consistency fallback
+        was deliberately NOT used: encode/decode are inverses for ANY
+        array, so a self-consistent regression (channel swap) would
+        certify itself. Foreign-layout BMPs (top-down rows, non-54
+        offset) report rt_ok=False — certify those corpora with a
+        codec-native tool, not this canonical-layout identity;
+      - real_wav: the decoded float samples scaled by 32768 must match
+        the payload's int16 data chunk (parsed INLINE here, not via
+        decode_wav) within one PCM16 LSB, same shape;
+      - fake rows certify trivially (no codec claim to check).
+
+    A decoder regression (wrong row order, BGR/RGB swap, scale/offset
+    error, dtype/endianness mix-up, chunk mis-walk) flips rt_ok —
+    callers turn that into an in-plan raise_error
+    (q_multimodal_features does). `decode_fn` overrides the
+    (payload, kind) -> (array, codec) decoder — tests inject a broken
+    one to pin that the certificate actually trips."""
+    decode = decode_fn or decode_with_codec
+
+    def _wav_payload_int16(p: bytes):
+        """The payload's raw int16 samples, parsed independently of
+        decode_wav (minimal chunk walk, no fmt validation or scaling —
+        the parts a decoder regression could corrupt)."""
+        if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+            return None
+        pos = 12
+        while pos + 8 <= len(p):
+            cid, csize = struct.unpack_from("<4sI", p, pos)
+            if cid == b"data":
+                return np.frombuffer(
+                    p[pos + 8: pos + 8 + csize], dtype="<i2"
+                ).astype(np.float64)
+            pos += 8 + csize + (csize & 1)
+        return None
+
+    def fn(batches):
+        for pdf in batches:
+            oks, codecs = [], []
+            for payload, kind in zip(pdf[payload_col], pdf[kind_col]):
+                p = bytes(payload)
+                arr, codec = decode(p, kind)
+                if codec == "real_bmp":
+                    ok = encode_bmp(arr) == p
+                elif codec == "real_wav":
+                    pcm = _wav_payload_int16(p)
+                    ok = (
+                        pcm is not None
+                        and arr.shape == pcm.shape
+                        and float(
+                            np.abs(arr.astype(np.float64) * 32768.0 - pcm)
+                            .max()
+                        ) <= 1.0
+                    )
+                else:
+                    ok = True
+                oks.append(bool(ok))
+                codecs.append(codec)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "codec": codecs,
+                "rt_ok": oks,
+            })
+
+    return df.mapInPandas(fn, schema="media_id long, codec string, rt_ok boolean")
+
+
 def resize_images(
     df: DataFrame, width: int = 8, height: int = 8, decoder=default_decode
 ) -> DataFrame:

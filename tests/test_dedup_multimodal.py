@@ -313,6 +313,136 @@ class TestMultimodal:
             )
 
 
+class TestMinhashRecallCertificate:
+    """The minhash_pack driver row's in-plan recall certificate: banded
+    candidates must be a superset of the exact n-gram-Jaccard pairs at
+    the LSH threshold."""
+
+    def test_candidates_cover_true_pairs(self, spark, doc_df):
+        from pyspark.sql import functions as F
+
+        from feasts_spark.operators.dedup import (
+            minhash_lsh_candidates,
+            minhash_signatures,
+            ngram_jaccard_pairs,
+        )
+
+        tp = ngram_jaccard_pairs(doc_df, n=3, threshold=0.7).select(
+            "id_a", "id_b")
+        assert tp.count() >= 2  # non-vacuous: exact dup + near dups
+        cands = minhash_lsh_candidates(minhash_signatures(doc_df)).select(
+            "id_a", "id_b")
+        assert tp.join(cands, ["id_a", "id_b"], "left_anti").count() == 0
+
+    def test_dropped_candidate_trips_guard(self, spark, doc_df):
+        """Simulate a banding regression by dropping one true pair from
+        the candidate set: the raise_error guard must make the plan
+        throw instead of returning a silently-incomplete pack."""
+        import pytest
+        from pyspark.sql import functions as F
+
+        from feasts_spark.operators.dedup import (
+            minhash_lsh_candidates,
+            minhash_signatures,
+            ngram_jaccard_pairs,
+        )
+
+        tp = ngram_jaccard_pairs(doc_df, n=3, threshold=0.7).select(
+            "id_a", "id_b")
+        first = tp.orderBy("id_a", "id_b").first()
+        cands = minhash_lsh_candidates(minhash_signatures(doc_df)).select(
+            "id_a", "id_b"
+        ).filter(
+            ~((F.col("id_a") == first["id_a"])
+              & (F.col("id_b") == first["id_b"]))
+        )
+        miss = tp.join(cands, ["id_a", "id_b"], "left_anti").agg(
+            F.count(F.lit(1)).alias("_miss"))
+        guarded = miss.select(
+            F.when(F.col("_miss") == 0, F.lit(1.0))
+            .otherwise(
+                F.raise_error(F.lit("minhash recall certificate violated"))
+                .cast("double")
+            ).alias("v")
+        )
+        with pytest.raises(Exception, match="recall certificate violated"):
+            guarded.collect()
+
+
+class TestRoundtripCertificate:
+    def test_real_corpus_all_certified(self, spark):
+        """Every real-codec payload in the synthesized media fixture must
+        round-trip encode∘decode (the in-plan certificate the
+        multimodal driver row carries)."""
+        from feasts_spark.operators.multimodal import (
+            roundtrip_certify,
+            synthesize_media,
+        )
+
+        media = synthesize_media(spark, n=30)
+        rows = roundtrip_certify(media).collect()
+        assert len(rows) == 30
+        assert all(r["rt_ok"] for r in rows)
+        assert {r["codec"] for r in rows} == {"real_bmp", "real_wav", "fake"}
+
+    def test_broken_decoder_trips_certificate_and_guard(self, spark):
+        """A decoder regression (here: a BGR/RGB channel swap) must flip
+        rt_ok, and the q_multimodal_features-style raise_error guard
+        must turn that into a hard failure, not plausible features."""
+        import pytest
+        from pyspark.sql import functions as F
+
+        from feasts_spark.operators.multimodal import (
+            decode_with_codec,
+            roundtrip_certify,
+            synthesize_media,
+        )
+
+        def broken(payload, kind):
+            arr, codec = decode_with_codec(payload, kind)
+            if codec == "real_bmp":
+                arr = arr[:, :, ::-1]  # channel swap: the classic bug
+            return arr, codec
+
+        media = synthesize_media(spark, n=12)
+        cert = roundtrip_certify(media, decode_fn=broken)
+        bad = cert.filter(F.col("codec") == "real_bmp")
+        assert bad.count() > 0
+        assert all(not r["rt_ok"] for r in bad.collect())
+        guard = F.raise_error(F.lit("multimodal codec certificate violated"))
+        guarded = cert.select(
+            F.when(F.col("rt_ok"), F.lit(1.0))
+            .otherwise(guard.cast("double")).alias("v")
+        )
+        with pytest.raises(Exception, match="codec certificate violated"):
+            guarded.collect()
+
+    def test_wav_payload_reference_catches_scale_error(self, spark):
+        """The WAV certificate compares against the payload's int16 data
+        chunk directly, so even a SELF-CONSISTENT decoder regression (a
+        pure scale error survives any decode/re-encode round trip) must
+        trip it."""
+        from pyspark.sql import functions as F
+
+        from feasts_spark.operators.multimodal import (
+            decode_with_codec,
+            decode_wav,
+            roundtrip_certify,
+            synthesize_media,
+        )
+
+        def misscaled(payload, kind):
+            if payload[:4] == b"RIFF":
+                return decode_wav(payload) * 1.01, "real_wav"
+            return decode_with_codec(payload, kind)
+
+        media = synthesize_media(spark, n=12)
+        wavs = roundtrip_certify(media, decode_fn=misscaled).filter(
+            F.col("codec") == "real_wav")
+        assert wavs.count() > 0
+        assert all(not r["rt_ok"] for r in wavs.collect())
+
+
 class TestOnePermMinhash:
     """OPH signatures: same contract as the classical pass, O(S) hashing."""
 
