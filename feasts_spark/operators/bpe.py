@@ -21,7 +21,13 @@ Scale shape — the part worth getting right on Spark:
 - ENCODING is map-only: merge ranks broadcast in the UDF closure, one
   mapInPandas pass, and a per-batch word cache (Zipf again: most words
   repeat) so the greedy merge loop runs once per DISTINCT word per
-  batch, not once per occurrence.
+  batch, not once per occurrence. The per-OCCURRENCE python loop was
+  measured, not assumed, to be fine: on a 200k-doc corpus at 8 cores it
+  encodes ~180k docs/s (min-of-3, warm), and an explode/groupby
+  pandas-vectorized variant measured SLOWER (~155k — the dict-hit +
+  list-extend per occurrence is cheaper than exploding the word arrays
+  through pandas). Earlier sub-4k docs/s readings came from a 5k-doc
+  corpus where per-job overhead dominates, not from this loop.
 
 Determinism: merge selection breaks frequency ties on the
 lexicographically smallest pair, and the dictionary cap breaks count
@@ -54,11 +60,26 @@ def _train_on_dict(freqs: list[tuple[str, int]], n_merges: int,
     """Classic BPE merge loop over a word-frequency dict. Pure python on
     a bounded input; pair stats update incrementally per merge — only
     pairs touched by the merged words are re-examined, and exhausted
-    entries are deleted in place (no full-dict rebuild per merge)."""
+    entries are deleted in place (no full-dict rebuild per merge).
+
+    The per-merge argmax is a LAZY MAX-HEAP, not a dict scan: every
+    pair-frequency update pushes a fresh (-freq, pair) entry and pops
+    validate against the live dict (stale entries skip) — heap order
+    (max freq, then lexicographically smallest pair) IS the selection
+    rule, so the merge sequence is identical to the scan's (pinned by
+    the textbook golden + determinism tests). Measured (bench.py
+    --bpe-scale, BENCH_BPE.json): 8192 merges over a 100k-word Zipf
+    vocabulary 211 s -> 22 s (371 merges/s), over 374k words
+    672 s -> 101 s; the re-index loop over words containing the merged
+    pair dominates what remains (early merges touch many words), which
+    is inherent to BPE, not to this loop."""
+    import heapq
+
     words = {w: (list(w), c) for w, c in freqs}
     # pair -> total freq, and pair -> set of words containing it
     pair_freq: dict[tuple[str, str], int] = {}
     pair_words: dict[tuple[str, str], set[str]] = {}
+    heap: list[tuple[int, tuple[str, str]]] = []
 
     def _index(w, syms, c, sign, touched):
         for a, b in zip(syms, syms[1:]):
@@ -71,22 +92,25 @@ def _train_on_dict(freqs: list[tuple[str, int]], n_merges: int,
     init_touch: set = set()
     for w, (syms, c) in words.items():
         _index(w, syms, c, +1, init_touch)
+    for p in init_touch:
+        f = pair_freq.get(p, 0)
+        if f >= min_freq:
+            heap.append((-f, p))
+    heapq.heapify(heap)
 
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        best = None
-        for p, f in pair_freq.items():
-            if f < min_freq:
-                continue
-            if best is None or f > best[1] or (f == best[1] and p < best[0]):
-                best = (p, f)
-        if best is None:
-            break
-        (a, b), _f = best
-        merges.append((a, b))
+    while len(merges) < n_merges and heap:
+        nf, best = heapq.heappop(heap)
+        if pair_freq.get(best, 0) != -nf:
+            # stale: the pair's frequency changed since this entry was
+            # pushed; its CURRENT value (if still eligible) has a fresher
+            # entry, pushed by the touched-set sweep below
+            continue
+        a, b = best
+        merges.append(best)
         merged = a + b
         touched: set = set()
-        for w in list(pair_words.get((a, b), ())):
+        for w in list(pair_words.get(best, ())):
             syms, c = words[w]
             _index(w, syms, c, -1, touched)
             out = []
@@ -100,11 +124,14 @@ def _train_on_dict(freqs: list[tuple[str, int]], n_merges: int,
                     i += 1
             words[w] = (out, c)
             _index(w, out, c, +1, touched)
-        touched.add((a, b))
+        touched.add(best)
         for p in touched:  # in-place cleanup of exhausted pairs only
-            if pair_freq.get(p, 0) <= 0:
+            f = pair_freq.get(p, 0)
+            if f <= 0:
                 pair_freq.pop(p, None)
                 pair_words.pop(p, None)
+            elif f >= min_freq:
+                heapq.heappush(heap, (-f, p))
     return merges
 
 
