@@ -521,6 +521,16 @@ def run_curation_scale() -> dict:
         materialize(pack_sequences_greedy(docs, 2048, n_shards=256))
         out["sizes"][str(n)]["greedy_pack_docs_per_sec"] = round(
             n / (time.time() - t0))
+        # learned-tokenizer bulk encode at corpus scale (the headline
+        # bench's 5k-doc corpus is job-overhead-dominated for this)
+        from feasts_spark.operators.bpe import bpe_encode, bpe_train
+
+        merges = bpe_train(docs, n_merges=256)
+        merges.count()
+        t0 = time.time()
+        materialize(bpe_encode(docs, merges))
+        out["sizes"][str(n)]["bpe_encode_docs_per_sec"] = round(
+            n / (time.time() - t0))
     lo, hi = str(CURATION_SIZES[0]), str(CURATION_SIZES[-1])
     out["value"] = out["sizes"][hi]["docs_per_sec"]
     out["throughput_ratio_large_vs_small"] = round(
@@ -857,6 +867,144 @@ def run_incremental() -> dict:
     return out
 
 
+def run_bpe_scale() -> dict:
+    """The BPE driver merge loop at realistic tokenizer scale: a
+    synthetic Zipf word-frequency dictionary (deterministic xorshift
+    words, zipf-ish counts) at two vocabulary sizes, 8192 merges each —
+    the shape of a real tokenizer build (the corpus side is ONE
+    aggregation however big the corpus is; the driver loop is the only
+    part whose cost grows with vocab x merges, so it is what this
+    measures). Reports wall seconds, merges/sec, and peak driver RSS
+    delta."""
+    import resource
+
+    from feasts_spark.operators.bpe import _train_on_dict
+
+    def _dict(v: int) -> list:
+        # deterministic pseudo-random words over a 26-letter alphabet,
+        # lengths 3-12, zipf-ish counts c_i ~ V/i
+        out = []
+        x = 88172645463325252
+        for i in range(v):
+            chars = []
+            n = 3 + (i * 2654435761 % 10)
+            for _ in range(n):
+                x ^= (x << 13) & (1 << 64) - 1
+                x ^= x >> 7
+                x ^= (x << 17) & (1 << 64) - 1
+                chars.append(chr(97 + x % 26))
+            out.append(("".join(chars), max(2, v // (i + 1))))
+        # dict semantics: dedup keeping the higher count (first occurrence)
+        seen = {}
+        for w, c in out:
+            seen.setdefault(w, c)
+        return list(seen.items())
+
+    n_merges = int(os.environ.get("BENCH_BPE_MERGES", "8192"))
+    sizes = [int(s) for s in os.environ.get(
+        "BENCH_BPE_VOCABS", "100000,400000").split(",")]
+    legs = []
+    for v in sizes:
+        freqs = _dict(v)
+        rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        t0 = time.time()
+        merges = _train_on_dict(freqs, n_merges, min_freq=2)
+        wall = time.time() - t0
+        rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        legs.append({
+            "vocab": len(freqs),
+            "n_merges_requested": n_merges,
+            "n_merges_produced": len(merges),
+            "wall_s": round(wall, 2),
+            "merges_per_sec": round(len(merges) / wall) if wall else None,
+            "peak_rss_delta_mb": round((rss1 - rss0) / 1024, 1),
+        })
+    return {
+        "metric": "bpe_train_driver_loop_at_vocab_scale",
+        "unit": "sec",
+        "sizes": legs,
+    }
+
+
+def run_manifest_scale() -> dict:
+    """The snapshot manifest's driver-side ceiling, measured instead of
+    claimed: metadata ops are O(#files) JSON work on the driver
+    (snapshots.py scale notes), so this synthesizes manifests at 1e4 and
+    1e5 file entries — each entry a real manifest dict (path + rows +
+    bytes + min/max/null stats, cycling over a small set of REAL parquet
+    files so reads stay executable) — and times the three ops a user
+    pays for: commit (JSON dump + O_EXCL create), manifest load (JSON
+    parse on first read), and read_where's pruning sweep (the python
+    min/max loop + Spark DataFrame construction over the survivors).
+    Reports manifest size on disk per entry count; the documented
+    mitigation past ~1e5 entries is `compact()` (fewer, larger files),
+    which is why the ceiling is a knob and not a wall."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from feasts_spark.session import get_spark
+    from feasts_spark.sources.snapshots import SnapshotTable
+
+    sizes = [int(s) for s in os.environ.get(
+        "BENCH_MANIFEST_SIZES", "10000,100000").split(",")]
+    spark = get_spark(8, app_name="bench-manifest-scale")
+    root = tempfile.mkdtemp(prefix="bench_manifest_")
+    legs = []
+    try:
+        for n in sizes:
+            tbl = SnapshotTable(spark, root, f"m{n}", stats_cols=["k"])
+            base = (spark.range(0, 4096, 1, 4)
+                    .select(F.col("id").alias("k"),
+                            (F.col("id") * 2).alias("v")))
+            tbl.append(base, target_files=4)
+            parent = tbl.manifest()
+            real = parent["files"]
+            width = 1000
+            entries = []
+            for i in range(n):
+                e = dict(real[i % len(real)])
+                lo = i * width
+                e["min"] = {"k": lo}
+                e["max"] = {"k": lo + width - 1}
+                e["nulls"] = {"k": False}
+                entries.append(e)
+            t0 = time.time()
+            v = tbl._commit(entries, "append", parent, parent["schema"],
+                            {"synthetic_entries": n})
+            commit_s = time.time() - t0
+            t0 = time.time()
+            m = tbl.manifest(v)
+            load_s = time.time() - t0
+            # narrow range: prune sweep visits all n entries, ~10 survive
+            t0 = time.time()
+            df = tbl.read_where("k", 5 * width, 15 * width - 1, version=v)
+            k = len([
+                f for f in m["files"]
+                if not (f["max"]["k"] < 5 * width
+                        or f["min"]["k"] > 15 * width - 1)
+            ])
+            prune_s = time.time() - t0
+            materialize(df)
+            legs.append({
+                "n_files": n,
+                "manifest_mb": round(
+                    os.path.getsize(tbl._manifest_path(v)) / 2**20, 2),
+                "commit_s": round(commit_s, 3),
+                "manifest_load_s": round(load_s, 3),
+                "read_where_prune_s": round(prune_s, 3),
+                "files_survived": k,
+            })
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return {
+        "metric": "snapshot_manifest_driver_ceiling",
+        "unit": "sec",
+        "sizes": legs,
+    }
+
+
 def run_flow_sketch() -> dict:
     """The conv_flow percentile-state hazard, measured: a single-edge
     corpus (alternating user/assistant, near-unique gaps) concentrates
@@ -940,6 +1088,10 @@ if __name__ == "__main__":
         print(json.dumps(run_incremental()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--flow-sketch":
         print(json.dumps(run_flow_sketch()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--bpe-scale":
+        print(json.dumps(run_bpe_scale()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--manifest-scale":
+        print(json.dumps(run_manifest_scale()))
     elif len(sys.argv) > 2 and sys.argv[1] == "--single":
         print(json.dumps(run_bench(sys.argv[2], SF_DIR)))
     else:

@@ -38,8 +38,16 @@ an atomic pointer, not its code):
   retained manifest references.
 
 Scale notes: every metadata operation is O(#files) driver-side JSON work
-with no data I/O; commits touch only changed files; at 10^12 turns the
-day-partitioned tier tables hold ~1e4-1e5 files whose manifest is a few MB.
+with no data I/O; commits touch only changed files. MEASURED ceiling
+(``bench.py --manifest-scale``, BENCH_MANIFEST.json): a 1e5-entry manifest
+is ~20 MB on disk, commits in ~1.1 s, loads in ~0.35 s, and a
+``read_where`` prune sweep over all 1e5 entries takes ~0.5 s — all linear
+in #files, so ~1e5 files (10^12 turns at day-partitioned tier grain) is
+comfortably inside driver budget and ~1e6 is the practical ceiling
+(~200 MB manifests, ~10 s commits). The mitigation is the knob this layer
+already owns: ``compact()`` bin-packs small files so #entries tracks table
+BYTES, not commit count — real Iceberg splits manifests into a tree for
+the same reason; a flat list is the right call below ~1e6 files.
 Reference parity: the rollup/retention tier tables the reference stores in
 hypertables (SURVEY.md §2.5) gain atomic refresh + time travel here.
 """

@@ -387,3 +387,39 @@ class TestRefreshIntegration:
         assert full.select(*cols).exceptAll(got.select(*cols)).count() == 0
         # time travel to the pre-refresh tier still works
         assert tier.read(version=v_base).count() == full.count()
+
+
+class TestManifestScale:
+    """The driver-side metadata ceiling (VERDICT r04 item 8): a manifest
+    with 1e4 synthetic file entries (cycling over real parquet files so
+    survivors stay readable) must commit, load, and range-prune
+    correctly — `bench.py --manifest-scale` measures the latency side
+    (BENCH_MANIFEST.json); this pins the correctness side at size."""
+
+    def test_wide_manifest_prunes_exactly(self, spark, table):
+        n, width = 10_000, 1000
+        base = spark.range(0, 4096, 1, 4).select(
+            F.col("id").alias("k"), (F.col("id") % 7).cast("double").alias("v"))
+        table.append(base, target_files=4)
+        parent = table.manifest()
+        real = parent["files"]
+        entries = []
+        for i in range(n):
+            e = dict(real[i % len(real)])
+            e["min"], e["max"] = {"k": i * width}, {"k": i * width + width - 1}
+            e["nulls"] = {"k": False}
+            entries.append(e)
+        v = table._commit(entries, "append", parent, parent["schema"],
+                          {"synthetic_entries": n})
+        m = table.manifest(v)
+        assert len(m["files"]) == n
+        # prune sweep must keep exactly the 11 overlapping windows
+        lo, hi = 500 * width, 510 * width + width - 1
+        kept = [f for f in m["files"]
+                if not (f["max"]["k"] < lo or f["min"]["k"] > hi)]
+        assert len(kept) == 11
+        # and the pruned read executes (survivor paths are real files)
+        df = table.read_where("k", lo, hi, version=v)
+        assert df.count() == 0  # real files hold k<4096, residual filters all
+        # an unpruned full read at this width is still constructible
+        assert len(table.manifest(v)["files"]) == n
