@@ -353,8 +353,10 @@ def main() -> None:
             word_freqs(docs),
         "bpe_encode (map-only: broadcast ranks, per-batch word cache, no shuffle)":
             bpe_encode(docs, _merges),
-        "doc_stream_offsets (concat-and-cut packing: ONE source-keyed window, no python)":
+        "doc_stream_offsets (two-phase prefix sum: tiny per-chunk totals + broadcast chunk offsets + in-chunk windows; parallelism = n_chunks per stream, not 1)":
             doc_stream_offsets(docs, 400),
+        "doc_stream_offsets n_chunks=1 (legacy single source-keyed window: ONE task per stream — small-corpus / oracle shape)":
+            doc_stream_offsets(docs, 400, n_chunks=1),
         "pack_sequences_greedy (hash-sharded first-fit: one shuffle on shard, sequential span bounded per shard)":
             pack_sequences_greedy(docs, 400, n_shards=32),
         "conversation_windows (rolling k-turn SFT context: one conv-keyed window, all JVM)":
@@ -428,7 +430,7 @@ def main() -> None:
         "pushed into the surviving scan)": zread,
     })
 
-    from feasts_spark.operators.flow import conv_flow
+    from feasts_spark.operators.flow import conv_flow, conv_flow_sketch
 
     _flow_tr = ev.select(
         F.concat(F.lit("conv-"), F.col("user_id")).alias("conv_id"),
@@ -440,8 +442,14 @@ def main() -> None:
     )
     plans.update({
         "conv_flow (one conv-keyed lag window; pair/tool aggs are "
-        "map-side partial with constant output cardinality)":
+        "map-side partial with constant output cardinality — but the "
+        "exact percentile UDAF's state is O(distinct latencies): "
+        "small-corpus / oracle shape)":
             conv_flow(_flow_tr),
+        "conv_flow_sketch (same scan + lag window; fixed-grid histogram "
+        "grouping sets bound EVERY agg's state to |edges| x n_bins — "
+        "the 10^12-turn path)":
+            conv_flow_sketch(_flow_tr),
     })
 
     lines = [
