@@ -223,12 +223,14 @@ def conv_flow_sketch(
     Same output schema as `conv_flow`; keep the exact pack for oracles
     and small corpora, use this for the full-corpus scan.
 
-    Plan shape (one scan, one conv_id window shuffle, like the exact
+    Plan shape (ONE scan, one conv_id window shuffle, like the exact
     pack): the bin index is a pure projection, then ONE grouping-sets
     aggregate over four sets — (role_from, role_to) / (tool) for the
     exact scalars, (role_from, role_to, bin) / (tool, bin) for the
-    histogram counts — so the raw rows are read once; the per-bin counts
-    scatter+merge into arrays over |edges| * n_bins tiny rows, and the
+    histogram counts — so the raw rows are read once; a SECOND tiny
+    re-aggregation fuses the scalar rows and the scatter+merged per-bin
+    arrays of each edge into one output row (see the inline comment: a
+    two-frame join here would re-execute the raw subtree), and the
     quantile extraction is pure array SQL (operators.sketch.hist_quantile).
     """
     from feasts_spark.operators.sketch import (
@@ -277,34 +279,36 @@ def conv_flow_sketch(
         has_bin.alias("_hb"),
         "bin", "n", "n_lat", "sum_s", "n_convs",
     )
-    edges = keyed.filter(~F.col("_hb")).select(
-        "tag", "k1", "k2", "n", "n_convs",
-        F.when(F.col("n_lat") > 0, F.col("sum_s") / F.col("n_lat"))
-        .alias("mean_s"),
-    )
+    # Fuse the edge-scalar and histogram branches into ONE re-aggregation
+    # of the tiny keyed rows. Splitting them into two frames and joining
+    # looks natural but executes the raw scan + window + grouping-sets
+    # subtree TWICE: column pruning specializes each branch's partial
+    # aggregates, the canonical plans stop being equal, and Spark's
+    # exchange-reuse rule no longer fires. Here the scalar rows (_hb
+    # false) and per-bin rows (_hb true) of one edge meet in the same
+    # group; collect_list skips the scalar rows' NULL scatter arrays, so
+    # the fold sees only bin rows. One raw scan total — at 10^12 turns
+    # the join shape would have paid a second one.
     scatter = F.expr(
         f"transform(sequence(0, {n_bins - 1}), "
         "i -> CASE WHEN i = bin THEN n ELSE CAST(0 AS BIGINT) END)"
     )
-    hists = (
-        keyed.filter(F.col("_hb") & F.col("bin").isNotNull())
-        .withColumn("_v", scatter)
+    is_bin = F.col("_hb") & F.col("bin").isNotNull()
+    joined = (
+        keyed.withColumn("_v", F.when(is_bin, scatter))
         .groupBy("tag", "k1", "k2")
         .agg(
-            F.sum("n").alias("n_points"),
+            F.sum(F.when(~F.col("_hb"), F.col("n"))).alias("n"),
+            F.max(F.when(~F.col("_hb"), F.col("n_convs"))).alias("n_convs"),
+            F.when(
+                F.sum(F.when(~F.col("_hb"), F.col("n_lat"))) > 0,
+                F.sum(F.when(~F.col("_hb"), F.col("sum_s")))
+                / F.sum(F.when(~F.col("_hb"), F.col("n_lat"))),
+            ).alias("mean_s"),
+            F.sum(F.when(is_bin, F.col("n"))).alias("n_points"),
             _merge_arrays(n_bins).alias("hist"),
         )
     )
-    joined = edges.join(
-        F.broadcast(hists),
-        [
-            edges["tag"] == hists["tag"],
-            edges["k1"] == hists["k1"],
-            edges["k2"].eqNullSafe(hists["k2"]),
-        ],
-        "left",
-    ).select(edges["tag"], edges["k1"], edges["k2"],
-             "n", "n_convs", "mean_s", "n_points", "hist")
     for p, name in ((0.5, "p50_s"), (0.9, "p90_s"), (0.99, "p99_s")):
         joined = hist_quantile(joined, p, lat_lo, lat_hi, out_col=name)
     no_lat = F.col("n_points").isNull() | (F.col("n_points") == 0)

@@ -234,6 +234,30 @@ def test_conv_flow_single_scan_no_python(spark, events):
     assert "Expand" in plan  # grouping sets, not a per-leg re-aggregate
 
 
+def test_conv_flow_sketch_single_scan_no_join(spark, events):
+    """The bounded-state sketch path must ALSO keep one source scan:
+    assembling edge scalars and histograms as two frames + a join
+    re-executes the raw scan/window/grouping-sets subtree (column
+    pruning defeats exchange reuse), so the operator fuses them into
+    one re-aggregation — no join node anywhere in the plan."""
+    from feasts_spark.operators.flow import conv_flow_sketch
+
+    tr = events.select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant")).alias("role"),
+        F.col("event_type").alias("tool"),
+        F.col("ts"),
+    )
+    s = plan_summary(conv_flow_sketch(tr))
+    assert s["n_scans"] == 1, s
+    assert s["n_python"] == 0, s
+    plan = formatted_plan(conv_flow_sketch(tr))
+    assert "Expand" in plan
+    assert "Join" not in plan, plan
+
+
 def test_stitch_range_serving_plan(spark, events, tmp_path):
     """Over MATERIALIZED tiers the stitched range read must be: 3
     column-pruned tier scans with the bucket_ts span filters pushed
