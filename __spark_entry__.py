@@ -3360,7 +3360,73 @@ def q_conv_flow(spark, sf_dir):
         F.col("ts"),
     )
     out = conv_flow(tr)
-    return _round_cols(out, ["share", "mean_s", "p50_s", "p90_s", "p99_s"])
+
+    # In-plan certificate for the bounded-state sketch path
+    # (conv_flow_sketch, operators/flow.py — the 10^12-turn plan): its
+    # EXACT fields (n, n_convs, mean_s, share) must equal this oracled
+    # exact pack's unrounded values at run time, and its percentile
+    # estimates must respect the documented grid contract (inside
+    # [lat_lo, lat_hi], monotone p50<=p90<=p99, null iff no latencies).
+    # A drifting sketch makes this row THROW; the DuckDB oracle pins
+    # cert_sketch_ok to literal TRUE, so the driver machine-checks the
+    # scale path against the oracle path in one row. (One-bin accuracy
+    # vs order statistics is pinned in tests/test_flow.py — Spark's
+    # interpolated percentile has no bounded gap to an order statistic,
+    # so it is not certified here.)
+    from feasts_spark.operators.flow import conv_flow_sketch
+
+    sk = conv_flow_sketch(tr).select(
+        F.col("tag").alias("s_tag"), F.col("k1").alias("s_k1"),
+        F.col("k2").alias("s_k2"), F.col("n").alias("s_n"),
+        F.col("n_convs").alias("s_n_convs"),
+        F.col("mean_s").alias("s_mean_s"), F.col("share").alias("s_share"),
+        F.col("p50_s").alias("s_p50"), F.col("p90_s").alias("s_p90"),
+        F.col("p99_s").alias("s_p99"),
+    )
+    j = out.join(
+        sk,
+        (out["tag"] == sk["s_tag"]) & (out["k1"] == sk["s_k1"])
+        & out["k2"].eqNullSafe(sk["s_k2"]),
+        "left",
+    )
+
+    def _near(a, b, tol):
+        return (F.col(a).isNull() & F.col(b).isNull()) | (
+            F.abs(F.col(a) - F.col(b))
+            <= F.lit(tol) * F.greatest(F.lit(1.0), F.abs(F.col(a))))
+
+    pctl = (
+        (F.col("s_p50").isNull() & F.col("p50_s").isNull())
+        | (F.col("s_p50").between(0.0, 3600.0)
+           & (F.col("s_p50") <= F.col("s_p90"))
+           & (F.col("s_p90") <= F.col("s_p99"))
+           & F.col("s_p99").between(0.0, 3600.0))
+    )
+    ok = (
+        F.col("s_n").isNotNull()
+        & (F.col("n") == F.col("s_n"))
+        & (F.col("n_convs") == F.col("s_n_convs"))
+        & _near("mean_s", "s_mean_s", 1e-9)
+        & _near("share", "s_share", 1e-12)
+        & pctl
+    )
+    guard = F.raise_error(F.format_string(
+        "conv_flow sketch certificate violated: edge=%s/%s exact "
+        "n=%s mean=%s share=%s vs sketch n=%s mean=%s share=%s "
+        "pctl=(%s,%s,%s)",
+        F.col("k1"), F.col("k2").cast("string"),
+        F.col("n").cast("string"), F.col("mean_s").cast("string"),
+        F.col("share").cast("string"), F.col("s_n").cast("string"),
+        F.col("s_mean_s").cast("string"), F.col("s_share").cast("string"),
+        F.col("s_p50").cast("string"), F.col("s_p90").cast("string"),
+        F.col("s_p99").cast("string"),
+    )).cast("boolean")
+    certified = j.select(
+        *[out[c] for c in out.columns],
+        F.when(ok, F.lit(True)).otherwise(guard).alias("cert_sketch_ok"),
+    )
+    return _round_cols(certified,
+                       ["share", "mean_s", "p50_s", "p90_s", "p99_s"])
 
 
 ORACLE_CONV_FLOW = f"""
@@ -3411,7 +3477,8 @@ WITH tr AS (
 SELECT tag, k1, k2, n, n_convs,
        {_sql_r4('share')} AS share, {_sql_r4('mean_s')} AS mean_s,
        {_sql_r4('p50_s')} AS p50_s, {_sql_r4('p90_s')} AS p90_s,
-       {_sql_r4('p99_s')} AS p99_s
+       {_sql_r4('p99_s')} AS p99_s,
+       TRUE AS cert_sketch_ok
 FROM u
 """
 

@@ -108,3 +108,28 @@ def test_feature_certificate_throws_on_corrupted_kernel(spark):
     )
     with pytest.raises(Exception, match="feature certificate violated"):
         bad.collect()
+
+
+def test_conv_flow_sketch_certificate_throws_on_drift(spark, sf_dir,
+                                                      monkeypatch):
+    """q_conv_flow's in-plan certificate: the bounded-state sketch path
+    is cross-checked against the exact pack inside the same plan; a
+    drifting sketch must make the driver row THROW, not return plausible
+    rows. Patches the real operator to inject the drift, so the test
+    exercises the ACTUAL entry query."""
+    import feasts_spark.operators.flow as flowmod
+    from pyspark.sql import functions as F
+
+    # green on the real operator
+    good = entrymod.queries()["conv_flow"](spark, sf_dir)
+    rows = good.collect()
+    assert rows and all(r["cert_sketch_ok"] for r in rows)
+
+    real = flowmod.conv_flow_sketch
+
+    def drifted(df, **kw):
+        return real(df, **kw).withColumn("n", F.col("n") + F.lit(1))
+
+    monkeypatch.setattr(flowmod, "conv_flow_sketch", drifted)
+    with pytest.raises(Exception, match="sketch certificate violated"):
+        entrymod.queries()["conv_flow"](spark, sf_dir).collect()
