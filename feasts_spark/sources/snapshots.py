@@ -107,6 +107,52 @@ def _normalized(schema: StructType) -> StructType:
     return norm(schema)
 
 
+_INT_WIDTHS = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+
+
+def _widenable(old_dt, new_dt) -> bool:
+    """Whether `old_dt` -> `new_dt` is a lossless widening (the Iceberg
+    promotion set): smaller int family -> larger, float -> double."""
+    o, n = old_dt.typeName(), new_dt.typeName()
+    if o in _INT_WIDTHS and n in _INT_WIDTHS:
+        return _INT_WIDTHS[n] > _INT_WIDTHS[o]
+    return o == "float" and n == "double"
+
+
+def _fid(field) -> int | None:
+    """The field's stable column id, or None for a pre-era schema."""
+    try:
+        return field.metadata.get("fid")
+    except Exception:
+        return None
+
+
+def _fid_annotated(schema: StructType, next_fid: int,
+                   carry_from: StructType | None = None
+                   ) -> tuple[StructType, int]:
+    """`schema` with a stable integer `fid` in every top-level field's
+    metadata — the Iceberg-field-ID equivalent that makes renames and
+    type widenings resolvable per file era. Fields already carrying a
+    fid keep it; otherwise a same-NAME field of `carry_from` donates
+    its fid (add/drop/widen keep identity by name); otherwise the field
+    is new and takes the next id."""
+    from pyspark.sql.types import StructField
+
+    by_name = {f.name: _fid(f) for f in carry_from.fields} if carry_from \
+        else {}
+    fields = []
+    for f in schema.fields:
+        fid = _fid(f)
+        if fid is None:
+            fid = by_name.get(f.name)
+        if fid is None:
+            fid, next_fid = next_fid, next_fid + 1
+        md = dict(f.metadata or {})
+        md["fid"] = fid
+        fields.append(StructField(f.name, f.dataType, f.nullable, md))
+    return StructType(fields), next_fid
+
+
 def _json_safe(v):
     """Canonical JSON-storable form of a stat/bound value.
 
@@ -617,10 +663,66 @@ class SnapshotTable:
             entries.append(entry)
         return commit_dir, entries
 
+    def _era_update(self, parent: dict, schema_json: str,
+                    files: list[dict],
+                    era_override: dict | None) -> tuple[str, dict]:
+        """Schema-era bookkeeping for a commit: (canonical schema_json,
+        {schema_sid, schemas, next_fid}).
+
+        Every manifest records per-file `sid` pointers into a `schemas`
+        era log; each era's fields carry stable fids (`_fid_annotated`),
+        so reads resolve renames/widenings per file. New-file entries are
+        stamped with this commit's sid here; carried entries keep theirs
+        (a legacy entry without one is by-name compatible with the
+        current schema — stamping it with the current sid IS the by-name
+        read it gets today). Eras no live file references are pruned."""
+        if era_override is not None:
+            sid = era_override["schema_sid"]
+            schemas = dict(era_override["schemas"])
+            next_fid = era_override["next_fid"]
+            schema_json = era_override["schema"]
+        else:
+            p_sid = parent.get("schema_sid")
+            if parent["schema"] is None or p_sid is None:
+                # first commit, or a pre-era manifest: era 0 opens with
+                # the (annotated) commit schema; all existing files are
+                # by-name compatible with it
+                st, next_fid = _fid_annotated(
+                    StructType.fromJson(json.loads(schema_json)), 0)
+                sid, schemas, schema_json = 0, {}, st.json()
+            else:
+                new_schema = StructType.fromJson(json.loads(schema_json))
+                p_schema = StructType.fromJson(json.loads(parent["schema"]))
+                if _normalized(new_schema) == _normalized(p_schema):
+                    schema_json = parent["schema"]
+                    sid, next_fid = p_sid, parent["next_fid"]
+                    schemas = dict(parent["schemas"])
+                else:
+                    # shape changed without an explicit evolve (overwrite
+                    # with a new schema, evolve_add/drop/widen): new era,
+                    # field identity carried by name
+                    st, next_fid = _fid_annotated(
+                        new_schema, parent["next_fid"], carry_from=p_schema)
+                    sid = p_sid + 1
+                    schemas = dict(parent["schemas"])
+                    schema_json = st.json()
+        schemas[str(sid)] = schema_json
+        for f in files:
+            f.setdefault("sid", sid)
+        used = {str(f["sid"]) for f in files} | {str(sid)}
+        return schema_json, {
+            "schema_sid": sid,
+            "schemas": {k: v for k, v in schemas.items() if k in used},
+            "next_fid": next_fid,
+        }
+
     def _commit(self, files: list[dict], operation: str, parent_manifest: dict,
-                schema_json: str, summary: dict) -> int:
+                schema_json: str, summary: dict,
+                era_override: dict | None = None) -> int:
         parent_v = parent_manifest["version"]
         new_v = parent_v + 1
+        schema_json, era = self._era_update(
+            parent_manifest, schema_json, files, era_override)
         manifest = {
             "version": new_v,
             "parent": parent_v,
@@ -630,6 +732,7 @@ class SnapshotTable:
             "stats_cols": list(self.stats_cols),
             "files": files,
             "summary": summary,
+            **era,
         }
         path = self._manifest_path(new_v)
         try:
@@ -645,7 +748,6 @@ class SnapshotTable:
         return new_v
 
     def _check_schema(self, df: DataFrame, parent: dict) -> str:
-        schema_json = df.schema.json()
         if parent["files"] and parent["schema"] is not None:
             old = StructType.fromJson(json.loads(parent["schema"]))
             if _normalized(old) != _normalized(df.schema):
@@ -654,10 +756,16 @@ class SnapshotTable:
                     f"{old.simpleString()} != {df.schema.simpleString()}; "
                     "snapshot tables pin the schema per version — use "
                     "aligned(df) to upgrade a pre-evolution writer frame, "
-                    "or evolve_add_columns/evolve_drop_columns to change "
-                    "the pinned shape (rename/type changes unsupported)"
+                    "or evolve_add_columns/evolve_drop_columns/"
+                    "evolve_rename_column/evolve_widen_column to change "
+                    "the pinned shape"
                 )
-        return schema_json
+            # the shapes are equal: store the table's CANONICAL schema
+            # (it carries the stable field ids; a writer frame does not),
+            # so the pin — and the fid annotations — never drift commit
+            # to commit on writer-side nullability noise
+            return parent["schema"]
+        return df.schema.json()
 
     def append(self, df: DataFrame, sort_within: bool = True,
                extra_summary: dict | None = None,
@@ -850,15 +958,17 @@ class SnapshotTable:
         parent = self.manifest()
         schema_json = self._check_schema(df_new, parent)
         lo_s, hi_s = _bound_safe(lo), _bound_safe(hi)
+        nm = self._stat_lookup(parent, col)
         kept, straddle, dropped = [], [], 0
         for f in parent["files"]:
-            fmin = f["min"].get(col)
-            fmax = f["max"].get(col)
+            fmin = f["min"].get(nm(f))
+            fmax = f["max"].get(nm(f))
             if fmin is None or fmax is None:
                 straddle.append(f)  # no stats -> must assume it intersects
             elif fmax < lo_s or fmin > hi_s:
                 kept.append(f)
-            elif lo_s <= fmin and fmax <= hi_s and not _may_have_nulls(f, col):
+            elif lo_s <= fmin and fmax <= hi_s \
+                    and not _may_have_nulls(f, nm(f)):
                 # fully inside the replace range (and no NULL rows, which
                 # would survive the predicate): zero survivors — drop the
                 # file WITHOUT reading it. This is the hot case for a
@@ -869,9 +979,8 @@ class SnapshotTable:
                 straddle.append(f)
         out = df_new
         if straddle:
-            old = self.spark.read.schema(
-                StructType.fromJson(json.loads(schema_json))
-            ).parquet(*[os.path.join(self.table_dir, f["path"]) for f in straddle])
+            # via _read_files so older-era files map to the current shape
+            old = self._read_files(parent, straddle)
             from pyspark.sql import functions as F
             # NULL range values never match the replace predicate, so they
             # must SURVIVE — plain ~between evaluates NULL and filter would
@@ -906,8 +1015,9 @@ class SnapshotTable:
         ("double", "array<string>", ...). Added columns are nullable by
         construction (old rows have no value). Time travel keeps the
         per-version schema: reading a pre-evolution snapshot returns the
-        old shape. Rename and type changes are out of scope (they need
-        Iceberg-style field IDs; this layer matches columns by name).
+        old shape. Renames and lossless type promotions live in
+        :meth:`evolve_rename_column` / :meth:`evolve_widen_column`,
+        resolved per file era by stable field ids.
         """
         parent = self.manifest()
         if parent["schema"] is None:
@@ -954,6 +1064,82 @@ class SnapshotTable:
             {"dropped_columns": names},
         )
 
+    def evolve_rename_column(self, old: str, new: str) -> int:
+        """Metadata-only RENAME COLUMN: same files, same field identity
+        (the stable fid carries), new name. Old files keep their bytes
+        untouched; reads resolve them through the manifest's schema-era
+        log (`_read_files` maps era fields to the current shape by fid),
+        and stats/bloom pruning translates the predicate name per file
+        era (`_stat_lookup`). Time travel to a pre-rename version sees
+        the old name. Note the table OBJECT's stats_cols/cluster_cols/
+        bloom_cols are constructor arguments — construct subsequent
+        writers with the new name so new files harvest stats under it."""
+        parent = self.manifest()
+        if parent["schema"] is None:
+            raise ValueError("empty table has no schema to evolve")
+        if parent.get("schema_sid") is None:
+            # a pre-era manifest gains era bookkeeping on its next DATA
+            # commit (any append/compact); renaming before that would
+            # leave old files unmappable
+            raise ValueError(
+                "table predates schema-era tracking; run any data commit "
+                "(e.g. compact) first, then rename")
+        from pyspark.sql.types import StructField
+        schema = StructType.fromJson(json.loads(parent["schema"]))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"cannot rename absent column {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        new_schema = StructType([
+            StructField(new if f.name == old else f.name,
+                        f.dataType, f.nullable, dict(f.metadata or {}))
+            for f in schema.fields
+        ])
+        sid = parent["schema_sid"] + 1
+        schemas = dict(parent["schemas"])
+        return self._commit(
+            parent["files"], "evolve", parent, new_schema.json(),
+            {"renamed_columns": {old: new}},
+            era_override={
+                "schema_sid": sid, "schemas": schemas,
+                "next_fid": parent["next_fid"], "schema": new_schema.json(),
+            },
+        )
+
+    def evolve_widen_column(self, name: str, new_type_ddl: str) -> int:
+        """Metadata-only lossless type promotion (the Iceberg set:
+        byte/short/int -> wider int, float -> double). Old files keep
+        their narrow values; era reads cast them up by fid. Narrowing or
+        cross-family changes are rejected — they would need a rewrite
+        (and can silently lose data), which `replace_where`/`compact`
+        on a re-typed frame expresses honestly."""
+        parent = self.manifest()
+        if parent["schema"] is None:
+            raise ValueError("empty table has no schema to evolve")
+        from pyspark.sql.types import StructField
+        schema = StructType.fromJson(json.loads(parent["schema"]))
+        field = next((f for f in schema.fields if f.name == name), None)
+        if field is None:
+            raise ValueError(f"cannot widen absent column {name!r}")
+        new_dt = StructType.fromDDL(f"`{name}` {new_type_ddl}") \
+            .fields[0].dataType
+        if not _widenable(field.dataType, new_dt):
+            raise ValueError(
+                f"{field.dataType.simpleString()} -> "
+                f"{new_dt.simpleString()} is not a lossless widening "
+                "(allowed: byte/short/int -> wider int, float -> double)")
+        new_schema = StructType([
+            StructField(f.name, new_dt if f.name == name else f.dataType,
+                        f.nullable, dict(f.metadata or {}))
+            for f in schema.fields
+        ])
+        # the central era logic carries the fid by name and bumps the era
+        return self._commit(
+            parent["files"], "evolve", parent, new_schema.json(),
+            {"widened_columns": {name: new_type_ddl}},
+        )
+
     def aligned(self, df: DataFrame) -> DataFrame:
         """`df` upgraded to the current snapshot schema: missing NULLABLE
         columns are added as typed NULLs and columns are reordered —
@@ -974,8 +1160,17 @@ class SnapshotTable:
                 f"frame carries columns unknown to the snapshot schema: "
                 f"{extra}; call evolve_add_columns first (or drop them)")
         out = df
+        writer_types = dict(zip(df.schema.names,
+                                [f.dataType for f in df.schema.fields]))
         for f in schema.fields:
             if f.name in out.columns:
+                # a pre-widen writer's narrow column upcasts losslessly;
+                # anything else passes through (and the schema pin at
+                # commit time stays the arbiter)
+                wt = writer_types[f.name]
+                if wt != f.dataType and _widenable(wt, f.dataType):
+                    out = out.withColumn(f.name,
+                                         F.col(f.name).cast(f.dataType))
                 continue
             if not f.nullable:
                 raise ValueError(
@@ -996,9 +1191,10 @@ class SnapshotTable:
         if probe_keys is None:
             return [], list(parent["files"])
         h = _bloom_hash(list(probe_keys))
+        nm = self._stat_lookup(parent, col)
         kept, might = [], []
         for f in parent["files"]:
-            b = f.get("bloom", {}).get(col)
+            b = f.get("bloom", {}).get(nm(f))
             if b is None or _bloom_any_match(b, h):
                 might.append(f)
             else:
@@ -1195,9 +1391,78 @@ class SnapshotTable:
         schema = StructType.fromJson(json.loads(m["schema"]))
         if not files:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.table_dir, f["path"]) for f in files]
-        )
+        eras = m.get("schemas")
+        cur_sid = m.get("schema_sid")
+        groups: dict = {}
+        for f in files:
+            groups.setdefault(f.get("sid"), []).append(f)
+        if not eras or set(groups) <= {None, cur_sid}:
+            return self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.table_dir, f["path"]) for f in files]
+            )
+        # files from older schema ERAS: read each era with the schema its
+        # files were written under, then map era fields to the current
+        # shape by stable fid — renamed columns re-alias, widened columns
+        # cast, columns added since materialize NULL, dropped ones prune
+        # (the projection pushes into the scan, so dropped-column bytes
+        # are never read). One union per era present in the file set.
+        from pyspark.sql import functions as F
+
+        parts = []
+        for sid, fs in groups.items():
+            paths = [os.path.join(self.table_dir, f["path"]) for f in fs]
+            if sid in (None, cur_sid):
+                parts.append(self.spark.read.schema(schema).parquet(*paths))
+                continue
+            era = StructType.fromJson(json.loads(eras[str(sid)]))
+            by_fid = {_fid(fld): fld for fld in era.fields
+                      if _fid(fld) is not None}
+            raw = self.spark.read.schema(era).parquet(*paths)
+            cols = []
+            for fld in schema.fields:
+                src = by_fid.get(_fid(fld)) if _fid(fld) is not None else None
+                if src is None:
+                    cols.append(F.lit(None).cast(fld.dataType)
+                                .alias(fld.name))
+                elif src.dataType == fld.dataType:
+                    cols.append(F.col(src.name).alias(fld.name))
+                else:
+                    cols.append(F.col(src.name).cast(fld.dataType)
+                                .alias(fld.name))
+            parts.append(raw.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _stat_lookup(self, m: dict, col: str):
+        """entry -> the name under which this entry's footer stats and
+        bloom were recorded for current-schema column `col` (None when
+        the entry's era has no such field: stats unknown, never pruned).
+        Identity unless the manifest tracks eras and the entry predates
+        a rename of `col`."""
+        eras = m.get("schemas")
+        if not eras:
+            return lambda f: col
+        cur_sid = m.get("schema_sid")
+        cur = StructType.fromJson(json.loads(m["schema"]))
+        fid = next((_fid(f) for f in cur.fields if f.name == col), None)
+        cache: dict = {}
+
+        def name_for(sid):
+            if sid not in cache:
+                era = StructType.fromJson(json.loads(eras[str(sid)]))
+                cache[sid] = next(
+                    (f.name for f in era.fields if _fid(f) == fid), None)
+            return cache[sid]
+
+        def lookup(f):
+            sid = f.get("sid")
+            if sid in (None, cur_sid) or fid is None:
+                return col
+            return name_for(sid)
+
+        return lookup
 
     def read(self, version: int | None = None, as_of: float | None = None,
              tag: str | None = None) -> DataFrame:
@@ -1216,10 +1481,11 @@ class SnapshotTable:
         if m["version"] == 0:
             raise ValueError("table has no snapshots yet")
         lo_s, hi_s = _bound_safe(lo), _bound_safe(hi)
+        nm = self._stat_lookup(m, col)
         live = [
             f for f in m["files"]
-            if f["min"].get(col) is None or f["max"].get(col) is None
-            or not (f["max"][col] < lo_s or f["min"][col] > hi_s)
+            if f["min"].get(nm(f)) is None or f["max"].get(nm(f)) is None
+            or not (f["max"][nm(f)] < lo_s or f["min"][nm(f)] > hi_s)
         ]
         from pyspark.sql import functions as F
         return self._read_files(m, live).filter(
@@ -1240,10 +1506,11 @@ class SnapshotTable:
         live = m["files"]
         for col, (lo, hi) in preds.items():
             lo_s, hi_s = _bound_safe(lo), _bound_safe(hi)
+            nm = self._stat_lookup(m, col)
             live = [
                 f for f in live
-                if f["min"].get(col) is None or f["max"].get(col) is None
-                or not (f["max"][col] < lo_s or f["min"][col] > hi_s)
+                if f["min"].get(nm(f)) is None or f["max"].get(nm(f)) is None
+                or not (f["max"][nm(f)] < lo_s or f["min"][nm(f)] > hi_s)
             ]
         from pyspark.sql import functions as F
         out = self._read_files(m, live)
@@ -1361,13 +1628,14 @@ class SnapshotTable:
         """
         parent = self.manifest()
         cut_s = _bound_safe(cutoff)
+        nm = self._stat_lookup(parent, col)
         kept, gone, straddle = [], [], []
         for f in parent["files"]:
-            fmin = f["min"].get(col)
-            fmax = f["max"].get(col)
+            fmin = f["min"].get(nm(f))
+            fmax = f["max"].get(nm(f))
             if fmin is None or fmax is None:
                 straddle.append(f)  # no stats -> must inspect rows
-            elif fmax < cut_s and not _may_have_nulls(f, col):
+            elif fmax < cut_s and not _may_have_nulls(f, nm(f)):
                 gone.append(f)
             elif fmin >= cut_s:
                 kept.append(f)

@@ -155,3 +155,138 @@ class TestReviewHardening:
         src.delete_below("ts", T0 + dt.timedelta(minutes=1))
         with pytest.raises(Exception):
             cagg.refresh()  # value_col gone: loud, not silently stale
+
+
+class TestRenameColumn:
+    """Renames resolve by stable field ids (schema eras): old files keep
+    their bytes and read through a per-era fid mapping; stats and blooms
+    recorded under the old name still prune predicates on the new one."""
+
+    def test_rename_reads_old_files_under_new_name(self, spark, table):
+        files_before = {f["path"] for f in table.manifest()["files"]}
+        v_pre = table.current_version()
+        table.evolve_rename_column("value", "score")
+        m = table.manifest()
+        assert {f["path"] for f in m["files"]} == files_before  # no data IO
+        got = table.read()
+        assert "score" in got.columns and "value" not in got.columns
+        assert sorted(r["score"] for r in got.collect()) == [
+            0.0, 1.0, 2.0, 3.0, 4.0]
+        # time travel shows the pre-rename shape
+        assert "value" in table.read(version=v_pre).columns
+
+    def test_rename_then_append_unions_eras(self, spark, table):
+        table.evolve_rename_column("value", "score")
+        new = _turns(spark, ["b"]).withColumnRenamed("value", "score")
+        table.append(new)
+        got = table.read()
+        assert got.count() == 10
+        per = {r["conv_id"]: r["s"] for r in
+               got.groupBy("conv_id").agg(F.sum("score").alias("s")).collect()}
+        assert per == {"a": 10.0, "b": 10.0}
+        # both eras retained in the manifest's schema log
+        m = table.manifest()
+        assert len({f["sid"] for f in m["files"]}) == 2
+        assert set(m["schemas"]) >= {str(s) for s in
+                                     {f["sid"] for f in m["files"]}}
+
+    def test_rename_then_reuse_old_name(self, spark, table):
+        """A column ADDED with the renamed column's OLD name is a NEW
+        field: old rows read NULL for it, and the old bytes map to the
+        renamed field — name collision cannot resurrect old data."""
+        table.evolve_rename_column("value", "score")
+        table.evolve_add_columns({"value": "string"})
+        got = table.read()
+        rows = got.collect()
+        assert all(r["value"] is None for r in rows)
+        assert sorted(r["score"] for r in rows) == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+    def test_rename_prunes_with_old_name_stats(self, spark, tmp_path):
+        t = SnapshotTable(spark, str(tmp_path), "pr", stats_cols=("k",))
+        t.append(spark.range(0, 4000, 1, 1).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")),
+            target_files=8)
+        t.evolve_rename_column("k", "key")
+        m = t.manifest()
+        nm = t._stat_lookup(m, "key")
+        live = [f for f in m["files"]
+                if f["min"].get(nm(f)) is None
+                or not (f["max"][nm(f)] < 0 or f["min"][nm(f)] > 499)]
+        assert 1 <= len(live) <= 2 < len(m["files"])
+        got = t.read_where("key", 0, 499)
+        assert got.count() == 500
+
+    def test_rename_bloom_probe_translates(self, spark, tmp_path):
+        t = SnapshotTable(spark, str(tmp_path), "bl", stats_cols=("ts",),
+                          bloom_cols=("conv_id",))
+        t.append(_turns(spark, ["a"]))
+        t.append(_turns(spark, ["b"]))
+        t.evolve_rename_column("conv_id", "conversation")
+        might, total = t.files_for_keys("conversation", ["b"])
+        assert total == 2 and len(might) == 1
+        got = t.read_containing("conversation", ["b"])
+        assert set(r["conversation"] for r in got.collect()) == {"b"}
+
+    def test_rename_replace_where_carries_and_rewrites(self, spark, table):
+        table.append(_turns(spark, ["a"], day=1))
+        table.evolve_rename_column("value", "score")
+        lo, hi = T0 + dt.timedelta(days=1), T0 + dt.timedelta(days=1,
+                                                              minutes=30)
+        fixed = _turns(spark, ["a"], day=1) \
+            .withColumnRenamed("value", "score") \
+            .withColumn("score", F.col("score") + 100.0)
+        before = {f["path"] for f in table.manifest()["files"]}
+        table.replace_where(fixed, "ts", lo, hi)
+        m = table.manifest()
+        # the day-0 old-era file carried by reference, bitwise untouched
+        assert any(f["path"] in before for f in m["files"])
+        got = table.read()
+        day0 = got.filter(F.col("ts") < F.lit(lo)).collect()
+        day1 = got.filter(F.col("ts") >= F.lit(lo)).collect()
+        assert sorted(r["score"] for r in day0) == [0.0, 1.0, 2.0, 3.0, 4.0]
+        assert sorted(r["score"] for r in day1) == [100.0, 101.0, 102.0,
+                                                    103.0, 104.0]
+
+    def test_compact_upgrades_era(self, spark, table):
+        table.append(_turns(spark, ["b"]))
+        table.evolve_rename_column("value", "score")
+        table.compact(min_group=2)
+        m = table.manifest()
+        assert {f["sid"] for f in m["files"]} == {m["schema_sid"]}
+        assert table.read().count() == 10
+
+    def test_rename_rejects_collision_and_absent(self, spark, table):
+        with pytest.raises(ValueError, match="already exists"):
+            table.evolve_rename_column("value", "ts")
+        with pytest.raises(ValueError, match="absent"):
+            table.evolve_rename_column("nope", "x")
+
+
+class TestWidenColumn:
+    def test_widen_casts_old_files(self, spark, tmp_path):
+        t = SnapshotTable(spark, str(tmp_path), "w", stats_cols=("k",))
+        t.append(spark.range(5).select(
+            F.col("id").cast("int").alias("k"),
+            F.col("id").cast("float").alias("v")))
+        t.evolve_widen_column("k", "long")
+        t.evolve_widen_column("v", "double")
+        got = t.read()
+        assert dict(got.dtypes) == {"k": "bigint", "v": "double"}
+        assert sorted(r["k"] for r in got.collect()) == [0, 1, 2, 3, 4]
+        # new writers append wide; aligned() upcasts a narrow legacy frame
+        t.append(spark.range(5, 8).select(
+            F.col("id").alias("k"), F.col("id").cast("double").alias("v")))
+        legacy = spark.range(8, 10).select(
+            F.col("id").cast("int").alias("k"),
+            F.col("id").cast("float").alias("v"))
+        t.append(t.aligned(legacy))
+        assert t.read().count() == 10
+        assert t.read_where("k", 8, 9).count() == 2
+
+    def test_widen_rejects_lossy(self, spark, tmp_path):
+        t = SnapshotTable(spark, str(tmp_path), "w2", stats_cols=())
+        t.append(spark.range(3).select(F.col("id").alias("k")))
+        with pytest.raises(ValueError, match="not a lossless widening"):
+            t.evolve_widen_column("k", "int")
+        with pytest.raises(ValueError, match="not a lossless widening"):
+            t.evolve_widen_column("k", "string")
