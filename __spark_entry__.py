@@ -1527,11 +1527,20 @@ def q_feature_pack_all(spark, sf_dir):
 
     def _guarded(col: str) -> F.Column:
         twin = F.col(certified[col])
+        udf = F.col(col)
+        # NaN is NOT a free pass: a kernel whose failure mode is NaN
+        # (0/0, empty window) must fail the certificate when the SQL
+        # twin holds a real value — NaN certifies only against a NULL
+        # or NaN twin (both mean "undefined for this series"). A NULL
+        # UDF value against a non-NULL twin also throws (ok -> SQL
+        # NULL routes to the guard): the kernel lost a value the SQL
+        # path could compute.
         ok = (
             twin.isNull()
-            | F.isnan(F.col(col))
-            | (F.abs(F.col(col) - twin)
-               <= F.lit(1e-6) * F.greatest(F.lit(1.0), F.abs(twin)))
+            | (F.isnan(udf) & F.isnan(twin))
+            | (~F.isnan(udf)
+               & (F.abs(udf - twin)
+                  <= F.lit(1e-6) * F.greatest(F.lit(1.0), F.abs(twin))))
         )
         guard = F.raise_error(
             F.format_string(

@@ -980,12 +980,14 @@ def run_manifest_scale() -> dict:
             # narrow range: prune sweep visits all n entries, ~10 survive
             t0 = time.time()
             df = tbl.read_where("k", 5 * width, 15 * width - 1, version=v)
+            prune_s = time.time() - t0
+            # survivor count recomputed OUTSIDE the timed window (it is
+            # its own O(n) sweep and would double the reported cost)
             k = len([
                 f for f in m["files"]
                 if not (f["max"]["k"] < 5 * width
                         or f["min"]["k"] > 15 * width - 1)
             ])
-            prune_s = time.time() - t0
             materialize(df)
             legs.append({
                 "n_files": n,

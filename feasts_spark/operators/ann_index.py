@@ -275,7 +275,20 @@ class AnnIndexView:
         # budget allows is strictly worse than retraining (the recompute
         # rewrites + reassigns them against a quantizer that churn this
         # large has likely invalidated anyway) — same threshold as the
-        # append-growth path
+        # append-growth path. The threshold is checked on the EXACT
+        # distinct-id count, which costs one delta-sized job that the
+        # escape then discards; a manifest-level rows-in-changed-files
+        # bound would be free but is unusable here: COW rewrite
+        # amplification (a one-id upsert on a bloom-less table rewrites
+        # whole files, whose carried rows all count as "changed") makes
+        # it exceed any threshold for arbitrarily small real deltas, and
+        # a falsely-triggered retrain costs a full table scan + kmeans.
+        # The discarded job is delta-sized against an immediately-
+        # following table-sized retrain, so exactness is the cheap side.
+        # (the checkpoint blocks behind `dirty` are released by Spark's
+        # ContextCleaner once this frame drops out of scope on the
+        # escape return — Dataset.unpersist only touches the cache
+        # manager, not localCheckpoint storage)
         if trained and n_dirty / trained > self.retrain_growth:
             return self.refresh(force_retrain=True)
         # 1) clear the dirty keys. The id set stays a DataFrame end to

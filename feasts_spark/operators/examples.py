@@ -91,9 +91,20 @@ def doc_stream_offsets(
         n_tok.alias("n_tokens"),
     )
     if n_chunks > 1:
+        # PINNED: `chunked` feeds two branches (per-chunk totals and the
+        # in-chunk window), and RangePartitioner samples its boundaries
+        # with a plan-instance-dependent seed — without the pin, the two
+        # branches plan two INDEPENDENT range exchanges (Catalyst
+        # duplicates the subtree; only optimizer exchange reuse may
+        # merge them, the same fragility conv_flow_sketch documents), and
+        # divergent boundary sets would join a row's _chunk to the other
+        # sampling's _chunk_off: silently wrong offsets. The pin
+        # materializes one boundary decision; the frame is 3 narrow
+        # columns, so the checkpoint is cheap relative to the scan.
         chunked = base.repartitionByRange(
             int(n_chunks), F.col(stream_col), F.col(id_col)
-        ).withColumn("_chunk", F.spark_partition_id())
+        ).withColumn("_chunk", F.spark_partition_id()) \
+            .localCheckpoint(eager=True)
         sums = chunked.groupBy(stream_col, "_chunk").agg(
             F.sum("n_tokens").alias("_chunk_sum")
         )

@@ -132,24 +132,32 @@ def _fid_annotated(schema: StructType, next_fid: int,
                    ) -> tuple[StructType, int]:
     """`schema` with a stable integer `fid` in every top-level field's
     metadata — the Iceberg-field-ID equivalent that makes renames and
-    type widenings resolvable per file era. Fields already carrying a
-    fid keep it; otherwise a same-NAME field of `carry_from` donates
-    its fid (add/drop/widen keep identity by name); otherwise the field
-    is new and takes the next id."""
+    type widenings resolvable per file era.
+
+    Field identity is decided HERE, never taken from the incoming
+    schema: only the table's own canonical manifests are authoritative
+    for fids, and a writer frame produced by reading ANOTHER snapshot
+    table carries that table's fids in its metadata — trusting those
+    would seed this table with foreign ids (and next_fid=0), so a later
+    evolve_add could mint a DUPLICATE fid and era reads would silently
+    resurrect the wrong column's bytes. A same-NAME field of
+    `carry_from` (this table's parent schema) donates its fid
+    (add/drop/widen keep identity by name); any other field is new and
+    takes the next id. `next_fid` is also advanced past every carried
+    fid, so ids stay unique even across unusual histories."""
     from pyspark.sql.types import StructField
 
     by_name = {f.name: _fid(f) for f in carry_from.fields} if carry_from \
         else {}
     fields = []
     for f in schema.fields:
-        fid = _fid(f)
-        if fid is None:
-            fid = by_name.get(f.name)
+        fid = by_name.get(f.name)
         if fid is None:
             fid, next_fid = next_fid, next_fid + 1
-        md = dict(f.metadata or {})
+        md = {k: v for k, v in dict(f.metadata or {}).items() if k != "fid"}
         md["fid"] = fid
         fields.append(StructField(f.name, f.dataType, f.nullable, md))
+    next_fid = max([next_fid] + [_fid(f) + 1 for f in fields])
     return StructType(fields), next_fid
 
 

@@ -92,9 +92,11 @@ def test_feature_certificate_throws_on_corrupted_kernel(spark):
     joined = pack.join(twin, "series_key")
     ok = (
         F.col("c_acf1").isNull()
-        | F.isnan(F.col("acf1"))
-        | (F.abs(F.col("acf1") - F.col("c_acf1"))
-           <= F.lit(1e-6) * F.greatest(F.lit(1.0), F.abs(F.col("c_acf1"))))
+        | (F.isnan(F.col("acf1")) & F.isnan(F.col("c_acf1")))
+        | (~F.isnan(F.col("acf1"))
+           & (F.abs(F.col("acf1") - F.col("c_acf1"))
+              <= F.lit(1e-6) * F.greatest(F.lit(1.0),
+                                          F.abs(F.col("c_acf1")))))
     )
     guard = F.raise_error(F.lit("feature certificate violated")) \
         .cast("double")
@@ -108,6 +110,21 @@ def test_feature_certificate_throws_on_corrupted_kernel(spark):
     )
     with pytest.raises(Exception, match="feature certificate violated"):
         bad.collect()
+
+    # a kernel whose failure mode is NaN must ALSO throw when the twin
+    # holds a real value (NaN was a certificate blind spot once)
+    nan_bad = joined.withColumn(
+        "acf1", F.lit(float("nan")).cast("double")
+    ).select(F.when(ok, F.col("acf1")).otherwise(guard).alias("v"))
+    with pytest.raises(Exception, match="feature certificate violated"):
+        nan_bad.collect()
+
+    # and a NULL kernel value against a real twin throws too
+    null_bad = joined.withColumn(
+        "acf1", F.lit(None).cast("double")
+    ).select(F.when(ok, F.col("acf1")).otherwise(guard).alias("v"))
+    with pytest.raises(Exception, match="feature certificate violated"):
+        null_bad.collect()
 
 
 def test_conv_flow_sketch_certificate_throws_on_drift(spark, sf_dir,

@@ -290,3 +290,32 @@ class TestWidenColumn:
             t.evolve_widen_column("k", "int")
         with pytest.raises(ValueError, match="not a lossless widening"):
             t.evolve_widen_column("k", "string")
+
+
+class TestForeignFidHygiene:
+    """A writer frame read from ANOTHER snapshot table carries that
+    table's fid metadata; trusting it would seed this table with foreign
+    ids and next_fid=0, letting a later ADD COLUMN mint a duplicate fid —
+    era reads would then resurrect the wrong column's bytes. Field
+    identity must be assigned by THIS table only."""
+
+    def test_foreign_fids_are_stripped_on_first_commit(self, spark,
+                                                       tmp_path):
+        t1 = SnapshotTable(spark, str(tmp_path), "src", stats_cols=("k",))
+        t1.append(spark.range(5).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")))
+        t2 = SnapshotTable(spark, str(tmp_path), "dst", stats_cols=("k",))
+        t2.append(t1.read())  # frame carries t1's fid metadata
+        m = t2.manifest()
+        sch = T.StructType.fromJson(__import__("json").loads(m["schema"]))
+        fids = [f.metadata.get("fid") for f in sch.fields]
+        assert sorted(fids) == [0, 1]
+        assert m["next_fid"] == 2
+        # the collision chain from the review: add + rename, then verify
+        # old rows read NULL for the added column (not k's bytes)
+        t2.evolve_add_columns({"x": "string"})
+        t2.evolve_rename_column("v", "val")
+        rows = t2.read().collect()
+        assert all(r["x"] is None for r in rows)
+        assert sorted(r["val"] for r in rows) == [0.0, 2.0, 4.0, 6.0, 8.0]
+        assert sorted(r["k"] for r in rows) == [0, 1, 2, 3, 4]
