@@ -98,13 +98,15 @@ def doc_stream_offsets(
         # duplicates the subtree; only optimizer exchange reuse may
         # merge them, the same fragility conv_flow_sketch documents), and
         # divergent boundary sets would join a row's _chunk to the other
-        # sampling's _chunk_off: silently wrong offsets. The pin
-        # materializes one boundary decision; the frame is 3 narrow
-        # columns, so the checkpoint is cheap relative to the scan.
+        # sampling's _chunk_off: silently wrong offsets. localCheckpoint
+        # converts the plan to ONE shared RDD immediately (a single
+        # shuffle instance = a single boundary decision) even with
+        # eager=False, which keeps the operator lazy — no job runs until
+        # the caller acts; the 3-column frame persists on first compute.
         chunked = base.repartitionByRange(
             int(n_chunks), F.col(stream_col), F.col(id_col)
         ).withColumn("_chunk", F.spark_partition_id()) \
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         sums = chunked.groupBy(stream_col, "_chunk").agg(
             F.sum("n_tokens").alias("_chunk_sum")
         )
