@@ -353,7 +353,7 @@ def main() -> None:
             word_freqs(docs),
         "bpe_encode (map-only: broadcast ranks, per-batch word cache, no shuffle)":
             bpe_encode(docs, _merges),
-        "doc_stream_offsets (two-phase prefix sum: tiny per-chunk totals + broadcast chunk offsets + in-chunk windows; parallelism = n_chunks per stream, not 1)":
+        "doc_stream_offsets (two-phase prefix sum over ONE pinned range-chunk RDD — a single boundary decision feeds both the chunk totals and the in-chunk windows; parallelism = n_chunks per stream, not 1)":
             doc_stream_offsets(docs, 400),
         "doc_stream_offsets n_chunks=1 (legacy single source-keyed window: ONE task per stream — small-corpus / oracle shape)":
             doc_stream_offsets(docs, 400, n_chunks=1),
