@@ -1280,23 +1280,51 @@ FROM events GROUP BY 1, 3
 # Decompositions
 # ---------------------------------------------------------------------------
 
-def q_classical_additive_1d(spark, sf_dir):
-    from feasts_spark.operators.decompose import classical_decomposition
+def q_decomp_methods_1d(spark, sf_dir):
+    """Classical + X-11-method decomposition of the daily rollup, one row
+    per (series, bucket, method). Classical covers reference
+    classical_decomposition() (decomposition.R); the x11 leg covers the
+    X-11 METHOD itself (reference X11(), x11.R:19-91, shells to the
+    external Census binary — provenance and algorithm in kernels/x11.py).
+    Both legs are all-JVM window/broadcast plans; the oracle twin
+    re-derives the full B1-B12 iteration INCLUDING the Henderson/Musgrave
+    weights from their closed forms in pure SQL."""
+    from feasts_spark.operators.decompose import (
+        classical_decomposition,
+        x11_decomposition,
+    )
     from feasts_spark.operators.rollup import rollup_raw
 
     _utc(spark)
     r = rollup_raw(_events(spark, sf_dir), "1d", "user_id", "ts", "value")
-    out = classical_decomposition(r, period=7, type="additive", value_col="val_avg")
-    return out.select(
-        "series_key", "bucket_ts",
+    cl = classical_decomposition(r, period=7, type="additive", value_col="val_avg")
+    cl = cl.select(
+        "series_key", "bucket_ts", F.lit("classical").alias("method"),
         _r4("trend").alias("trend"),
         _r4("seasonal").alias("seasonal"),
-        _r4("random").alias("random"),
+        _r4("random").alias("irregular"),
         _r4("season_adjust").alias("season_adjust"),
     )
+    x11 = x11_decomposition(r, period=7, value_col="val_avg")
+    x11 = x11.select(
+        "series_key", "bucket_ts", F.lit("x11").alias("method"),
+        _r4("trend").alias("trend"),
+        _r4("seasonal").alias("seasonal"),
+        _r4("irregular").alias("irregular"),
+        _r4("season_adjust").alias("season_adjust"),
+    )
+    return cl.unionByName(x11)
 
 
-ORACLE_CLASSICAL_1D = """
+# Classical leg (rows with method='classical') is the round-1 oracle; the
+# x11 leg re-derives the FULL X-11 B1-B12 iteration independently in SQL,
+# including the 9-term Henderson weights from the classical closed form
+# (n = p+2 = 6; denominator 8n(n^2-1)(4n^2-1)(4n^2-9)(4n^2-25) = 3859455600)
+# and the Musgrave asymmetric end weights (R = 1.0 for H<=9, D = 4/pi R^2).
+# The Henderson convolution is a range self-join against the derived
+# (a,b,j,w) weight table — an intentionally different plan shape from the
+# Spark operator's broadcast zip_with, so agreement checks the algorithm.
+ORACLE_DECOMP_1D = """
 WITH r AS (
   SELECT user_id, date_trunc('day', ts) AS bucket_ts, avg(value) AS v
   FROM events GROUP BY 1, 2
@@ -1314,13 +1342,107 @@ WITH r AS (
 ), fig AS (
   SELECT user_id, pos, fr - avg(fr) OVER (PARTITION BY user_id) AS figure
   FROM fig0
+), xs AS (
+  SELECT * FROM (
+    SELECT user_id, bucket_ts, v,
+           row_number() OVER (PARTITION BY user_id ORDER BY bucket_ts) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM r
+  ) WHERE n >= 14
+), xb2 AS (
+  SELECT *, (rn - 1) % 7 AS pos,
+         v - avg(v) OVER wk7 AS si1
+  FROM xs
+  WINDOW wk7 AS (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), xb3 AS (
+  SELECT *,
+    (coalesce(lag(si1, 2) OVER wp, 0) + 2 * coalesce(lag(si1, 1) OVER wp, 0)
+     + 3 * si1
+     + 2 * coalesce(lead(si1, 1) OVER wp, 0) + coalesce(lead(si1, 2) OVER wp, 0))
+    / (CASE WHEN lag(si1, 2) OVER wp IS NULL THEN 0 ELSE 1 END
+       + CASE WHEN lag(si1, 1) OVER wp IS NULL THEN 0 ELSE 2 END + 3
+       + CASE WHEN lead(si1, 1) OVER wp IS NULL THEN 0 ELSE 2 END
+       + CASE WHEN lead(si1, 2) OVER wp IS NULL THEN 0 ELSE 1 END) AS s1r
+  FROM xb2
+  WINDOW wp AS (PARTITION BY user_id, pos ORDER BY rn)
+), xb5 AS (
+  SELECT user_id, bucket_ts, v, rn, n, pos,
+         v - (s1r - avg(s1r) OVER wk7) AS sa1
+  FROM xb3
+  WINDOW wk7 AS (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), hbase AS (
+  SELECT j, 315.0 * (25 - j*j) * (36 - j*j) * (49 - j*j) * (92 - 11*j*j)
+            / 3859455600.0 AS w
+  FROM range(-4, 5) t(j)
+), hdrops AS (
+  SELECT q, sum(w) AS s, sum(w * (j - (q - 4) / 2.0)) AS t
+  FROM range(0, 4) t(q), hbase WHERE j > q GROUP BY q
+), hmusg AS (
+  SELECT d.q, b.j,
+         b.w + d.s / (d.q + 5)
+             + (b.j - (d.q - 4) / 2.0)
+               * ((4.0 / pi())
+                  / (1.0 + (4.0 / pi()) * (d.q + 5)
+                           * ((d.q + 5) * (d.q + 5) - 1) / 12.0))
+               * d.t AS w
+  FROM hdrops d JOIN hbase b ON b.j <= d.q
+), hwtab AS (
+  SELECT 4 AS a, 4 AS b, j, w FROM hbase
+  UNION ALL SELECT 4 AS a, q AS b, j, w FROM hmusg
+  UNION ALL SELECT q AS a, 4 AS b, -j AS j, w FROM hmusg
+), xt2 AS (
+  SELECT t.user_id, t.rn, sum(u.sa1 * wt.w) AS t2
+  FROM xb5 t
+  JOIN hwtab wt ON wt.a = least(t.rn - 1, 4) AND wt.b = least(t.n - t.rn, 4)
+  JOIN xb5 u ON u.user_id = t.user_id AND u.rn = t.rn + wt.j
+  GROUP BY 1, 2
+), xb8 AS (
+  SELECT b.*, b.v - x.t2 AS si2
+  FROM xb5 b JOIN xt2 x ON x.user_id = b.user_id AND x.rn = b.rn
+), xb8b AS (
+  SELECT *,
+    (coalesce(lag(si2, 3) OVER wp, 0) + 2 * coalesce(lag(si2, 2) OVER wp, 0)
+     + 3 * coalesce(lag(si2, 1) OVER wp, 0) + 3 * si2
+     + 3 * coalesce(lead(si2, 1) OVER wp, 0)
+     + 2 * coalesce(lead(si2, 2) OVER wp, 0)
+     + coalesce(lead(si2, 3) OVER wp, 0))
+    / (CASE WHEN lag(si2, 3) OVER wp IS NULL THEN 0 ELSE 1 END
+       + CASE WHEN lag(si2, 2) OVER wp IS NULL THEN 0 ELSE 2 END
+       + CASE WHEN lag(si2, 1) OVER wp IS NULL THEN 0 ELSE 3 END + 3
+       + CASE WHEN lead(si2, 1) OVER wp IS NULL THEN 0 ELSE 3 END
+       + CASE WHEN lead(si2, 2) OVER wp IS NULL THEN 0 ELSE 2 END
+       + CASE WHEN lead(si2, 3) OVER wp IS NULL THEN 0 ELSE 1 END) AS s2r
+  FROM xb8
+  WINDOW wp AS (PARTITION BY user_id, pos ORDER BY rn)
+), xfin AS (
+  SELECT user_id, bucket_ts, rn, n, v,
+         s2r - avg(s2r) OVER wk7 AS seas,
+         v - (s2r - avg(s2r) OVER wk7) AS sa2
+  FROM xb8b
+  WINDOW wk7 AS (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), xtr AS (
+  SELECT t.user_id, t.rn, sum(u.sa2 * wt.w) AS trend
+  FROM xfin t
+  JOIN hwtab wt ON wt.a = least(t.rn - 1, 4) AND wt.b = least(t.n - t.rn, 4)
+  JOIN xfin u ON u.user_id = t.user_id AND u.rn = t.rn + wt.j
+  GROUP BY 1, 2
 )
-SELECT d.user_id AS series_key, d.bucket_ts,
+SELECT d.user_id AS series_key, d.bucket_ts, 'classical' AS method,
        floor(d.trend * 1e4 + 0.500001::DOUBLE) / 1e4 AS trend,
        floor(fig.figure * 1e4 + 0.500001::DOUBLE) / 1e4 AS seasonal,
-       floor((d.v - d.trend - fig.figure) * 1e4 + 0.500001::DOUBLE) / 1e4 AS random,
+       floor((d.v - d.trend - fig.figure) * 1e4 + 0.500001::DOUBLE) / 1e4 AS irregular,
        floor((d.v - fig.figure) * 1e4 + 0.500001::DOUBLE) / 1e4 AS season_adjust
 FROM d JOIN fig ON fig.user_id = d.user_id AND fig.pos = d.pos
+UNION ALL
+SELECT b.user_id AS series_key, b.bucket_ts, 'x11' AS method,
+       floor(x.trend * 1e4 + 0.500001::DOUBLE) / 1e4 AS trend,
+       floor(b.seas * 1e4 + 0.500001::DOUBLE) / 1e4 AS seasonal,
+       floor((b.sa2 - x.trend) * 1e4 + 0.500001::DOUBLE) / 1e4 AS irregular,
+       floor(b.sa2 * 1e4 + 0.500001::DOUBLE) / 1e4 AS season_adjust
+FROM xfin b JOIN xtr x ON x.user_id = b.user_id AND x.rn = b.rn
 """
 
 
@@ -3919,7 +4041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_1h": q_m4_1h,
         "rate_ewma_1h": q_rate_ewma_1h,
         "calendar_profile": q_calendar_profile,
-        "classical_additive_1d": q_classical_additive_1d,
+        "decomp_methods_1d": q_decomp_methods_1d,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "ngram_jaccard": q_ngram_jaccard,
@@ -3976,7 +4098,7 @@ def oracle_sql() -> dict[str, str]:
         "m4_1h": ORACLE_M4_1H,
         "rate_ewma_1h": _rate_ewma_oracle(),
         "calendar_profile": ORACLE_CALENDAR_PROFILE,
-        "classical_additive_1d": ORACLE_CLASSICAL_1D,
+        "decomp_methods_1d": ORACLE_DECOMP_1D,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "text_stats": ORACLE_TEXT_STATS,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
