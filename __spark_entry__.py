@@ -2837,20 +2837,28 @@ def q_phillips_ouliaris_1h(spark, sf_dir):
         F.col("n_points").cast("double").alias("x"),
     )
     cols = ["phillips_ouliaris_stat", "phillips_ouliaris_pvalue"]
+    # unrounded SQL-expressible intermediates for the in-plan certificate
+    # joined on by q_cointegration_1h (dropped from its final output)
+    icols = ["po_n", "po_lmax", "po_ssr", "po_beta", "po_sum_dy2",
+             "po_sum_dydy1"]
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("bucket_ts", kind="mergesort")
         try:
             res = cointegration_phillips_ouliaris(
-                pdf["y"].to_numpy(np.float64), pdf["x"].to_numpy(np.float64)
+                pdf["y"].to_numpy(np.float64), pdf["x"].to_numpy(np.float64),
+                internals=True,
             )
         except Exception:
             res = {}
         row = {"series_key": pdf["series_key"].iloc[0]}
         row.update({c: round(res[c], 4) if c in res else None for c in cols})
+        row.update({c: res.get(c) for c in icols})
         return pd.DataFrame([row])
 
-    schema = ", ".join(["series_key long"] + [f"{c} double" for c in cols])
+    schema = ", ".join(
+        ["series_key long"] + [f"{c} double" for c in cols + icols]
+    )
     return r.groupBy("series_key").applyInPandas(fn, schema=schema)
 
 
@@ -3279,12 +3287,154 @@ JOIN pk USING (doc_id)
 
 def q_cointegration_1h(spark, sf_dir):
     """Johansen + Phillips-Ouliaris cointegration of each user's paired
-    hourly series, merged on series_key into one registry slot (both
-    rows-only: eigen decompositions + MC critical tables; exactness pinned
-    in tests/test_cointegration.py)."""
+    hourly series, merged on series_key into one registry slot (rows-only:
+    eigen decompositions + MC critical tables have no DuckDB twin;
+    exactness pinned in tests/test_cointegration.py).
+
+    The row carries TWO in-plan certificates (the q_stl_decomp_suite
+    raise_error pattern), so a green driver row is machine-checked
+    evidence, not just a row count:
+
+    - `cert_johansen_ok`: the trace statistic must equal the sum of the
+      max-eigen statistics (trace(r=0) = -NΣlog(1-λi) = Σ max-eigen by
+      construction), the eigen stats must be nonnegative and descending
+      (λ sorted), and every interpolated p-value must lie in the clamped
+      stats::approx range [0.01, 0.10].
+    - `cert_po_twin_ok`: the PO kernel emits its SQL-expressible
+      intermediates (no-intercept OLS slope + SSR, and the lag-0/lag-1
+      moments of Δy — the latter ORDER-SENSITIVE, so they certify the
+      kernel saw rows in bucket_ts order) and each is recomputed in pure
+      SQL over the SAME pair frame inside this plan; |Δ| > 1e-6·max(1,
+      |twin|) throws.
+
+    A corrupted kernel or a scrambled sort makes the query THROW (pinned
+    in tests/test_entry_contract.py)."""
     j = q_johansen_1h(spark, sf_dir)
     p = q_phillips_ouliaris_1h(spark, sf_dir)
-    return j.join(p, "series_key")
+
+    # pure-SQL twin of the PO kernel intermediates over the same pair frame
+    pair = _hourly_pair(spark, sf_dir).select(
+        "series_key", "bucket_ts",
+        F.col("val_avg").alias("y"),
+        F.col("n_points").cast("double").alias("x"),
+    )
+    w = W.partitionBy("series_key").orderBy("bucket_ts")
+    d = pair.withColumn("dy", F.col("y") - F.lag("y").over(w))
+    d = d.withColumn("dy1", F.lag("dy").over(w))
+    twin = (
+        d.groupBy("series_key")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("t_n"),
+            F.sum(F.col("x") * F.col("y")).alias("t_sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("t_sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("t_syy"),
+            F.sum(F.col("dy") * F.col("dy")).alias("t_sum_dy2"),
+            F.sum(F.col("dy") * F.col("dy1")).alias("t_sum_dydy1"),
+        )
+        .select(
+            "series_key",
+            "t_n",
+            F.floor(
+                F.lit(4.0) * F.pow(F.col("t_n") / F.lit(100.0), F.lit(0.25))
+            ).cast("double").alias("t_lmax"),
+            (F.col("t_sxy") / F.col("t_sxx")).alias("t_beta"),
+            (F.col("t_syy") - F.col("t_sxy") * F.col("t_sxy") / F.col("t_sxx"))
+            .alias("t_ssr"),
+            "t_syy",
+            "t_sum_dy2",
+            F.coalesce(F.col("t_sum_dydy1"), F.lit(0.0)).alias("t_sum_dydy1"),
+        )
+    )
+    out = j.join(p, "series_key").join(twin, "series_key")
+
+    po_pairs = {
+        "po_n": "t_n",
+        "po_lmax": "t_lmax",
+        "po_beta": "t_beta",
+        "po_ssr": "t_ssr",
+        "po_sum_dy2": "t_sum_dy2",
+        "po_sum_dydy1": "t_sum_dydy1",
+    }
+    po_ok = F.lit(True)
+    for k, t in po_pairs.items():
+        tol = F.lit(1e-6) * F.greatest(F.lit(1.0), F.abs(F.col(t)))
+        if k == "po_ssr":
+            # the twin's syy - sxy^2/sxx form cancels catastrophically when
+            # the OLS fit is tight; bound that by eps-scaled syy
+            tol = tol + F.lit(1e-10) * F.abs(F.col("t_syy"))
+        po_ok = po_ok & (F.abs(F.col(k) - F.col(t)) <= tol)
+    po_ok = po_ok & (
+        (F.col("phillips_ouliaris_pvalue") >= F.lit(0.0099))
+        & (F.col("phillips_ouliaris_pvalue") <= F.lit(0.1001))
+    )
+    po_guard = F.raise_error(
+        F.format_string(
+            "phillips-ouliaris twin certificate violated: series=%s "
+            + " ".join(f"{k}=%s {t}=%s" for k, t in po_pairs.items()),
+            F.col("series_key").cast("string"),
+            *[
+                c.cast("string")
+                for k, t in po_pairs.items()
+                for c in (F.col(k), F.col(t))
+            ],
+        )
+    ).cast("boolean")
+
+    p_in_range = lambda c: (  # noqa: E731  stats::approx rule=2 clamp
+        (F.col(c) >= F.lit(0.0099)) & (F.col(c) <= F.lit(0.1001))
+    )
+    jo_ok = (
+        (
+            F.abs(
+                F.col("johansen_trace_r0")
+                - (F.col("johansen_stat_r0") + F.col("johansen_stat_r1"))
+            )
+            <= F.lit(5e-4)  # each term independently rounded to 4dp
+        )
+        & (F.col("johansen_stat_r1") >= F.lit(-1e-9))
+        & (F.col("johansen_stat_r0") >= F.col("johansen_stat_r1") - F.lit(1e-9))
+        & p_in_range("johansen_pvalue_r0")
+        & p_in_range("johansen_pvalue_r1")
+        & p_in_range("johansen_trace_pvalue_r0")
+    )
+    jo_guard = F.raise_error(
+        F.format_string(
+            "johansen certificate violated: series=%s stat_r0=%s stat_r1=%s "
+            "trace_r0=%s",
+            F.col("series_key").cast("string"),
+            F.col("johansen_stat_r0").cast("string"),
+            F.col("johansen_stat_r1").cast("string"),
+            F.col("johansen_trace_r0").cast("string"),
+        )
+    ).cast("boolean")
+
+    keep = [
+        "johansen_stat_r0", "johansen_stat_r1", "johansen_pvalue_r0",
+        "johansen_pvalue_r1", "johansen_trace_r0", "johansen_trace_pvalue_r0",
+        "phillips_ouliaris_stat", "phillips_ouliaris_pvalue",
+    ]
+    # a kernel may legitimately declare a series undefined (singular
+    # moment matrix, constant regressor -> res={}): ALL its outputs are
+    # NULL together and the certificate is NULL (visibly unchecked in the
+    # driver hash). A PARTIALLY-null row is a bug and still throws.
+    jo_null = F.lit(True)
+    for c in keep[:6]:
+        jo_null = jo_null & F.col(c).isNull()
+    po_null = F.col("phillips_ouliaris_stat").isNull()
+    for k in po_pairs:
+        po_null = po_null & F.col(k).isNull()
+    return out.select(
+        "series_key",
+        *keep,
+        F.when(jo_null, F.lit(None).cast("boolean"))
+        .when(jo_ok, F.lit(True))
+        .otherwise(jo_guard)
+        .alias("cert_johansen_ok"),
+        F.when(po_null, F.lit(None).cast("boolean"))
+        .when(po_ok, F.lit(True))
+        .otherwise(po_guard)
+        .alias("cert_po_twin_ok"),
+    )
 
 
 def q_stl_decomp_suite(spark, sf_dir):

@@ -193,7 +193,20 @@ def _po_stats(z: np.ndarray, demean: str = "none", lags: str = "short") -> dict:
     pu = T * omega112 / (float(u @ u) / T)
     mzz = ztil.T @ ztil / T
     pz = T * float(np.trace(omega @ np.linalg.inv(mzz)))
-    return {"Pu": pu, "Pz": pz}
+    # SQL-expressible intermediates for in-plan certificates: the no-intercept
+    # OLS slope + SSR (order-invariant: prove the kernel consumed the right
+    # rows) and the lag-0/lag-1 moments of Δy (order-SENSITIVE: prove the
+    # per-key sort the kernel saw matches ORDER BY bucket_ts). beta only has
+    # a scalar twin in the bivariate demean="none" spec used by the feature.
+    internals = {
+        "po_n": float(T),
+        "po_lmax": float(lmax),
+        "po_ssr": float(u @ u),
+        "po_beta": float(beta[0]) if (m == 2 and demean == "none") else None,
+        "po_sum_dy2": float(xi[:, 0] @ xi[:, 0]),
+        "po_sum_dydy1": float(xi[1:, 0] @ xi[:-1, 0]) if xi.shape[0] > 1 else 0.0,
+    }
+    return {"Pu": pu, "Pz": pz, "internals": internals}
 
 
 # Seeded Monte Carlo 10/5/1% quantiles (tools/gen_po_tables.py, T=1000,
@@ -231,6 +244,7 @@ def phillips_ouliaris(
     type: str = "Pu",
     demean: str = "none",
     lags: str = "short",
+    internals: bool = False,
 ) -> dict:
     """ca.po-style feature: statistic + interpolated p-value.
 
@@ -250,10 +264,13 @@ def phillips_ouliaris(
             f"{nreg} regressors"
         )
     pval = _interp_pvalue(table[nreg], stat)
-    return {
+    out = {
         "phillips_ouliaris_stat": float(stat),
         "phillips_ouliaris_pvalue": float(pval),
     }
+    if internals:
+        out.update(stats["internals"])
+    return out
 
 
 def cointegration_phillips_ouliaris(y: np.ndarray, x: np.ndarray, **kw) -> dict:

@@ -150,3 +150,53 @@ def test_conv_flow_sketch_certificate_throws_on_drift(spark, sf_dir,
     monkeypatch.setattr(flowmod, "conv_flow_sketch", drifted)
     with pytest.raises(Exception, match="sketch certificate violated"):
         entrymod.queries()["conv_flow"](spark, sf_dir).collect()
+
+
+def test_cointegration_certificates_throw_on_corrupted_kernel(spark, sf_dir,
+                                                              monkeypatch):
+    """q_cointegration_1h's two in-plan certificates: the Johansen
+    trace == Σ max-eigen identity and the Phillips-Ouliaris SQL-twin
+    cross-check of the kernel's emitted intermediates. A corrupted
+    kernel must make the driver row THROW, not return plausible rows.
+    Patches the real kernels so the test exercises the ACTUAL entry
+    query."""
+    import feasts_spark.kernels.cointegration as cointmod
+
+    # green on the real kernels: every non-degenerate series certifies
+    good = entrymod.queries()["cointegration_1h"](spark, sf_dir).collect()
+    checked = [r for r in good if r["cert_johansen_ok"] is not None]
+    assert checked, "no certifiable series in the fixture corpus"
+    assert all(r["cert_johansen_ok"] for r in checked)
+    assert all(
+        r["cert_po_twin_ok"]
+        for r in good if r["cert_po_twin_ok"] is not None
+    )
+
+    # 1) break the trace identity -> johansen certificate throws
+    real_jo = cointmod.cointegration_johansen
+
+    def bad_jo(y, x, **kw):
+        res = real_jo(y, x, **kw)
+        res["johansen_trace_r0"] = res["johansen_trace_r0"] + 1.0
+        return res
+
+    monkeypatch.setattr(cointmod, "cointegration_johansen", bad_jo)
+    with pytest.raises(Exception, match="johansen certificate violated"):
+        entrymod.queries()["cointegration_1h"](spark, sf_dir).collect()
+    monkeypatch.setattr(cointmod, "cointegration_johansen", real_jo)
+
+    # 2) corrupt an order-SENSITIVE PO intermediate (the kernel claiming
+    #    it saw a different row order) -> the SQL twin catches it
+    real_po = cointmod.cointegration_phillips_ouliaris
+
+    def bad_po(y, x, **kw):
+        res = real_po(y, x, **kw)
+        if res.get("po_sum_dydy1") is not None:
+            res["po_sum_dydy1"] = res["po_sum_dydy1"] + 1.0
+        return res
+
+    monkeypatch.setattr(cointmod, "cointegration_phillips_ouliaris", bad_po)
+    with pytest.raises(
+        Exception, match="phillips-ouliaris twin certificate violated"
+    ):
+        entrymod.queries()["cointegration_1h"](spark, sf_dir).collect()
