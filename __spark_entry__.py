@@ -2445,7 +2445,25 @@ def q_ann_recall(spark, sf_dir):
     former q_ann_approx_topk registry row) derive from the SAME method
     DataFrames as the recall aggregates, so each index is trained/built
     exactly once per run and detail rows always describe the exact
-    configuration the recall rows score."""
+    configuration the recall rows score.
+
+    The row carries an in-plan `cert_ok` certificate (raise_error on
+    violation), so a green driver row is machine-checked evidence:
+
+    - detail rows: the reported cosine must equal an independent
+      recomputation from the RAW embedding vectors joined back by
+      (query_id, cand_id) — a method reporting approximate/ADC distances
+      as cos, or attaching scores to the wrong candidate ids, throws —
+      and cos must be non-increasing in rank within each (method, query).
+    - recall rows: each method must clear a calibrated floor on this
+      deterministic corpus (lsh .85 / pq .80 / ivfpq .50 / ivf .40 —
+      measured .90-.96 / .86-.88 / .60-.78 / .46-.52 at sf0.001/sf0.01;
+      the small-corpus IVF params scan nprobe/n_cells of the cells, so
+      the pruning-limited floors are intentionally lower), and n_hits
+      can never exceed the brute-force row count.
+
+    A corrupted method makes the query THROW (pinned in
+    tests/test_entry_contract.py)."""
     from feasts_spark.operators.similarity import (
         ann_ivf_topk,
         ann_ivfpq_topk,
@@ -2482,6 +2500,12 @@ def q_ann_recall(spark, sf_dir):
     # reflect the actual brute-force row count (one-row crossJoin, no
     # driver collect)
     n_brute = brute.agg(F.count(F.lit(1)).alias("n_brute"))
+    floors = {"lsh": 0.85, "ivf": 0.40, "pq": 0.80, "ivfpq": 0.50}
+    floor_col = F.lit(None).cast("double")
+    for meth, fl in floors.items():
+        floor_col = F.when(
+            F.col("method") == F.lit(f"{meth}_recall"), F.lit(fl)
+        ).otherwise(floor_col)
     recall = out.crossJoin(n_brute).select(
         F.concat(F.col("method"), F.lit("_recall")).alias("method"),
         F.lit(None).cast("long").alias("query_id"),
@@ -2493,6 +2517,27 @@ def q_ann_recall(spark, sf_dir):
             F.floor(F.col("n_hits") / F.col("n_brute") * 1e4 + F.lit(0.500001))
             / 1e4
         ).alias("recall_at_5"),
+        "n_brute",
+    )
+    recall_guard = F.raise_error(
+        F.format_string(
+            "ann recall certificate violated: %s recall=%s floor=%s "
+            "n_hits=%s n_brute=%s",
+            F.col("method"),
+            F.col("recall_at_5").cast("string"),
+            floor_col.cast("string"),
+            F.col("n_hits").cast("string"),
+            F.col("n_brute").cast("string"),
+        )
+    ).cast("boolean")
+    recall = recall.select(
+        "method", "query_id", "cand_id", "rank", "cos", "n_hits",
+        "recall_at_5",
+        F.when(
+            (F.col("recall_at_5") >= floor_col)
+            & (F.col("n_hits") <= F.col("n_brute")),
+            F.lit(True),
+        ).otherwise(recall_guard).alias("cert_ok"),
     )
     # per-neighbor detail rows (formerly the q_ann_approx_topk registry
     # row): method-tagged union over the SAME frames under one schema,
@@ -2506,6 +2551,48 @@ def q_ann_recall(spark, sf_dir):
             F.lit(None).cast("double").alias("recall_at_5"),
         )
         detail = part if detail is None else detail.unionByName(part)
+    # detail certificate: recompute cosine from the RAW vectors joined
+    # back by id, and pin within-query rank monotonicity of the reported
+    # (tie-stable-rounded) cos
+    eq = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"))
+    ec = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ec"))
+    dot = "aggregate(zip_with(cast(eq as array<double>), cast(ec as array<double>), (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    nq = "aggregate(cast(eq as array<double>), 0D, (acc, x) -> acc + x * x)"
+    nc = "aggregate(cast(ec as array<double>), 0D, (acc, x) -> acc + x * x)"
+    wmono = W.partitionBy("method", "query_id").orderBy("rank")
+    # detail is bounded by |methods| x |queries| x k — broadcast IT against
+    # the (potentially 10^9-row) embeddings table, never the reverse
+    chk = (
+        F.broadcast(detail.join(F.broadcast(eq), "query_id"))
+        .join(ec, "cand_id")
+        .withColumn("cos_exact", F.expr(f"{dot} / sqrt(({nq}) * ({nc}))"))
+        .withColumn("cos_prev", F.lag("cos").over(wmono))
+    )
+    cos_ok = (
+        (F.abs(F.col("cos") - F.col("cos_exact")) <= F.lit(1e-4))
+        & (
+            F.col("cos_prev").isNull()
+            | (F.col("cos") <= F.col("cos_prev") + F.lit(1e-9))
+        )
+    )
+    detail_guard = F.raise_error(
+        F.format_string(
+            "ann cosine certificate violated: %s query=%s cand=%s rank=%s "
+            "cos=%s exact=%s prev=%s",
+            F.col("method"),
+            F.col("query_id").cast("string"),
+            F.col("cand_id").cast("string"),
+            F.col("rank").cast("string"),
+            F.col("cos").cast("string"),
+            F.col("cos_exact").cast("string"),
+            F.col("cos_prev").cast("string"),
+        )
+    ).cast("boolean")
+    detail = chk.select(
+        "method", "query_id", "cand_id", "rank", "cos", "n_hits",
+        "recall_at_5",
+        F.when(cos_ok, F.lit(True)).otherwise(detail_guard).alias("cert_ok"),
+    )
     return recall.unionByName(detail)
 
 

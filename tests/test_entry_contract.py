@@ -200,3 +200,35 @@ def test_cointegration_certificates_throw_on_corrupted_kernel(spark, sf_dir,
         Exception, match="phillips-ouliaris twin certificate violated"
     ):
         entrymod.queries()["cointegration_1h"](spark, sf_dir).collect()
+
+
+def test_ann_recall_certificates_throw_on_corrupted_method(spark, sf_dir,
+                                                           monkeypatch):
+    """q_ann_recall's in-plan certificate: reported cosines must match an
+    independent recomputation from the raw vectors, and each method must
+    clear its calibrated recall floor. A corrupted method must make the
+    driver row THROW. Patches the real operator so the test exercises
+    the ACTUAL entry query."""
+    import feasts_spark.operators.similarity as simmod
+    from pyspark.sql import functions as F
+
+    good = entrymod.queries()["ann_recall"](spark, sf_dir).collect()
+    assert good and all(r["cert_ok"] for r in good)
+
+    real = simmod.ann_lsh_topk
+
+    # 1) scores drift from the raw-vector truth -> cosine cert throws
+    def drifted(df, **kw):
+        return real(df, **kw).withColumn("cos", F.col("cos") + F.lit(0.01))
+
+    monkeypatch.setattr(simmod, "ann_lsh_topk", drifted)
+    with pytest.raises(Exception, match="ann cosine certificate violated"):
+        entrymod.queries()["ann_recall"](spark, sf_dir).collect()
+
+    # 2) a method silently losing candidates -> recall floor cert throws
+    def lossy(df, **kw):
+        return real(df, **kw).filter(F.col("rank") == 1)
+
+    monkeypatch.setattr(simmod, "ann_lsh_topk", lossy)
+    with pytest.raises(Exception, match="ann recall certificate violated"):
+        entrymod.queries()["ann_recall"](spark, sf_dir).collect()
