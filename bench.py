@@ -32,7 +32,12 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 N_CONVS = int(os.environ.get("BENCH_CONVS", "3000"))
 MAX_TURNS = int(os.environ.get("BENCH_MAX_TURNS", "20000"))
 FORCED_LONG = int(os.environ.get("BENCH_FORCED_LONG_TURNS", "60000"))
-TRANSCRIPT_CACHE = f"/tmp/feasts_bench_transcripts_{N_CONVS}_{MAX_TURNS}_{FORCED_LONG}"
+# _p128: layout version — the file count is part of the cache identity
+# (see ensure_transcripts; a cache written with the old session-parallelism
+# layout must not be reused by benches expecting the fixed 128-way one)
+TRANSCRIPT_CACHE = (
+    f"/tmp/feasts_bench_transcripts_{N_CONVS}_{MAX_TURNS}_{FORCED_LONG}_p128"
+)
 
 
 def materialize(df) -> None:
@@ -43,9 +48,16 @@ def ensure_transcripts(spark) -> str:
     if not os.path.exists(os.path.join(TRANSCRIPT_CACHE, "_SUCCESS")):
         from feasts_spark.sources.transcripts import synthesize_transcripts
 
+        # Fixed 128-way layout, NOT the writing session's parallelism: the
+        # cache is shared across legs at different core counts, and a
+        # narrow writer (8 files ~ 100 MB row groups) caps every later
+        # scan at ~40 atomic row-group tasks — 2.5 badly-packed waves at
+        # 16 cores (measured: the round-5 4v16 scaling run's rollup leg
+        # lost ~20% to exactly this). 128 files of ~33 MB = one row group
+        # each = clean packing at every level the bench uses.
         t = synthesize_transcripts(
             spark, n_convs=N_CONVS, max_turns=MAX_TURNS,
-            forced_long_turns=FORCED_LONG,
+            forced_long_turns=FORCED_LONG, n_partitions=128,
         )
         t.write.mode("overwrite").parquet(TRANSCRIPT_CACHE)
     return TRANSCRIPT_CACHE
@@ -64,10 +76,14 @@ def run_bench(cores: str, sf_dir: str) -> dict:
     from feasts_spark.sources.transcripts import turn_series
 
     extra_conf = {
-        # 16m splits: the transcript cache is ~750MB in ~32 files; default
-        # 128m packs it into ~6 scan tasks, capping parallelism at any core
-        # count. (On a real cluster with TB inputs the default is right.)
-        "spark.sql.files.maxPartitionBytes": "16m",
+        # 64m splits over the 128-file cache = exactly one real split per
+        # file (each file is a single ~33 MB row group). 16m was tuned for
+        # the old narrow-writer cache and now only manufactures empty
+        # splits: a split produces work solely when a row-group midpoint
+        # falls inside it, so 3/4 of the tasks were ~50 ms no-ops — pure
+        # scheduler overhead, paid disproportionately by the narrow leg.
+        # (On a real cluster with TB inputs the 128m default is right.)
+        "spark.sql.files.maxPartitionBytes": "64m",
         # AQE coalescing sizes partitions for ~64MB of SHUFFLE bytes — but
         # the python feature stage's cost is CPU per group, not bytes, so
         # coalescing to ~1 task/core destroys the 4x-cores granularity that

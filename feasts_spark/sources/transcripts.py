@@ -97,8 +97,19 @@ def synthesize_transcripts(
     span_days: int = 30,
     n_forced_long: int = 3,
     forced_long_turns: int = 100_000,
+    n_partitions: int | None = None,
 ) -> DataFrame:
-    """Distributed deterministic transcript table."""
+    """Distributed deterministic transcript table.
+
+    n_partitions controls the generator's (and hence any direct write's)
+    file layout. The default follows the session's parallelism, which is
+    right for throwaway frames — but a corpus CACHE shared across runs at
+    different core counts must pass an explicit count: a parquet row group
+    is the atomic scan unit, so a cache written by a narrow session (e.g.
+    8 files of ~100 MB row groups) hard-caps scan parallelism for every
+    wider reader regardless of spark.sql.files.maxPartitionBytes.
+    Conversations stay clustered either way (the repartition happens on
+    the conv id frame BEFORE generation, never row-wise after)."""
     start_epoch = int(pd.Timestamp(start).timestamp())
 
     def gen(batches):
@@ -110,7 +121,9 @@ def synthesize_transcripts(
                     int(i), seed, mt, start_epoch, span_days, force_long
                 )
 
-    base = spark.range(n_convs).repartition(max(spark.sparkContext.defaultParallelism, 8))
+    if n_partitions is None:
+        n_partitions = max(spark.sparkContext.defaultParallelism, 8)
+    base = spark.range(n_convs).repartition(n_partitions)
     return base.mapInPandas(gen, schema=SCHEMA)
 
 

@@ -62,10 +62,29 @@ def test_filter_pushdown_reaches_scan(spark, events):
 def test_salted_rollup_broadcasts_heavy_keys(spark, events):
     from feasts_spark.operators.skew import salted_rollup
 
+    # pin_partials=False exposes the raw Catalyst tree (the default pins
+    # the partial aggregate behind a LogicalRDD, hiding the join from
+    # explain output; the subtree below the pin is this same plan)
     r = salted_rollup(events, "1m", key_col="user_id", ts_col="ts",
-                      value_col="value", heavy_threshold=10)
+                      value_col="value", heavy_threshold=10,
+                      pin_partials=False)
     s = plan_summary(r)
     assert s["has_broadcast"], "heavy-key dim join must broadcast"
+
+
+def test_salted_rollup_default_pins_partials(spark, events):
+    """The default path must NOT clone the source scan into both split
+    branches: the partial aggregate is pinned, so the final plan reads a
+    single ExistingRDD and no parquet/file scan appears twice."""
+    from feasts_spark.operators.skew import salted_rollup
+
+    r = salted_rollup(events, "1m", key_col="user_id", ts_col="ts",
+                      value_col="value", heavy_threshold=10)
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, "partial aggregate should be pinned"
+    assert plan.count("FileScan") == 0, (
+        "pinned salted rollup must not re-scan the source in a branch"
+    )
 
 
 def test_cascade_no_extra_scan(spark, events):
