@@ -20,6 +20,7 @@ def get_spark(
     app_name: str = "feasts_spark",
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
@@ -27,6 +28,9 @@ def get_spark(
     shuffle_partitions defaults to the core count — at 100 TB scale this is
     instead sized to ~target partition bytes, but AQE coalescing makes the
     initial number forgiving in both regimes.
+    master: explicit master URL override (e.g. "local-cluster[4,4,8192]"
+    for the multi-executor-JVM bench shape); `cores` then only sizes
+    shuffle_partitions defaults and must equal the total executor cores.
     """
     # One BLAS thread per python worker: each of the N Arrow-UDF workers is
     # already a full process; letting OpenBLAS spawn ncpu threads inside
@@ -37,7 +41,8 @@ def get_spark(
         os.environ.setdefault(var, "1")
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = f"local[{cores}]"
+    if master is None:
+        master = f"local[{cores}]"
     if shuffle_partitions is None:
         n = os.cpu_count() if cores in ("*",) else int(cores)
         shuffle_partitions = max(int(n), 8)
