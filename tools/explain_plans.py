@@ -48,7 +48,21 @@ def main() -> None:
             r1h, "1h", value_cols=("val_avg",)
         ),
         "gapfill_linear_1h": gapfill_linear(r1h, "1h", value_col="val_avg"),
-        "salted_rollup_1m (broadcast heavy keys, two-phase agg)": salted_rollup(
+        # full Catalyst shape with the partial-aggregate pin disabled:
+        # shows the raw scan, broadcast heavy-key join, salt partial agg
+        # and the light/heavy split end-to-end
+        "salted_rollup_1m (broadcast heavy keys, two-phase agg, unpinned "
+        "full shape)": salted_rollup(
+            ev, "1m", key_col="user_id", ts_col="ts", value_col="value",
+            heavy_threshold=10, pin_partials=False,
+        ),
+        # executed shape: the default pins the partial aggregate with a
+        # non-eager localCheckpoint so the light/heavy branches read ONE
+        # materialization instead of cloning the raw scan; everything
+        # upstream of `Scan ExistingRDD` here is the pinned subtree shown
+        # in full directly above
+        "salted_rollup_1m (executed shape: light passthrough + heavy merge "
+        "over pinned partials)": salted_rollup(
             ev, "1m", key_col="user_id", ts_col="ts", value_col="value",
             heavy_threshold=10,
         ),
